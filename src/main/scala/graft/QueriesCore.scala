@@ -1,0 +1,695 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Expressions._
+
+/** Core relational operator catalog: one runnable query per SURVEY.md §2
+  * operator family (scans S, filters F, projections P, scalar ops X, joins J,
+  * aggregations A, ordering O, plus window functions), each phrased over the
+  * harness tables with a DuckDB-equivalent oracle in [[QueriesCore.oracles]].
+  *
+  * Oracle-parity conventions (applies to the whole catalog):
+  *   - deterministic ORDER BY (with tie-breaks) on both sides;
+  *   - aggregated doubles rounded (sum→2, avg/std→4) so partial-agg order
+  *     cannot flip the last ulp;
+  *   - timestamps emitted as `yyyy-MM-dd[ HH:mm:ss]` strings (engine-neutral,
+  *     timezone-proof);
+  *   - identical output column names on both sides (driver hashes columns
+  *     sorted by name).
+  */
+object QueriesCore {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Flagship: TPC-H-Q1-style pricing summary. Money sums go through
+    * decimal(18,2)/(18,6) so partial-aggregation order can't perturb the
+    * result — bit-exact vs the oracle — then back to double for output.
+    */
+  def pricingSummary(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).filter(col("l_shipdate") <= lit("1998-09-02"))
+    val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,6)")
+    val charge = (col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * (lit(1) + col("l_tax"))).cast("decimal(18,6)")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 4).as("avg_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / count(lit(1)), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (pricingSummary _),
+
+    // ---- S: scans ---------------------------------------------------------
+    // S2/S3 — projected scan: column pruning + predicate pushed to parquet.
+    "s2_scan_project" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // ---- F: filters -------------------------------------------------------
+    // F1 — compound key-existence style predicate (challenge.py:55-58 shape).
+    "f1_key_existence" -> ((s, d) =>
+      events(s, d)
+        .filter((col("event_type") === "click" || col("event_type") === "view")
+          && col("props").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .orderBy(col("event_id"))),
+
+    // F2 — string-equality filter then drop the filter column
+    // (challenge.py:207: adult == "False").
+    "f2_equality_drop" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .drop("o_orderstatus")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // F3 — null filter (challenge.py:115 dropna analogue).
+    "f3_null_filter" -> ((s, d) =>
+      events(s, d)
+        .filter(col("value").isNotNull && col("props").isNotNull)
+        .select(col("event_id"), col("value"))
+        .orderBy(col("event_id"))),
+
+    // F4 — compound range anti-filter (outlier drop, challenge.py:259-262).
+    "f4_range_antifilter" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(!(col("l_shipdate") > lit("1997-01-01")
+          && col("l_discount") < lit(0.02)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_discount"))),
+
+    // F6 — negated membership (DC:5300: ~isin(['True','False'])).
+    "f6_negated_membership" -> ((s, d) =>
+      customer(s, d)
+        .filter(!col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    // F7 — numeric threshold (DC:6197: box_office < 1e9).
+    "f7_threshold" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_totalprice") < 5000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // F8 — rows matching NEITHER regex (DC:4163: residual-set inspection).
+    "f8_regex_mask" -> ((s, d) =>
+      part(s, d)
+        .filter(!col("p_type").rlike("BRASS|COPPER")
+          && !col("p_type").rlike("^ECONOMY"))
+        .select(col("p_partkey"), col("p_type"))
+        .orderBy(col("p_partkey"))),
+
+    // ---- P: projections / column surgery ----------------------------------
+    // P1 — data-dependent column pruning: drop columns that are >=90% null
+    // (challenge.py:110-111). Two-phase: driver-side null-ratio aggregate,
+    // then a select of the surviving columns.
+    "p1_null_prune" -> ((s, d) => {
+      val df = events(s, d)
+      val total = df.count()
+      val nullCounts = df.select(df.columns.map(c =>
+        sum(col(c).isNull.cast("long")).as(c)).toSeq: _*).head()
+      val kept = df.columns.zipWithIndex
+        .filter { case (_, i) => nullCounts.getLong(i) < 0.9 * total }
+        .map(_._1)
+      df.select(kept.map(col).toSeq: _*)
+        .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy(col("event_id"))
+    }),
+
+    // P2 — fixed-order projection (challenge.py:265-270).
+    "p2_projection" -> ((s, d) =>
+      part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_retailprice"))
+        .orderBy(col("p_partkey"))),
+
+    // P4 — bulk rename to snake_case output names (challenge.py:273-288).
+    "p4_rename_bulk" -> ((s, d) =>
+      lineitem(s, d)
+        .withColumnsRenamed(Map(
+          "l_orderkey" -> "order_id", "l_linenumber" -> "line_no",
+          "l_quantity" -> "qty", "l_extendedprice" -> "price"))
+        .select(col("order_id"), col("line_no"), col("qty"), col("price"))
+        .orderBy(col("order_id"), col("line_no"), col("qty"), col("price"))),
+
+    // P5 — synonym-column consolidation via coalesce (clean_movie,
+    // challenge.py:61-98: 'Directed by' vs 'Director' merged per record).
+    // Two sparse synonym columns are derived then coalesced.
+    "p5_synonym_coalesce" -> ((s, d) =>
+      events(s, d)
+        .withColumn("v_click",
+          when(col("event_type") === "click", col("value")))
+        .withColumn("v_view",
+          when(col("event_type") === "view", col("value")))
+        .withColumn("merged_value", coalesce(col("v_click"), col("v_view")))
+        .select(col("event_id"), col("merged_value"))
+        .orderBy(col("event_id"))),
+
+    // P6 — dedup on a key subset with a deterministic representative
+    // (DC:3694 drop_duplicates('imdb_id'); min-row representative).
+    "p6_dedup_subset" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderkey")).as("first_orderkey"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))),
+
+    // P6b — full-row distinct.
+    "p6b_distinct" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // ---- X: scalar expression layer over constructed strings --------------
+    // X6+X7 — money extraction + parse_dollars (challenge.py:125-157). Money
+    // strings are constructed deterministically from integer columns, parsed
+    // back by the expression layer; the oracle derives the expected value
+    // arithmetically.
+    "x7_parse_dollars" -> ((s, d) => {
+      val withMoney = part(s, d).withColumn("money_str",
+        when(col("p_partkey") % 3 === 0,
+          format_string("$%d million", col("p_size")))
+          .when(col("p_partkey") % 3 === 1,
+            format_string("$%d billion", col("p_size")))
+          .otherwise(lit("N/A")))
+      withMoney
+        .withColumn("parsed", parseDollars(col("money_str")))
+        .select(col("p_partkey"), col("money_str"), col("parsed"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // X3+X4+X7 — range collapse + citation strip + extract + parse
+    // ("$10–15 million[3]" → 15e6; challenge.py:119,167,169).
+    "x3_money_cleanup" -> ((s, d) => {
+      val raw = part(s, d).withColumn("raw_money",
+        format_string("$%d–%d million[%d]",
+          col("p_size"), col("p_size") + lit(5), col("p_partkey") % 9))
+      raw.withColumn("cleaned",
+          extractMoney(stripCitations(collapseMoneyRange(col("raw_money")))))
+        .withColumn("parsed", parseDollars(col("cleaned")))
+        .select(col("p_partkey"), col("parsed"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // X8+X13 — four-shape date extraction + to_timestamp cascade
+    // (challenge.py:182-189). Shapes constructed from o_orderdate.
+    "x13_date_cascade" -> ((s, d) => {
+      val shaped = orders(s, d).withColumn("date_str",
+        when(col("o_orderkey") % 4 === 0,
+          date_format(col("o_orderdate"), "MMMM d, yyyy"))
+          .when(col("o_orderkey") % 4 === 1,
+            date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .when(col("o_orderkey") % 4 === 2,
+            date_format(col("o_orderdate"), "MMMM yyyy"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy")))
+      shaped
+        .withColumn("parsed_date",
+          date_format(parseDateCascade(extractDate(col("date_str"))),
+            "yyyy-MM-dd"))
+        .select(col("o_orderkey"), col("date_str"), col("parsed_date"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // X9+X10 — running-time extraction (3 capture groups) + h/m arithmetic
+    // (challenge.py:193-199).
+    "x9_running_time" -> ((s, d) => {
+      val qty = col("l_quantity").cast("int")
+      val shaped = lineitem(s, d).withColumn("time_str",
+        when(col("l_linenumber") % 4 === 0,
+          format_string("%d minutes", qty))
+          .when(col("l_linenumber") % 4 === 1,
+            format_string("%d hours %d minutes", qty % 4, qty))
+          .when(col("l_linenumber") % 4 === 2,
+            format_string("%d h %d m", qty % 4, qty))
+          .otherwise(lit("unknown")))
+      shaped
+        .withColumn("minutes", parseRunningTime(col("time_str")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("time_str"),
+          col("minutes"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("time_str"),
+          col("minutes"))
+    }),
+
+    // X11 — coalesce-if-zero (fill_missing_kaggle_data, challenge.py:244-256):
+    // take the fallback ONLY when the preferred value is exactly 0.
+    "x11_coalesce_if_zero" -> ((s, d) =>
+      lineitem(s, d)
+        .withColumn("merged_rate",
+          coalesceIfZero(col("l_tax"), col("l_discount")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("merged_rate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("merged_rate"))),
+
+    // X12 — casts: numeric narrowing, string→number with coerce-to-null.
+    "x12_casts" -> ((s, d) =>
+      lineitem(s, d)
+        .withColumn("qty_int", col("l_quantity").cast("long"))
+        .withColumn("bad_num", expr("try_cast(l_returnflag AS double)"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("qty_int"),
+          col("bad_num"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty_int"))),
+
+    // X15 — epoch seconds → timestamp (challenge.py:219), emitted as string.
+    "x15_epoch_seconds" -> ((s, d) =>
+      events(s, d)
+        .withColumn("epoch_s", col("event_id") + lit(1700000000L))
+        .withColumn("ts_str",
+          date_format(timestamp_seconds(col("epoch_s")),
+            "yyyy-MM-dd HH:mm:ss"))
+        .select(col("event_id"), col("ts_str"))
+        .orderBy(col("event_id"))),
+
+    // ---- J: joins ----------------------------------------------------------
+    // J1 — inner equi-join with suffix-style disambiguation
+    // (challenge.py:225). Customer side broadcasts (small dim).
+    "j1_inner_join" -> ((s, d) => {
+      val o = orders(s, d)
+      val c = customer(s, d)
+        .withColumnRenamed("c_name", "name_customer")
+        .withColumnRenamed("c_acctbal", "acctbal_customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("name_customer"), col("acctbal_customer"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J2 — left outer join + fillna(0) (challenge.py:299-302).
+    "j2_left_join_fill" -> ((s, d) => {
+      val agg = orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_spent"))
+      customer(s, d)
+        .join(agg, col("c_custkey") === col("o_custkey"), "left")
+        .na.fill(0, Seq("n_orders", "total_spent"))
+        .select(col("c_custkey"), col("c_name"), col("n_orders"),
+          col("total_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J3 — left-semi (EXISTS).
+    "j3_semi_join" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // J4 — left-anti (NOT EXISTS).
+    "j4_anti_join" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // ---- A: aggregations / reshaping --------------------------------------
+    // A1 — multi-key group-by count (challenge.py:293 groupby count).
+    "a1_groupby_count" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(col("l_orderkey")).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // A2 — group-by + pivot with explicit value list (challenge.py:293;
+    // explicit values for deterministic columns, SURVEY H4).
+    "a2_pivot" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy(col("o_orderpriority"))),
+
+    // A3 — per-column null-count aggregate (challenge.py:110).
+    "a3_null_counts" -> ((s, d) => {
+      val df = events(s, d)
+      df.select(df.columns.map(c =>
+        sum(col(c).isNull.cast("long")).as(s"nulls_$c")).toSeq: _*)
+    }),
+
+    // A4 — value_counts: frequency desc (DC:5123), tie-broken by value.
+    "a4_value_counts" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type"))),
+
+    // A5 — describe(): count/mean/std/min/quartiles/max (DC:5613). Exact
+    // percentile (not approx) for oracle parity.
+    "a5_describe" -> ((s, d) =>
+      lineitem(s, d).agg(
+        count(col("l_quantity")).as("cnt"),
+        round(avg(col("l_quantity")), 4).as("mean"),
+        round(stddev(col("l_quantity")), 4).as("std"),
+        min(col("l_quantity")).as("min"),
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        max(col("l_quantity")).as("max"))),
+
+    // A6 — histogram: fixed-width binned counts (DC:5612).
+    "a6_histogram" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(floor(col("l_quantity") / 5).as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("bin"))),
+
+    // A7 — distinct-cardinality scan per column (DC:7675; exact, the
+    // reference's single-value-column hunt).
+    "a7_distinct_scan" -> ((s, d) =>
+      orders(s, d).agg(
+        countDistinct(col("o_orderstatus")).as("nd_status"),
+        countDistinct(col("o_orderpriority")).as("nd_priority"),
+        countDistinct(col("o_custkey")).as("nd_custkey"))),
+
+    // A8 — cardinality checks (DC:67 len()).
+    "a8_counts" -> ((s, d) =>
+      lineitem(s, d).agg(count(lit(1)).as("lineitem_cnt"))
+        .crossJoin(orders(s, d).agg(count(lit(1)).as("orders_cnt")))
+        .crossJoin(customer(s, d).agg(count(lit(1)).as("customer_cnt")))),
+
+    // ---- O: ordering / limits / sampling ----------------------------------
+    // O1 — head(5) made deterministic with a sort key.
+    "o1_head" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")).limit(5)),
+
+    // O2 — deterministic "sample": key-mod selection (engines' RNGs differ,
+    // so random sampling is oracle-checked via a hash-free deterministic
+    // predicate; df.sample(frac) itself is exercised in ScalaTest).
+    "o2_sample_mod" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 500 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // O3 — positional slice: offset + limit (DC cells 5-7).
+    "o3_slice" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+        .offset(100).limit(10)),
+
+    // ---- W: window functions (engine surface beyond the reference) --------
+    "w1_row_number" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "w2_running_sum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem(s, d)
+        .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+        .select(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*), 4) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*), 4) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "s2_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "f1_key_existence" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE event_type IN ('click','view') AND props IS NOT NULL
+        |  AND user_id IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "f2_equality_drop" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+
+    "f3_null_filter" ->
+      """SELECT event_id, value FROM events
+        |WHERE value IS NOT NULL AND props IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "f4_range_antifilter" ->
+      """SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+        |WHERE NOT (l_shipdate > TIMESTAMP '1997-01-01' AND l_discount < 0.02)
+        |ORDER BY l_orderkey, l_linenumber, l_discount""".stripMargin,
+
+    "f6_negated_membership" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_mktsegment NOT IN ('BUILDING','MACHINERY')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "f7_threshold" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice < 5000.0 ORDER BY o_orderkey""".stripMargin,
+
+    "f8_regex_mask" ->
+      """SELECT p_partkey, p_type FROM part
+        |WHERE NOT regexp_matches(p_type, 'BRASS|COPPER')
+        |  AND NOT regexp_matches(p_type, '^ECONOMY')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "p1_null_prune" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,
+        |       event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p2_projection" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "p4_rename_bulk" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |       l_quantity AS qty, l_extendedprice AS price
+        |FROM lineitem ORDER BY order_id, line_no, qty, price""".stripMargin,
+
+    "p5_synonym_coalesce" ->
+      """SELECT event_id,
+        |  COALESCE(CASE WHEN event_type='click' THEN value END,
+        |           CASE WHEN event_type='view' THEN value END) AS merged_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p6_dedup_subset" ->
+      """SELECT o_custkey, MIN(o_orderkey) AS first_orderkey,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "p6b_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "x7_parse_dollars" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_partkey % 3 = 0 THEN printf('$%d million', p_size)
+        |       WHEN p_partkey % 3 = 1 THEN printf('$%d billion', p_size)
+        |       ELSE 'N/A' END AS money_str,
+        |  CASE WHEN p_partkey % 3 = 0 THEN p_size * 1e6
+        |       WHEN p_partkey % 3 = 1 THEN p_size * 1e9
+        |       ELSE NULL END AS parsed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "x3_money_cleanup" ->
+      """SELECT p_partkey, (p_size + 5) * 1e6 AS parsed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "x13_date_cascade" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN strftime(o_orderdate, '%B %-d, %Y')
+        |       WHEN o_orderkey % 4 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |       WHEN o_orderkey % 4 = 2 THEN strftime(o_orderdate, '%B %Y')
+        |       ELSE strftime(o_orderdate, '%Y') END AS date_str,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |       WHEN o_orderkey % 4 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |       WHEN o_orderkey % 4 = 2
+        |         THEN strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+        |       ELSE strftime(date_trunc('year', o_orderdate), '%Y-%m-%d')
+        |  END AS parsed_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "x9_running_time" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber % 4 = 0
+        |         THEN printf('%d minutes', CAST(l_quantity AS INT))
+        |       WHEN l_linenumber % 4 = 1
+        |         THEN printf('%d hours %d minutes',
+        |                     CAST(l_quantity AS INT) % 4,
+        |                     CAST(l_quantity AS INT))
+        |       WHEN l_linenumber % 4 = 2
+        |         THEN printf('%d h %d m', CAST(l_quantity AS INT) % 4,
+        |                     CAST(l_quantity AS INT))
+        |       ELSE 'unknown' END AS time_str,
+        |  CASE WHEN l_linenumber % 4 = 0 THEN CAST(l_quantity AS INT) * 1.0
+        |       WHEN l_linenumber % 4 IN (1, 2)
+        |         THEN (CAST(l_quantity AS INT) % 4) * 60.0
+        |              + CAST(l_quantity AS INT)
+        |       ELSE NULL END AS minutes
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, time_str, minutes""".stripMargin,
+
+    "x11_coalesce_if_zero" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_tax = 0 THEN l_discount ELSE l_tax END AS merged_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, merged_rate""".stripMargin,
+
+    "x12_casts" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS BIGINT) AS qty_int,
+        |  TRY_CAST(l_returnflag AS DOUBLE) AS bad_num
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_int""".stripMargin,
+
+    "x15_epoch_seconds" ->
+      """SELECT event_id,
+        |  strftime(make_timestamp((event_id + 1700000000) * 1000000),
+        |           '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "j1_inner_join" ->
+      """SELECT o_orderkey, o_totalprice, c_name AS name_customer,
+        |       c_acctbal AS acctbal_customer
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j2_left_join_fill" ->
+      """SELECT c_custkey, c_name, COALESCE(n_orders, 0) AS n_orders,
+        |       COALESCE(total_spent, 0) AS total_spent
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |         ROUND(SUM(o_totalprice), 2) AS total_spent
+        |  FROM orders GROUP BY o_custkey) agg
+        |ON c_custkey = agg.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j3_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j4_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "a1_groupby_count" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(l_orderkey) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a2_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "a3_null_counts" ->
+      """SELECT COUNT(*) - COUNT(event_id) AS nulls_event_id,
+        |       COUNT(*) - COUNT(ts) AS nulls_ts,
+        |       COUNT(*) - COUNT(user_id) AS nulls_user_id,
+        |       COUNT(*) - COUNT(event_type) AS nulls_event_type,
+        |       COUNT(*) - COUNT(value) AS nulls_value,
+        |       COUNT(*) - COUNT(props) AS nulls_props
+        |FROM events""".stripMargin,
+
+    "a4_value_counts" ->
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin,
+
+    "a5_describe" ->
+      """SELECT COUNT(l_quantity) AS cnt,
+        |  ROUND(AVG(l_quantity), 4) AS mean,
+        |  ROUND(STDDEV(l_quantity), 4) AS std,
+        |  MIN(l_quantity) AS min,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  MAX(l_quantity) AS max
+        |FROM lineitem""".stripMargin,
+
+    "a6_histogram" ->
+      """SELECT CAST(FLOOR(l_quantity / 5) AS BIGINT) AS bin,
+        |       COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "a7_distinct_scan" ->
+      """SELECT COUNT(DISTINCT o_orderstatus) AS nd_status,
+        |       COUNT(DISTINCT o_orderpriority) AS nd_priority,
+        |       COUNT(DISTINCT o_custkey) AS nd_custkey
+        |FROM orders""".stripMargin,
+
+    "a8_counts" ->
+      """SELECT (SELECT COUNT(*) FROM lineitem) AS lineitem_cnt,
+        |       (SELECT COUNT(*) FROM orders) AS orders_cnt,
+        |       (SELECT COUNT(*) FROM customer) AS customer_cnt""".stripMargin,
+
+    "o1_head" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 5""".stripMargin,
+
+    "o2_sample_mod" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey % 500 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "o3_slice" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY o_orderkey LIMIT 10 OFFSET 100""".stripMargin,
+
+    "w1_row_number" ->
+      """SELECT o_custkey, rn, o_orderkey, order_date FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "w2_running_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(SUM(l_quantity) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, running_qty""".stripMargin
+  )
+}

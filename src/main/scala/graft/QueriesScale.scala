@@ -1,0 +1,295 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextOps, Similarity, Multimodal}
+import graft.streaming.StreamingOps
+
+/** Training-data-pipeline operator catalog: deduplication, similarity
+  * search, text analysis, multimodal plumbing, and stream-shaped windowed
+  * aggregation — over the `documents`, `embeddings` and `events` tables.
+  *
+  * Queries whose semantics are hash-seeded (minhash/simhash/LSH/ANN) have no
+  * DuckDB-expressible oracle and are registered without `oracleSql` (the
+  * driver records a rows-only check); everything arithmetic gets a full
+  * oracle.
+  */
+object QueriesScale {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- dedup -------------------------------------------------------------
+    // exact dedup: deterministic representative per distinct text
+    "dd1_exact_dedup" -> ((s, d) =>
+      Dedup.exact(documents(s, d), "text", "doc_id")
+        .select(col("rep_id"), col("n_dupes"))
+        .orderBy(col("rep_id"))),
+
+    // minhash signatures (first 4 of 64 slots shown; hash-seeded → no oracle)
+    "dd2_minhash_sig" -> ((s, d) => {
+      val sh = Dedup.docShingles(documents(s, d), "doc_id", "text", 3)
+      Dedup.minhashSignatures(sh, "doc_id", 64)
+        .select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // full MinHash→LSH→candidate→estimate pipeline, reported as stats
+    "dd3_lsh_stats" -> ((s, d) => {
+      val docs = documents(s, d)
+      val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignatures(sh, "doc_id", 64)
+      val bands = Dedup.lshBands(sig, "doc_id", 16, 4)
+      val pairs = Dedup.lshCandidatePairs(bands, "doc_id")
+      val est = Dedup.estimateJaccard(pairs, sig, "doc_id", 64)
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_candidate_pairs")))
+        .crossJoin(est.filter(col("est_jaccard") >= 0.5)
+          .agg(count(lit(1)).as("n_near_dupes")))
+    }),
+
+    // simhash fingerprints (hash-seeded → no oracle)
+    "dd4_simhash" -> ((s, d) =>
+      Dedup.simhash64(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // exact n-gram Jaccard pairs via inverted index, blocked by (lang,source)
+    "dd5_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+          Seq("lang", "source"), 3, 0.05)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ---- text analysis -----------------------------------------------------
+    "ts1_lang_id" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("predicted_lang", TextOps.languageId(col("text")))
+        .select(col("doc_id"), col("lang"), col("predicted_lang"))
+        .orderBy(col("doc_id"))),
+
+    "ts2_quality" -> ((s, d) => {
+      val feats = TextOps.qualityFeatures(col("text"))
+        .map { case (n, c) => c.as(n) }
+      documents(s, d)
+        .select((col("doc_id") +: feats :+
+          TextOps.qualityScore(col("text")).as("quality")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "ts3_token_count" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          TextOps.wordCount(col("text")).cast("long").as("ws_tokens"),
+          TextOps.regexTokenCount(col("text")).cast("long").as("re_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "ts4_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          TextOps.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy(col("doc_id"))),
+
+    // winnowing-style rolling-hash fingerprint (xxhash64-seeded → no oracle)
+    "ts5_rolling_fp" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          TextOps.rollingMinHash(col("text")).as("fp_roll"))
+        .orderBy(col("doc_id"))),
+
+    // ---- similarity search -------------------------------------------------
+    // exact brute-force top-5 per query vector
+    "sim1_cosine_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // exact all-pairs above threshold in a blocked id range
+    "sim2_threshold_pairs" -> ((s, d) =>
+      Similarity.thresholdPairs(
+          embeddings(s, d).filter(col("vec_id") < 300),
+          "vec_id", "embedding", 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // IVF-style ANN probe (approximate by construction → no oracle)
+    "sim3_ivf_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", 5, 2)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- multimodal plumbing ----------------------------------------------
+    "mm1_binary_meta" -> ((s, d) => {
+      val media = Multimodal.withBinaryPayload(
+        documents(s, d), "doc_id", "text")
+      Multimodal.decodeFeaturesStub(s, media).toDF()
+        .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
+          col("header_hex"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "mm2_frame_sample" -> ((s, d) => {
+      val media = Multimodal.withBinaryPayload(
+        documents(s, d), "doc_id", "text")
+      Multimodal.sampleFrames(media, "doc_id", 64, 5)
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    // ---- stream-shaped aggregation ----------------------------------------
+    "st1_hourly_window" -> ((s, d) =>
+      StreamingOps.hourlyAgg(events(s, d))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    "st2_sessionize" -> ((s, d) =>
+      StreamingOps.sessionize(events(s, d), "10 minutes")
+        .orderBy(col("user_id"), col("session_start")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dd1_exact_dedup" ->
+      """SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_dupes
+        |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin,
+
+    "dd5_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ix
+        |  FROM grams a JOIN grams b
+        |    ON a.gram = b.gram AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       ROUND(ix * 1.0 / (sa.sz + sb.sz - ix), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ts1_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(the|a|of|and|is)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(le|la|et|les|des)\b')) AS s_fr,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(el|los|las|y|que)\b')) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+        |       WHEN s_es > 0 THEN 'es'
+        |       ELSE 'und' END AS predicted_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "ts2_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars_q,
+        |    len(string_split_regex(text, '\s+')) AS n_words,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(the|a|of|and|is|to|in)\b')) AS n_stops,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |  FROM documents)
+        |SELECT doc_id, n_chars_q, n_words,
+        |  ROUND(n_chars_q * 1.0 / n_words, 4) AS avg_word_len,
+        |  ROUND(n_stops * 1.0 / n_words, 4) AS stopword_ratio,
+        |  ROUND(n_punct * 1.0 / n_chars_q, 4) AS punct_ratio,
+        |  ROUND((LEAST(n_words / 50.0, 1.0)
+        |       + LEAST((n_stops * 1.0 / n_words) * 5.0, 1.0)
+        |       + GREATEST(1.0 - (n_punct * 1.0 / n_chars_q) * 10.0, 0.0))
+        |       / 3.0, 4) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "ts3_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+        |    AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ts4_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sim1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |        ROUND(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 4)
+        |          AS sim
+        |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim2_threshold_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "mm1_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |  lower(hex(encode(substring(text, 1, 8)))) AS header_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm2_frame_sample" ->
+      """SELECT doc_id, unnest(gs) AS frame_no,
+        |       unnest(list_transform(gs, i -> i * 64)) AS byte_offset
+        |FROM (SELECT doc_id,
+        |        generate_series(0, LEAST((length(text) - 1) // 64, 4)) AS gs
+        |      FROM documents)
+        |ORDER BY doc_id, frame_no""".stripMargin,
+
+    "st1_hourly_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP),
+        |         '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, COUNT(*) AS n_events,
+        |       ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "st2_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts,
+        |    CASE WHEN LAG(ts::TIMESTAMP) OVER w IS NULL
+        |           OR ts::TIMESTAMP - LAG(ts::TIMESTAMP) OVER w
+        |              >= INTERVAL '10 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

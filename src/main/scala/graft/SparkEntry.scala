@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * The engine's query surface is assembled from:
+  *   - [[QueriesCore]] — scans/filters/projections/scalar-ops/joins/aggs/
+  *     ordering/windows (SURVEY §2 operator inventory);
+  *   - [[QueriesScale]] — dedup, similarity search, text analysis,
+  *     multimodal plumbing, stream-shaped windows (training-data ops).
+  * The movie-domain reference pipeline itself lives in `graft.etl` and is
+  * exercised by the ScalaTest golden suite on synthesized fixtures (the
+  * reference's data files are missing blobs).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    QueriesCore.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ scale ops). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesCore.queries ++ QueriesScale.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for hash-seeded/approximate ops
+    * (minhash, simhash, LSH, IVF, rolling-hash) → rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    QueriesCore.oracles ++ QueriesScale.oracles
 }

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for a training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard via
+  * an inverted-index join. All are built from shuffle-conscious primitives:
+  *   - candidate generation is bucket-join based (never an O(n²) cross join);
+  *   - per-doc signatures are single-pass `groupBy(doc).agg(min...)`, which
+  *     map-side-combines before the shuffle;
+  *   - hashing uses xxhash64 (codegen'd Catalyst expression, seedable).
+  * At 100 TB the only shuffles are by doc-id (signature build) and by
+  * band-hash (bucketing) — both key-balanced unless the corpus has massive
+  * exact dupes, which exact-dedup removes first.
+  */
+object Dedup {
+
+  /** Exact dedup: deterministic representative (min id) per distinct key. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** (doc_id, shingle) pairs, distinct — the inverted-index base relation. */
+  def docShingles(df: DataFrame, idCol: String, textCol: String, k: Int)
+  : DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        explode(expr(
+          s"transform(sequence(0, greatest(size(toks) - $k, 0)), " +
+            s"i -> concat_ws(' ', slice(toks, i + 1, $k)))")).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: one row per doc, columns h0..h{n-1}, where
+    * h_i = min over shingles of xxhash64(shingle, i). Single aggregation —
+    * partial min per partition, then one shuffle by doc id.
+    */
+  def minhashSignatures(ds: DataFrame, idCol: String, numHashes: Int)
+  : DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    ds.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band hashes: numHashes = bands × rowsPerBand; band j hashes
+    * signature slots [j*r, (j+1)*r). Output: (id, band, band_hash), one row
+    * per (doc, band) — the bucketing relation.
+    */
+  def lshBands(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int)
+  : DataFrame = {
+    val bandCols = (0 until bands).map { j =>
+      val slots = (j * rowsPerBand until (j + 1) * rowsPerBand)
+        .map(i => col(s"h$i"))
+      struct(lit(j).as("band"), xxhash64(slots: _*).as("band_hash"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"),
+        col("bb.band_hash").as("band_hash"))
+  }
+
+  /** Candidate pairs from LSH buckets: docs sharing any (band, band_hash)
+    * bucket, deduplicated. The join key is the bucket, so cost is
+    * sum(bucket_size²) — near-linear when dupes are rare. `maxBucket` guards
+    * against degenerate buckets (constant text at web scale): oversized
+    * buckets are dropped, trading recall for a hard cost bound.
+    */
+  def lshCandidatePairs(bandsDf: DataFrame, idCol: String,
+      maxBucket: Int = 1000): DataFrame = {
+    val sized = bandsDf.withColumn("bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bsz") <= maxBucket)
+    val a = sized.select(col("band"), col("band_hash"),
+      col(idCol).as("id_a"))
+    val b = sized.select(col("band"), col("band_hash"),
+      col(idCol).as("id_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Estimated Jaccard for candidate pairs from their signatures: fraction of
+    * matching minhash slots.
+    */
+  def estimateJaccard(pairs: DataFrame, sig: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sa, col("id_a") === col(s"a_$idCol"))
+      .join(sb, col("id_b") === col(s"b_$idCol"))
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted by
+    * token-hash bit, sign → fingerprint bit. One explode + one groupBy(doc).
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for doc pairs within the same blocking
+    * group, via inverted-index join (gram → docs), never a cross join.
+    * Blocking columns bound bucket sizes; intersection counts come from the
+    * gram-join group-by, union sizes from per-doc gram counts.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int, minJaccard: Double): DataFrame = {
+    val grams = df.select(
+        (col(idCol) +: blockCols.map(col) :+
+          tokens(col(textCol)).as("toks")): _*)
+      .select((col(idCol) +: blockCols.map(col) :+
+        explode(expr(
+          s"transform(sequence(0, greatest(size(toks) - $n, 0)), " +
+            s"i -> concat_ws(' ', slice(toks, i + 1, $n)))")).as("gram")): _*)
+      .distinct()
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = grams.toDF(grams.columns.map(c =>
+      if (c == idCol) "doc_a" else c): _*)
+    val b = grams.select((col(idCol).as("doc_b") +:
+      blockCols.map(c => col(c).as(s"b_$c")) :+
+      col("gram").as("b_gram")): _*)
+    val joinCond = (blockCols.map(c => col(c) === col(s"b_$c")) :+
+      (col("gram") === col("b_gram")) :+ (col("doc_a") < col("doc_b")))
+      .reduce(_ && _)
+    val inter = a.join(b, joinCond)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+}

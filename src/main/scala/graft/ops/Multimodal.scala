@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video handled as opaque `binary`
+  * payloads with typed metadata, batch-decoded per partition.
+  *
+  * The decode step itself is a STUB (this container ships no image/audio
+  * codecs): `decodeFeaturesStub` derives deterministic fake features from the
+  * raw bytes. Everything around it is the real Spark shape — binary column +
+  * metadata struct schema, `mapPartitions` batch iteration (the Scala
+  * analogue of `mapInPandas`: one iterator per partition so a real codec
+  * could amortize per-batch init), and partition-count control for
+  * decode-cost balancing.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], format: String)
+  case class MediaFeatures(doc_id: Long, byte_len: Int, header_hex: String,
+      feature: Array[Float])
+
+  /** Attach a binary payload + typed metadata struct to a text corpus
+    * (payload := utf-8 bytes stands in for real media bytes).
+    */
+  def withBinaryPayload(df: DataFrame, idCol: String, textCol: String)
+  : DataFrame =
+    df.select(
+      col(idCol),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        length(col(textCol).cast("binary")).as("byte_len"),
+        lit("text/plain").as("mime"),
+        lit(1).as("channels")).as("media_meta"))
+
+  /** Batch decode via mapPartitions — the per-partition iterator is where a
+    * real codec would be initialized once and reused. STUB: features are a
+    * deterministic hash-derived fake (8 floats), byte length and an 8-byte
+    * header hex are real.
+    */
+  def decodeFeaturesStub(spark: SparkSession, media: DataFrame)
+  : Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), lit("raw").as("format"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // real impl: val codec = Codec.open() — once per partition
+        it.map { r =>
+          val header = r.payload.take(8).map("%02x".format(_)).mkString
+          val fake = Array.tabulate(8) { i =>
+            // ??? real decode goes here; deterministic stand-in:
+            ((java.util.Arrays.hashCode(r.payload) * (i + 1)) % 1000) / 1000.0f
+          }
+          MediaFeatures(r.doc_id, r.payload.length, header, fake)
+        }
+      }
+  }
+
+  /** Frame sampling plumbing: every `stride` bytes is a "frame" offset —
+    * the byte arithmetic a real video frame-sampler would do, minus the
+    * codec. One row per sampled frame.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, stride: Int, maxFrames: Int)
+  : DataFrame =
+    df.select(col(idCol), col("media_meta.byte_len").as("byte_len"))
+      .withColumn("frame_no",
+        explode(sequence(lit(0),
+          least(floor((col("byte_len") - 1) / stride),
+            lit(maxFrames - 1)))))
+      .withColumn("byte_offset", col("frame_no") * stride)
+      .select(col(idCol), col("frame_no"), col("byte_offset"))
+}

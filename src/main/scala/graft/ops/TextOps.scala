@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (stopword-marker heuristic), quality scoring (length/word/stopword
+  * ratios), token counting (whitespace + regex), and document
+  * fingerprinting. All pure Catalyst expressions — codegen'd, no UDFs,
+  * embarrassingly parallel (no shuffle at all until a later groupBy).
+  */
+object TextOps {
+
+  /** Count of whole-word occurrences of any marker, e.g. `\b(the|a)\b`. */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    regexp_count(lower(text), lit("\\b(" + markers.mkString("|") + ")\\b"))
+
+  /** Language-marker heuristic: score each language by its stopword-marker
+    * hits; highest score wins, ties broken by language code order, zero
+    * hits → "und". N-gram-frequency LID reduced to its Spark shape: a few
+    * codegen'd regex counters + an argmax `when` chain.
+    */
+  def languageScores(text: Column): Seq[(String, Column)] = Seq(
+    "en" -> markerCount(text, Seq("the", "a", "of", "and", "is")),
+    "fr" -> markerCount(text, Seq("le", "la", "et", "les", "des")),
+    "es" -> markerCount(text, Seq("el", "los", "las", "y", "que")))
+
+  def languageId(text: Column): Column = {
+    val scores = languageScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column = size(split(text, "\\s+"))
+
+  /** BPE-ish regex token count: word pieces + standalone punctuation. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+
+  /** Quality features + a simple composite score in [0,1]:
+    * penalizes very short docs, rewards stopword presence (natural-language
+    * prior), penalizes punctuation excess. Deterministic integer-derived
+    * arithmetic (cross-engine exact).
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val chars = length(text)
+    val words = wordCount(text)
+    val stops = markerCount(text, stopwords)
+    val punct = punctCount(text)
+    Seq(
+      // long casts: DuckDB length()/len() return BIGINT — keep dtypes equal
+      "n_chars_q" -> chars.cast("long"),
+      "n_words" -> words.cast("long"),
+      "avg_word_len" -> round(chars.cast("double") / words, 4),
+      "stopword_ratio" -> round(stops.cast("double") / words, 4),
+      "punct_ratio" -> round(punct.cast("double") / chars, 4))
+  }
+
+  def qualityScore(text: Column): Column = {
+    val words = wordCount(text).cast("double")
+    val stops = markerCount(text, stopwords).cast("double")
+    val punct = punctCount(text).cast("double")
+    val chars = length(text).cast("double")
+    val lengthTerm = least(words / 50.0, lit(1.0))
+    val stopTerm = least((stops / words) * 5.0, lit(1.0))
+    val punctTerm = greatest(lit(1.0) - (punct / chars) * 10.0, lit(0.0))
+    round((lengthTerm + stopTerm + punctTerm) / 3.0, 4)
+  }
+
+  /** Content fingerprint: md5 (cross-engine checkable). */
+  def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
+
+  /** Rolling-hash fingerprint: min xxhash64 over char 8-gram windows —
+    * a winnowing-style content signature robust to small edits.
+    */
+  def rollingMinHash(text: Column, window: Int = 8): Column =
+    array_min(transform(
+      sequence(lit(0), greatest(length(text) - window, lit(0))),
+      i => xxhash64(text.substr(i + lit(1), lit(window)))))
+}
