@@ -1,0 +1,29 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** Sinks (S5-S7, challenge.py:305-325). The harness target is parquet; the
+  * JDBC path reproduces the reference's append-mode Postgres load
+  * (`to_sql(if_exists='append')`, connection challenge.py:308) and is
+  * config-gated since no database runs in this container. The incremental
+  * chunked load with progress accounting (S6) lives in
+  * [[graft.streaming.StreamingOps.chunkedLoad]].
+  */
+object Load {
+
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Append to a relational table over JDBC. Spark partitions the write
+    * natively — the scalable replacement for the reference's 1 M-row chunk
+    * loop (numPartitions bounds connection fan-out at cluster scale).
+    */
+  def jdbc(df: DataFrame, url: String, table: String,
+      user: String, password: String, numPartitions: Int = 8): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    df.repartition(numPartitions)
+      .write.mode("append").jdbc(url, table, props)
+  }
+}

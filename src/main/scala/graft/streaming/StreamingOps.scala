@@ -40,15 +40,19 @@ object StreamingOps {
   /** True streaming variant of [[hourlyAgg]]: file-source readStream with
     * watermarking, memory sink for tests. `maxFilesPerTrigger=1` gives the
     * reference's observable micro-batch progression (S4/S6).
+    *
+    * @param eventsDir a directory containing ONLY event parquet files (the
+    *                  file stream source tails a directory, as a real event
+    *                  landing zone would be laid out)
     */
-  def streamingHourlyAgg(spark: SparkSession, dir: String,
+  def streamingHourlyAgg(spark: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = spark.read.parquet(eventsDir).schema
     val events = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir")
+      .parquet(eventsDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "2 hours")
     hourlyAgg(events)
@@ -67,7 +71,7 @@ object StreamingOps {
   def chunkedLoad(spark: SparkSession, srcDir: String, outPath: String)
   : StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
+    val schema = spark.read.parquet(srcDir).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val t0 = System.nanoTime()

@@ -1,0 +1,143 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden end-to-end tests of the reference pipeline over the synthesized
+  * fixtures (SURVEY §5.2): checkpoint cardinalities, the 31-column output
+  * contract, quirk decisions Q3/Q5/Q7, and per-branch parse spot checks.
+  */
+class MovieEtlSpec extends SparkSpec {
+
+  private lazy val wikiRaw =
+    Extract.readWikiJson(spark, fixture("wikipedia.movies.json"))
+  private lazy val result = MovieEtl.run(spark,
+    fixture("wikipedia.movies.json"), fixture("movies_metadata.csv"),
+    fixture("ratings.csv"))
+
+  private def movieRow(imdb: String) =
+    result.movies.filter(col("imdb_id") === imdb).collect().head
+
+  private def field(imdb: String, name: String): Any = {
+    val r = result.movies.filter(col("imdb_id") === imdb)
+      .select(name).collect().head
+    if (r.isNullAt(0)) null else r.get(0)
+  }
+
+  test("F1 checkpoint: 55 raw records → 52 movies") {
+    assert(wikiRaw.count() == 55)
+    assert(WikiClean.filterMovies(wikiRaw).count() == 52)
+  }
+
+  test("DC dedup checkpoint: 52 → 51 on duplicate imdb_id (Q5)") {
+    val base = WikiClean.withImdbId(
+      WikiClean.consolidateColumns(WikiClean.filterMovies(wikiRaw)))
+    assert(WikiClean.dedupImdb(base).count() == 51)
+  }
+
+  test("null pruning drops the 96%-null column, keeps alt_titles") {
+    val cleaned = WikiClean.clean(wikiRaw)
+    assert(!cleaned.columns.contains("Mostly Null"))
+    assert(cleaned.columns.contains("alt_titles"))
+  }
+
+  test("movies: 50 rows (challenge.py mode: dup imdb fans out, Q5)") {
+    assert(result.movies.count() == 50)
+  }
+
+  test("movies: 49 rows with DC dedup enabled") {
+    val dc = MovieEtl.run(spark, fixture("wikipedia.movies.json"),
+      fixture("movies_metadata.csv"), fixture("ratings.csv"),
+      EtlConfig(dedupWiki = true))
+    assert(dc.movies.count() == 49)
+  }
+
+  test("movies: exact 31-column contract in challenge.py order") {
+    assert(result.movies.columns.toSeq == Merge.outputColumns.map(_._2))
+  }
+
+  test("X11 fill-if-zero: kaggle zeros take wiki values, others keep kaggle") {
+    // i=1: runtime kaggle=0 → wiki 102; budget kaggle=1e6 stays
+    assert(field("tt1000001", "runtime") == 102.0)
+    assert(field("tt1000001", "budget") == 1000000.0)
+    // i=2: budget kaggle=0 → wiki "$200 million[2]" → 2e8
+    assert(field("tt1000002", "budget") == 2.0e8)
+    // i=3: revenue kaggle=0 → wiki "$123,456,789"
+    assert(field("tt1000003", "revenue") == 1.23456789e8)
+    // i=4: kaggle zeros, wiki unparseable → null (box office N/A)
+    assert(field("tt1000004", "revenue") == null)
+    assert(field("tt1000004", "runtime") == 90.0) // wiki "90 m"
+  }
+
+  test("synonym precedence: last change_column_name call wins") {
+    assert(field("tt1000011", "writers") == "W1")  // Written by > Screenplay by
+    assert(field("tt1000012", "writers") == "W4")  // Story by > Adaptation by
+    assert(field("tt1000014", "composers") == "Comp B") // Theme music composer
+    assert(field("tt1000015", "producers") == "P3")     // Producer > Produced by
+    assert(field("tt1000016", "production_companies") != null) // kaggle col kept
+  }
+
+  test("reference date quirks: day<10 forms fall through to bare year") {
+    val wiki = WikiClean.clean(wikiRaw)
+    def rd(imdb: String): String = {
+      val r = wiki.filter(col("imdb_id") === imdb)
+        .select(date_format(col("release_date"), "yyyy-MM-dd")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    assert(rd("tt1000001") == "1990-07-11")  // "July 11, 1990" (form one)
+    assert(rd("tt1000003") == "1993-11-24")  // "1993.11.24" (form two)
+    assert(rd("tt1000004") == "1987-03-01")  // "March 1987" (form three)
+    assert(rd("tt1000005") == "1991-01-01")  // "1991" (form four)
+    assert(rd("tt1000006") == "2000-01-01")  // "January 1, 2000" → year quirk
+    assert(rd("tt1000007") == "2001-01-01")  // "2001-02-03" day<10 → year only
+  }
+
+  test("wiki release date synonym chain: Released beats Original release") {
+    val wiki = WikiClean.clean(wikiRaw)
+    val r = wiki.filter(col("imdb_id") === "tt1000017")
+      .select(date_format(col("release_date"), "yyyy-MM-dd")).collect().head
+    assert(r.getString(0) == "1986-04-21")   // April 21, 1986 ('Released')
+  }
+
+  test("alt_titles map built from the 20 keys incl en-dash McCune–Reischauer") {
+    val wiki = WikiClean.clean(wikiRaw)
+    val m = wiki.filter(col("imdb_id") === "tt1000024")
+      .select(col("alt_titles")).collect().head
+      .getMap[String, String](0)
+    assert(m == Map("McCune–Reischauer" -> "Cheje"))
+    // records without any alt key → null, not empty map
+    val none = wiki.filter(col("imdb_id") === "tt1000001")
+      .select(col("alt_titles")).collect().head
+    assert(none.isNullAt(0))
+  }
+
+  test("movies_ratings: 10 pivot columns appended, unmatched filled 0") {
+    val mr = result.moviesWithRatings
+    assert(mr.columns.length == 41)
+    assert(Ratings.ratingColumns.forall(mr.columns.contains))
+    // backticks: the names contain dots ("rating_0.5")
+    val ratingCols = Ratings.ratingColumns.map(n => col(s"`$n`"))
+    // kaggle_id 9001 (imdb tt1000001) has 24 ratings spread over values
+    val hit = mr.filter(col("imdb_id") === "tt1000001")
+      .select(ratingCols: _*).collect().head
+    assert((0 until 10).map(hit.getLong).sum == 24)
+    // kaggle_id 9011 (imdb tt1000011) has no ratings → all zeros
+    val miss = mr.filter(col("imdb_id") === "tt1000011")
+      .select(ratingCols: _*).collect().head
+    assert((0 until 10).map(miss.getLong).sum == 0)
+  }
+
+  test("ratings passthrough keeps raw epoch ints (Q4)") {
+    val sch = result.ratings.schema
+    assert(sch("timestamp").dataType.typeName == "integer"
+      || sch("timestamp").dataType.typeName == "long")
+    assert(result.ratings.count() == 288)
+  }
+
+  test("kaggle corrupt/adult rows filtered (F2/F6)") {
+    val k = Merge.cleanKaggle(Extract.readCsv(spark,
+      fixture("movies_metadata.csv")))
+    assert(k.count() == 50)
+    assert(!k.columns.contains("adult"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two near-duplicates (one word changed), one exact dup pair, one distinct
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "completely different content about spark query engines at scale"),
+    (4L, "completely different content about spark query engines at scale"),
+    (5L, "unrelated text regarding benchmark suites and parquet readers here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under min-id representative") {
+    val got = Dedup.exact(docs, "text", "doc_id")
+      .select("rep_id", "n_dupes").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(3L) == 2)          // 3 and 4 collapse
+    assert(got(1L) == 1 && got(2L) == 1 && got(5L) == 1)
+  }
+
+  test("minhash+LSH surfaces the near-duplicate pair, not unrelated docs") {
+    val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(sh, "doc_id", 64)
+    val bands = Dedup.lshBands(sig, "doc_id", 16, 4)
+    val pairs = Dedup.lshCandidatePairs(bands, "doc_id")
+    val est = Dedup.estimateJaccard(pairs, sig, "doc_id", 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(est.contains((1L, 2L)), "near-dup pair must be a candidate")
+    assert(est((1L, 2L)) > 0.4, "estimated jaccard should be substantial")
+    assert(est.contains((3L, 4L)) && est((3L, 4L)) == 1.0)
+    assert(!est.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val fp = Dedup.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(3L) == fp(4L))                        // identical text
+    assert(hamming(fp(1L), fp(2L)) <= 16)           // near-dup
+    assert(hamming(fp(1L), fp(5L)) > 16)            // unrelated
+  }
+
+  test("ngram jaccard: exact pair at 1.0, near pair high, others filtered") {
+    val blocked = docs.withColumn("grp", lit("all"))
+    val got = Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
+        Seq("grp"), 3, 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(got((3L, 4L)) == 1.0)
+    assert(got((1L, 2L)) > 0.4 && got((1L, 2L)) < 1.0)
+    assert(!got.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
+  }
+}

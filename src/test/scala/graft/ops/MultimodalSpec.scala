@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    Seq((1L, "hello world payload"), (2L, "tiny")).toDF("doc_id", "text")
+
+  test("binary payload + typed metadata struct") {
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
+    val r = media.filter(col("doc_id") === 1)
+      .select(col("media_meta.byte_len"), col("media_meta.mime"))
+      .collect().head
+    assert(r.getInt(0) == 19)
+    assert(r.getString(1) == "text/plain")
+  }
+
+  test("decode stub: per-partition iterator yields deterministic features") {
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
+    val feats = Multimodal.decodeFeaturesStub(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).byte_len == 19)
+    assert(feats(1L).header_hex == "68656c6c6f20776f")  // "hello wo"
+    assert(feats(1L).feature.length == 8)
+    // determinism: re-run produces identical features
+    val again = Multimodal.decodeFeaturesStub(spark, media).collect()
+      .map(f => f.doc_id -> f.feature.toSeq).toMap
+    assert(again(1L) == feats(1L).feature.toSeq)
+  }
+
+  test("frame sampling: stride offsets bounded by maxFrames") {
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, "doc_id", 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: 19 bytes, stride 8 → frames 0,1,2 (capped by bytes: (19-1)/8=2)
+    assert(frames.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(frames.filter(_._1 == 2L).map(_._2).toSeq == Seq(0L))
+    assert(frames.forall { case (_, no, off) => off == no * 8 })
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.9f, 0.1f), 1),   // close to 2
+    (4L, Array(0.0f, 0.0f, 1.0f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine column math matches hand-computed values") {
+    val got = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") === 0 && col("b.vec_id") === 1)
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .collect().head.getDouble(0)
+    val exp = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(got - exp) < 1e-6)
+  }
+
+  test("brute-force top-k ranks the geometric neighbor first") {
+    val got = Similarity.bruteForceTopK(
+        vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(got(1) == 1L)  // rank 1 = vector 1
+  }
+
+  test("IVF centroids: per-cluster elementwise mean, ordered positions") {
+    val cents = Similarity.centroids(vecs, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cents(0).zip(Seq(0.95, 0.05, 0.0))
+      .forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(cents(2) == Seq(0.0, 0.0, 1.0))
+  }
+
+  test("IVF top-k with nprobe=1 searches only the query's cluster") {
+    val got = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "label", 3, 1)
+      .collect()
+    // only cluster 0 members (vec 1; vec 0 excluded as self)
+    assert(got.map(_.getLong(2)).toSet == Set(1L))
+  }
+}
