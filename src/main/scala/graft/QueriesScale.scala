@@ -28,18 +28,15 @@ object QueriesScale {
         .orderBy(col("rep_id"))),
 
     // minhash signatures (first 4 of 64 slots shown; hash-seeded → no oracle)
-    "dd2_minhash_sig" -> ((s, d) => {
-      val sh = Dedup.docShingles(documents(s, d), "doc_id", "text", 3)
-      Dedup.minhashSignatures(sh, "doc_id", 64)
+    "dd2_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(fanOut(documents(s, d)), "doc_id", "text", 3, 64)
         .select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // full MinHash→LSH→candidate→estimate pipeline, reported as stats
     "dd3_lsh_stats" -> ((s, d) => {
-      val docs = documents(s, d)
-      val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
-      val sig = Dedup.minhashSignatures(sh, "doc_id", 64)
+      val docs = fanOut(documents(s, d))
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64)
       val bands = Dedup.lshBands(sig, "doc_id", 16, 4)
       val pairs = Dedup.lshCandidatePairs(bands, "doc_id")
       val est = Dedup.estimateJaccard(pairs, sig, "doc_id", 64)
@@ -51,18 +48,18 @@ object QueriesScale {
 
     // simhash fingerprints (hash-seeded → no oracle)
     "dd4_simhash" -> ((s, d) =>
-      Dedup.simhash64(documents(s, d), "doc_id", "text")
+      Dedup.simhash64(fanOut(documents(s, d)), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
     // exact n-gram Jaccard pairs via inverted index, blocked by (lang,source)
     "dd5_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+      Dedup.ngramJaccardPairs(fanOut(documents(s, d)), "doc_id", "text",
           Seq("lang", "source"), 3, 0.05)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // ---- text analysis -----------------------------------------------------
     "ts1_lang_id" -> ((s, d) =>
-      documents(s, d)
+      fanOut(documents(s, d))
         .withColumn("predicted_lang", TextOps.languageId(col("text")))
         .select(col("doc_id"), col("lang"), col("predicted_lang"))
         .orderBy(col("doc_id"))),
@@ -70,14 +67,14 @@ object QueriesScale {
     "ts2_quality" -> ((s, d) => {
       val feats = TextOps.qualityFeatures(col("text"))
         .map { case (n, c) => c.as(n) }
-      documents(s, d)
+      fanOut(documents(s, d))
         .select((col("doc_id") +: feats :+
           TextOps.qualityScore(col("text")).as("quality")): _*)
         .orderBy(col("doc_id"))
     }),
 
     "ts3_token_count" -> ((s, d) =>
-      documents(s, d)
+      fanOut(documents(s, d))
         .select(col("doc_id"),
           TextOps.wordCount(col("text")).cast("long").as("ws_tokens"),
           TextOps.regexTokenCount(col("text")).cast("long").as("re_tokens"))
@@ -91,7 +88,7 @@ object QueriesScale {
 
     // winnowing-style rolling-hash fingerprint (xxhash64-seeded → no oracle)
     "ts5_rolling_fp" -> ((s, d) =>
-      documents(s, d)
+      fanOut(documents(s, d))
         .select(col("doc_id"),
           TextOps.rollingMinHash(col("text")).as("fp_roll"))
         .orderBy(col("doc_id"))),
@@ -126,7 +123,7 @@ object QueriesScale {
     // ---- multimodal plumbing ----------------------------------------------
     "mm1_binary_meta" -> ((s, d) => {
       val media = Multimodal.withBinaryPayload(
-        documents(s, d), "doc_id", "text")
+        fanOut(documents(s, d)), "doc_id", "text")
       Multimodal.decodeFeaturesStub(s, media).toDF()
         .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
           col("header_hex"))

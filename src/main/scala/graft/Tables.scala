@@ -13,6 +13,17 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Decouple downstream parallelism from input split count for
+    * compute-bound stages: the harness tables are single-row-group parquet
+    * (one scan task), so hash/regex/vector-heavy work after a skinny scan
+    * would otherwise run on one core. No-op when the scan already yields
+    * enough partitions (the real many-file case at cluster scale).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")

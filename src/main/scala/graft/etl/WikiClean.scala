@@ -140,13 +140,22 @@ object WikiClean {
       s"($refDateFormOne|$refDateFormTwo|$refDateFormThree|$refDateFormFour)",
       1)
 
-  private def refParseDate(x: Column): Column = coalesce(
-    try_to_timestamp(x, lit("MMMM d, yyyy")),
-    try_to_timestamp(x, lit("yyyy-MM-dd")),
-    try_to_timestamp(x, lit("yyyy.MM.dd")),
-    try_to_timestamp(x, lit("yyyy/MM/dd")),
-    try_to_timestamp(x, lit("MMMM yyyy")),
-    try_to_timestamp(x, lit("yyyy")))
+  /** Shape-guarded format dispatch (failed try_to_timestamp attempts are
+    * exception-driven — guards keep the cascade one-parse-per-row).
+    */
+  private def refParseDate(x: Column): Column =
+    when(x.rlike("""^[A-Za-z]+ \d{1,2}, \d{4}$"""),
+      try_to_timestamp(x, lit("MMMM d, yyyy")))
+      .when(x.rlike("""^\d{4}-\d{2}-\d{2}$"""),
+        try_to_timestamp(x, lit("yyyy-MM-dd")))
+      .when(x.rlike("""^\d{4}\.\d{2}\.\d{2}$"""),
+        try_to_timestamp(x, lit("yyyy.MM.dd")))
+      .when(x.rlike("""^\d{4}/\d{2}/\d{2}$"""),
+        try_to_timestamp(x, lit("yyyy/MM/dd")))
+      .when(x.rlike("""^[A-Za-z]+ \d{4}$"""),
+        try_to_timestamp(x, lit("MMMM yyyy")))
+      .when(x.rlike("""^\d{4}$"""), try_to_timestamp(x, lit("yyyy")))
+      .otherwise(lit(null).cast("timestamp"))
 
   /** X1-X7 — box_office (challenge.py:113-159): flatten → collapse ranges →
     * money extract (case-insensitive) → parse_dollars; drop the raw column.

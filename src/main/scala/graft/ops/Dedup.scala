@@ -24,25 +24,46 @@ object Dedup {
   /** Whitespace tokens, lowercased. */
   def tokens(c: Column): Column = split(lower(c), "\\s+")
 
-  /** (doc_id, shingle) pairs, distinct — the inverted-index base relation. */
-  def docShingles(df: DataFrame, idCol: String, textCol: String, k: Int)
+  /** Distinct word k-shingles per doc as an ARRAY column — stays row-local
+    * (no explode), so everything built on it is shuffle-free.
+    */
+  def shingleArray(df: DataFrame, idCol: String, textCol: String, k: Int)
   : DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol),
-        explode(expr(
+        array_distinct(expr(
           s"transform(sequence(0, greatest(size(toks) - $k, 0)), " +
-            s"i -> concat_ws(' ', slice(toks, i + 1, $k)))")).as("shingle"))
+            s"i -> concat_ws(' ', slice(toks, i + 1, $k)))")).as("shingles"))
+
+  /** (doc_id, shingle) pairs, distinct — the inverted-index base relation
+    * (for exact intersection counting; signature building uses the
+    * shuffle-free [[shingleArray]] instead).
+    */
+  def docShingles(df: DataFrame, idCol: String, textCol: String, k: Int)
+  : DataFrame =
+    shingleArray(df, idCol, textCol, k)
+      .select(col(idCol), explode(col("shingles")).as("shingle"))
       .distinct()
 
   /** MinHash signatures: one row per doc, columns h0..h{n-1}, where
-    * h_i = min over shingles of xxhash64(shingle, i). Single aggregation —
-    * partial min per partition, then one shuffle by doc id.
+    * h_i = min over shingles of xxhash64(base_hash(shingle), i).
+    *
+    * Computed PER ROW over the shingle array (`transform` + `array_min`,
+    * codegen'd higher-order functions) — zero shuffles, embarrassingly
+    * parallel, unlike the classic explode+groupBy formulation whose
+    * doc-keyed shuffle dominates at corpus scale. Each shingle is
+    * string-hashed ONCE; the n permutation hashes re-hash only the fixed
+    * 8-byte base value (affine a*h+b would be cheaper still, but ANSI mode
+    * rejects wraparound multiplication).
     */
-  def minhashSignatures(ds: DataFrame, idCol: String, numHashes: Int)
-  : DataFrame = {
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    ds.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame = {
+    val sh = shingleArray(df, idCol, textCol, k)
+      .withColumn("bh", transform(col("shingles"), s => xxhash64(s)))
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(col("bh"), h => xxhash64(h, lit(i)))).as(s"h$i")
+    }
+    sh.select(col(idCol) +: sigCols: _*)
   }
 
   /** LSH band hashes: numHashes = bands × rowsPerBand; band j hashes
@@ -100,20 +121,22 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted by
-    * token-hash bit, sign → fingerprint bit. One explode + one groupBy(doc).
+    * token-hash bit, sign → fingerprint bit.
+    *
+    * Computed PER ROW: token hashes are materialized once per doc
+    * (`transform` + xxhash64), then each bit folds over the hash array —
+    * zero shuffles vs the classic explode + 64-agg groupBy.
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(tokens(col(textCol))).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$i"))
-    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col(idCol), fp.as("simhash"))
+    val withHashes = df.select(col(idCol),
+      transform(tokens(col(textCol)), t => xxhash64(t)).as("thashes"))
+    val fp = (0 until 64).map { i =>
+      val bitSum = aggregate(col("thashes"), lit(0),
+        (acc, h) => acc +
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    withHashes.select(col(idCol), fp.as("simhash"))
   }
 
   /** Exact n-gram Jaccard similarity for doc pairs within the same blocking
@@ -123,25 +146,39 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, minJaccard: Double): DataFrame = {
-    val grams = df.select(
+    // per-row distinct gram-hash arrays: per-doc set sizes come for free
+    // (size(array), no shuffle) and no global DISTINCT is needed — grams
+    // are already unique within a doc. Hashing grams to 64-bit keeps the
+    // bucket shuffle narrow; collisions are ~0 at any realistic corpus size.
+    val base = df.select(
         (col(idCol) +: blockCols.map(col) :+
           tokens(col(textCol)).as("toks")): _*)
+      .withColumn("grams", array_distinct(expr(
+        s"transform(sequence(0, greatest(size(toks) - $n, 0)), " +
+          s"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $n))))")))
+      .drop("toks")
+    val sizes = base.select(col(idCol), size(col("grams")).as("sz"))
+    // exchange boundary before the explode: without it Catalyst collapses
+    // the gram-array transform INTO the generator and re-evaluates it per
+    // OUTPUT row — O(grams²) per doc. The shuffle materializes each array
+    // exactly once (and spreads the explode across the cluster).
+    val grams = base.repartition(col(idCol))
       .select((col(idCol) +: blockCols.map(col) :+
-        explode(expr(
-          s"transform(sequence(0, greatest(size(toks) - $n, 0)), " +
-            s"i -> concat_ws(' ', slice(toks, i + 1, $n)))")).as("gram")): _*)
-      .distinct()
-    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = grams.toDF(grams.columns.map(c =>
-      if (c == idCol) "doc_a" else c): _*)
-    val b = grams.select((col(idCol).as("doc_b") +:
-      blockCols.map(c => col(c).as(s"b_$c")) :+
-      col("gram").as("b_gram")): _*)
-    val joinCond = (blockCols.map(c => col(c) === col(s"b_$c")) :+
-      (col("gram") === col("b_gram")) :+ (col("doc_a") < col("doc_b")))
-      .reduce(_ && _)
-    val inter = a.join(b, joinCond)
-      .groupBy(col("doc_a"), col("doc_b"))
+        explode(col("grams")).as("gram")): _*)
+    // intersection counts via gram buckets: group docs per (block, gram),
+    // emit upper-triangle pairs in-task, partial-aggregate before the
+    // (doc_a, doc_b) shuffle — one shuffle of the gram relation instead of
+    // a two-sided hash join, same exact counts
+    val buckets = grams
+      .groupBy((blockCols.map(col) :+ col("gram")): _*)
+      .agg(collect_list(col(idCol)).as("docs"))
+      .filter(size(col("docs")) > 1)
+    val inter = buckets
+      .select(explode(expr(
+        "filter(flatten(transform(docs, a -> transform(docs, " +
+          "b -> struct(a AS doc_a, b AS doc_b)))), " +
+          "p -> p.doc_a < p.doc_b)")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")),

@@ -28,17 +28,21 @@ object Similarity {
 
   /** Exact brute-force top-k neighbors for each query vector.
     * Queries (small) are broadcast against the corpus; rank is deterministic:
-    * rounded similarity desc, then neighbor id.
+    * rounded similarity desc, then neighbor id. Norms are precomputed once
+    * per side (not per pair), so the per-pair work is a single dot product;
+    * Spark's WindowGroupLimit pushes the top-k below the shuffle.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("q_vec"))
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("c_vec"))
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
+      .withColumn("sim", round(
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")),
+        4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -47,15 +51,18 @@ object Similarity {
   }
 
   /** All pairs above a cosine threshold within a bounded id range —
-    * blocked self-join (upper-triangle), exact.
+    * blocked self-join (upper-triangle), exact, norms precomputed per side.
     */
   def thresholdPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      norm(col(vecCol)).as("norm_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      norm(col(vecCol)).as("norm_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("sim",
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }

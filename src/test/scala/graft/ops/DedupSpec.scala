@@ -24,8 +24,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash+LSH surfaces the near-duplicate pair, not unrelated docs") {
-    val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
-    val sig = Dedup.minhashSignatures(sh, "doc_id", 64)
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64)
     val bands = Dedup.lshBands(sig, "doc_id", 16, 4)
     val pairs = Dedup.lshCandidatePairs(bands, "doc_id")
     val est = Dedup.estimateJaccard(pairs, sig, "doc_id", 64)
