@@ -24,7 +24,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = Seq(
-      "q1_pricing_summary", "j1_inner_join", "j2_left_join_fill",
+      "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
+      "j1_inner_join", "j2_left_join_fill",
       "a2_pivot", "w1_row_number", "x7_parse_dollars", "x13_date_cascade",
       "dd2_minhash_sig", "dd5_ngram_jaccard", "ts2_quality",
       "sim1_cosine_topk", "st1_hourly_window", "st2_sessionize",

@@ -49,8 +49,63 @@ object QueriesCore {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** TPC-H-Q3-style shipping priority: 3-way join (customer⋈orders⋈
+    * lineitem), filtered both sides, grouped revenue, top 10. customer is
+    * broadcast; orders⋈lineitem shuffles on the join key only after both
+    * filters prune (pushed to the scans).
+    */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cut = "1995-03-15"
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = orders(s, d).filter(col("o_orderdate") < lit(cut))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = lineitem(s, d).filter(col("l_shipdate") > lit(cut))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+    broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H-Q5-style regional volume: 5-way join down the dimension chain,
+    * all dims broadcast, one fact-side aggregation.
+    */
+  def regionVolume(s: SparkSession, d: String): DataFrame = {
+    val r = region(s, d).filter(col("r_name") === "ASIA")
+    val dims = broadcast(r)
+      .join(broadcast(nation(s, d)),
+        col("r_regionkey") === col("n_regionkey"))
+      .join(broadcast(supplier(s, d)),
+        col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    lineitem(s, d)
+      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
+    "q3_shipping_priority" -> (shippingPriority _),
+    "q5_region_volume" -> (regionVolume _),
+
+    // heavy-hitters sketch over an unbounded-domain column (approximate
+    // lower-bound counts by construction → rows-only check)
+    "a4b_heavy_hitters" -> ((s, d) =>
+      events(s, d)
+        .select(org.apache.spark.sql.functions.map_entries(
+          graft.functions.HeavyHitters(col("event_type"), 3)).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.key").as("value"), col("e.value").as("min_count"))
+        .orderBy(col("value"))),
 
     // ---- S: scans ---------------------------------------------------------
     // S2/S3 — projected scan: column pruning + predicate pushed to parquet.
@@ -450,6 +505,27 @@ object QueriesCore {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY o_orderkey, orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM region, nation, supplier, lineitem
+        |WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey
+        |  AND n_nationkey = s_nationkey AND l_suppkey = s_suppkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "s2_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Registration of the native functions, two ways:
+  *
+  *   - [[register]] — runtime, on an existing session (what the harness
+  *     entry points use);
+  *   - [[GraftExtensions]] — builder-time `SparkSessionExtensions`
+  *     injection (`.withExtensions(new GraftExtensions)` or
+  *     `spark.sql.extensions=graft.functions.GraftExtensions`), the
+  *     mechanism a deployment would configure cluster-wide.
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "heavy_hitters",
+      exprs => HeavyHitters(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())
+        .toAggregateExpression(),
+      "built-in")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HeavyHitters(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())
+          .toAggregateExpression()))
+  }
+}

@@ -16,7 +16,9 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Elementwise-double dot product, sequential accumulation. */
+  /** Elementwise-double dot product, sequential accumulation (portable
+    * builtin form; the hot paths below use the fused native expression).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -24,7 +26,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — fused single-loop native Catalyst expression
+    * ([[graft.functions.CosineSimilarity]], whole-stage codegen), bit-equal
+    * to the builtin dot/norm chain (same double accumulation order).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Exact brute-force top-k neighbors for each query vector.
     * Queries (small) are broadcast against the corpus; rank is deterministic:
@@ -35,14 +42,12 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+      col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
+      col(vecCol).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")),
-        4))
+      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -51,18 +56,15 @@ object Similarity {
   }
 
   /** All pairs above a cosine threshold within a bounded id range —
-    * blocked self-join (upper-triangle), exact, norms precomputed per side.
+    * blocked self-join (upper-triangle), exact, fused native cosine.
     */
   def thresholdPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-      norm(col(vecCol)).as("norm_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-      norm(col(vecCol)).as("norm_b"))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim",
-        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }

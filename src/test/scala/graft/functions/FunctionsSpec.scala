@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine_sim is bit-equal to the builtin dot/norm chain") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -0.25f, 0.0f), Array(-1.0f, 2.0f, 0.125f)))
+      .toDF("a", "b")
+    val builtin = Similarity.dot(col("a"), col("b")) /
+      (Similarity.norm(col("a")) * Similarity.norm(col("b")))
+    val rows = df.select(
+      CosineSimilarity(col("a"), col("b")).as("native"),
+      builtin.as("ref")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("cosine_sim accepts mixed float/double arrays") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0, 0.0))).toDF("f", "d")
+    val got = df.select(CosineSimilarity(col("f"), col("d")))
+      .collect().head.getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("cosine_sim registered for SQL via function registry") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c")
+      .collect().head.getDouble(0)
+    assert(got == 0.0)
+  }
+
+  test("heavy_hitters finds the frequent values with bounded counters") {
+    val values = Seq.fill(60)("alpha") ++ Seq.fill(25)("beta") ++
+      (1 to 15).map(i => s"rare$i")
+    val df = values.toDF("v")
+    val m = df.select(HeavyHitters(col("v"), 4).as("hh"))
+      .collect().head.getMap[String, Long](0)
+    assert(m.contains("alpha") && m.contains("beta"))
+    // Misra-Gries lower bound: count undercounts by at most N/k = 25
+    assert(m("alpha") >= 60 - 25 && m("alpha") <= 60)
+    assert(m.size <= 4)
+  }
+
+  test("heavy_hitters merges across partitions (grouped + SQL form)") {
+    GraftFunctions.register(spark)
+    val df = (Seq.fill(40)("x") ++ Seq.fill(10)("y")).toDF("v")
+      .repartition(8)
+    df.createOrReplaceTempView("hh_in")
+    val m = spark.sql("SELECT heavy_hitters(v, 2) AS hh FROM hh_in")
+      .collect().head.getMap[String, Long](0)
+    assert(m.contains("x"))
+    assert(m("x") >= 40 - 25)
+  }
+}
