@@ -57,6 +57,19 @@ object QueriesScale {
           Seq("lang", "source"), 3, 0.05)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // embedding-cosine near-dup: pairs ≥ threshold contracted to a
+    // doc_id → representative mapping (threshold matches this corpus's
+    // actual similarity tail; real near-dup corpora would sit at ~0.95)
+    "dd6_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDup(embeddings(s, d), "vec_id", "embedding", 0.35)
+        .orderBy(col("doc_id"))),
+
+    // simhash near-dup pairs: 4×16-bit band candidates + exact Hamming ≤ 3
+    // (hash-seeded → no oracle)
+    "dd7_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(fanOut(documents(s, d)), "doc_id", "text", 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- text analysis -----------------------------------------------------
     "ts1_lang_id" -> ((s, d) =>
       fanOut(documents(s, d))
@@ -151,6 +164,14 @@ object QueriesScale {
     "dd1_exact_dedup" ->
       """SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_dupes
         |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin,
+
+    "dd6_embedding_neardup" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+        |      FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+        |SELECT ib AS doc_id, MIN(ia) AS rep_id, COUNT(*) AS n_near_dups
+        |FROM p GROUP BY ib ORDER BY doc_id""".stripMargin,
 
     "dd5_ngram_jaccard" ->
       """WITH toks AS (

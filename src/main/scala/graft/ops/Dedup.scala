@@ -192,4 +192,43 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Embedding-cosine near-dup: rows whose embedding cosine ≥ threshold are
+    * duplicates; each duplicate maps to its smallest near-duplicate id as
+    * representative (one-pass min-neighbor contraction — the id to keep is
+    * any id NOT appearing in doc_id). Exact pair generation delegates to
+    * [[Similarity.thresholdPairs]]; at corpus scale swap that stage for the
+    * IVF/LSH-bucketed candidate path ([[Similarity.ivfTopK]] clusters or
+    * [[lshCandidatePairs]]) — the contraction below is unchanged.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    Similarity.thresholdPairs(df, idCol, vecCol, threshold)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(min(col("id_a")).as("rep_id"), count(lit(1)).as("n_near_dups"))
+
+  /** SimHash near-dup pairs: 64-bit fingerprints banded into four 16-bit
+    * chunks; docs sharing any chunk are candidates (pigeonhole: complete for
+    * Hamming distance ≤ 3), verified with an exact popcount of the XOR.
+    * Join key is the 16-bit chunk value + chunk index — bucket-sized cost,
+    * never a cross join.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = simhash64(df, idCol, textCol)
+    val chunked = fp.select(col(idCol), col("simhash"),
+        posexplode(array((0 until 4).map(j =>
+          shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col(idCol).as("id_a"), col("simhash").as("fp_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"),
+      col(idCol).as("id_b"), col("simhash").as("fp_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

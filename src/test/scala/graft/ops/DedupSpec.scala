@@ -55,4 +55,26 @@ class DedupSpec extends SparkSpec {
     assert(got((1L, 2L)) > 0.4 && got((1L, 2L)) < 1.0)
     assert(!got.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
   }
+
+  test("embedding near-dup: cosine pairs contract to min-id representative") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f)),   // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),      // orthogonal
+      (4L, Array(1.0f, 0.01f, 0.0f))      // near-dup of 1 and 2
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(2L) == ((1L, 1L)))         // 2 dupes 1
+    assert(got(4L) == ((1L, 2L)))         // 4 dupes both 1 and 2
+    assert(!got.contains(1L) && !got.contains(3L))  // representatives survive
+  }
+
+  test("simhash near-dup pairs: exact dup at hamming 0, unrelated absent") {
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got((3L, 4L)) == 0)            // identical text
+    assert(!got.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
+  }
 }
