@@ -36,7 +36,10 @@ object QueriesScale {
     // full MinHash→LSH→candidate→estimate pipeline, reported as stats
     "dd3_lsh_stats" -> ((s, d) => {
       val docs = fanOut(documents(s, d))
-      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64)
+      // signatures feed the band build AND both estimate-join sides →
+      // barrier so the minhash pipeline is computed once (exchange-reused)
+      val sig = Dedup.barrier(
+        Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64), "doc_id")
       val bands = Dedup.lshBands(sig, "doc_id", 16, 4)
       val pairs = Dedup.lshCandidatePairs(bands, "doc_id")
       val est = Dedup.estimateJaccard(pairs, sig, "doc_id", 64)

@@ -21,8 +21,44 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dupes"))
 
+  /** Aggregation barrier: forces a per-key relation to be evaluated once
+    * and exchange-reused wherever referenced. Catalyst inlines projections
+    * into every consumer branch (both sides of a self-join, generators —
+    * where they re-evaluate per OUTPUT row), so an expensive derivation
+    * (minhash/simhash signatures, gram arrays) referenced N times runs
+    * N+ times. Aggregate outputs cannot be collapsed into, and identical
+    * exchange subtrees are deduplicated by ReuseExchange. A plain
+    * `repartition` is NOT a barrier — ColumnPruning moves the projection
+    * above the exchange to cut shuffle bytes, re-collapsing it downstream.
+    * Cost: one keyed shuffle; apply only where a relation is multi-referenced
+    * (single-use pipelines should stay barrier-free). `keyCol` must be
+    * unique per row (`first` picks the per-key survivor).
+    */
+  def barrier(df: DataFrame, keyCol: String): DataFrame = {
+    val others = df.columns.filter(_ != keyCol)
+    df.groupBy(col(keyCol))
+      .agg(first(col(others.head)).as(others.head),
+        others.tail.map(c => first(col(c)).as(c)): _*)
+  }
+
   /** Whitespace tokens, lowercased. */
   def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Word k-grams of a token array, built by zip_with-ing k shifted slices
+    * (one O(n) pass). The naive `transform(sequence(0, n-k), i ->
+    * concat_ws(' ', slice(toks, i+1, k)))` is O(n·k) per evaluation AND gets
+    * collapsed into downstream Generate nodes, where it is re-evaluated per
+    * OUTPUT row — O(n²k) per doc; the zip_with form is ~7× faster even
+    * there. Docs shorter than k yield their whole text as the single gram
+    * (matching the slice form's behavior).
+    */
+  def wordGrams(toks: Column, k: Int): Column = {
+    val len = greatest(size(toks) - (k - 1), lit(1))
+    val joined = (0 until k)
+      .map(i => slice(toks, lit(i + 1), len))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    when(size(toks) < k, array(concat_ws(" ", toks))).otherwise(joined)
+  }
 
   /** Distinct word k-shingles per doc as an ARRAY column — stays row-local
     * (no explode), so everything built on it is shuffle-free.
@@ -31,9 +67,7 @@ object Dedup {
   : DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol),
-        array_distinct(expr(
-          s"transform(sequence(0, greatest(size(toks) - $k, 0)), " +
-            s"i -> concat_ws(' ', slice(toks, i + 1, $k)))")).as("shingles"))
+        array_distinct(wordGrams(col("toks"), k)).as("shingles"))
 
   /** (doc_id, shingle) pairs, distinct — the inverted-index base relation
     * (for exact intersection counting; signature building uses the
@@ -63,6 +97,10 @@ object Dedup {
     val sigCols = (0 until numHashes).map { i =>
       array_min(transform(col("bh"), h => xxhash64(h, lit(i)))).as(s"h$i")
     }
+    // NOTE: intentionally barrier-free (zero shuffles, embarrassingly
+    // parallel). Compositions that reference the signatures more than once
+    // (LSH band self-joins + estimate joins) should wrap the result in
+    // [[barrier]] or the pipeline is re-evaluated per reference.
     sh.select(col(idCol) +: sigCols: _*)
   }
 
@@ -136,6 +174,8 @@ object Dedup {
           when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
       when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+    // Barrier-free like minhashSignatures; multi-reference consumers (e.g.
+    // [[simhashNearDupPairs]]) wrap the result in [[barrier]] themselves.
     withHashes.select(col(idCol), fp.as("simhash"))
   }
 
@@ -150,19 +190,18 @@ object Dedup {
     // (size(array), no shuffle) and no global DISTINCT is needed — grams
     // are already unique within a doc. Hashing grams to 64-bit keeps the
     // bucket shuffle narrow; collisions are ~0 at any realistic corpus size.
-    val base = df.select(
-        (col(idCol) +: blockCols.map(col) :+
-          tokens(col(textCol)).as("toks")): _*)
-      .withColumn("grams", array_distinct(expr(
-        s"transform(sequence(0, greatest(size(toks) - $n, 0)), " +
-          s"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $n))))")))
-      .drop("toks")
+    // the gram arrays are referenced by three branches below (the explode
+    // and both size joins) → [[barrier]] computes them once, exchange-reused
+    val base = barrier(
+      df.select(
+          (col(idCol) +: blockCols.map(col) :+
+            tokens(col(textCol)).as("toks")): _*)
+        .withColumn("grams", array_distinct(
+          transform(wordGrams(col("toks"), n), g => xxhash64(g))))
+        .drop("toks"),
+      idCol)
     val sizes = base.select(col(idCol), size(col("grams")).as("sz"))
-    // exchange boundary before the explode: without it Catalyst collapses
-    // the gram-array transform INTO the generator and re-evaluates it per
-    // OUTPUT row — O(grams²) per doc. The shuffle materializes each array
-    // exactly once (and spreads the explode across the cluster).
-    val grams = base.repartition(col(idCol))
+    val grams = base
       .select((col(idCol) +: blockCols.map(col) :+
         explode(col("grams")).as("gram")): _*)
     // intersection counts via gram buckets: group docs per (block, gram),
@@ -215,7 +254,8 @@ object Dedup {
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = simhash64(df, idCol, textCol)
+    // the fingerprint feeds a generator and both self-join sides → barrier
+    val fp = barrier(simhash64(df, idCol, textCol), idCol)
     val chunked = fp.select(col(idCol), col("simhash"),
         posexplode(array((0 until 4).map(j =>
           shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
