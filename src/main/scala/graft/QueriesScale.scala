@@ -127,7 +127,8 @@ object QueriesScale {
           "vec_id", "embedding", 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // IVF-style ANN probe (approximate by construction → no oracle)
+    // IVF-style ANN probe — approximate vs brute force, but deterministic
+    // (clusters = label column, no RNG) → fully oracle-checked
     "sim3_ivf_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
@@ -167,6 +168,38 @@ object QueriesScale {
     "dd1_exact_dedup" ->
       """SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_dupes
         |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin,
+
+    "sim3_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |pos AS (SELECT label, unnest(generate_series(1, len(v))) AS i, v
+        |        FROM e),
+        |cent AS (
+        |  SELECT label AS cluster, list(cavg ORDER BY i) AS centroid
+        |  FROM (SELECT label, i, avg(v[i]) AS cavg FROM pos GROUP BY label, i)
+        |  GROUP BY label),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |assigned AS (
+        |  SELECT query_id, qv, cluster FROM (
+        |    SELECT q.query_id, q.qv, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |             ORDER BY ROUND(list_cosine_similarity(q.qv, c.centroid),
+        |                            6) DESC, c.cluster) AS crank
+        |    FROM q, cent c)
+        |  WHERE crank <= 2),
+        |probe AS (
+        |  SELECT a.query_id, e.vec_id AS neighbor_id,
+        |         ROUND(list_cosine_similarity(a.qv, e.v), 4) AS sim,
+        |         e.label AS cluster
+        |  FROM assigned a JOIN e ON e.label = a.cluster
+        |  WHERE e.vec_id <> a.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim, cluster,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM probe)
+        |SELECT query_id, neighbor_id, sim, cluster, rnk
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "dd6_embedding_neardup" ->
       """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
