@@ -373,6 +373,38 @@ object QueriesCore {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
+    // engine extra: backward as-of join — each click gets the user's most
+    // recent preceding view (funnel attribution shape)
+    "j5_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.ops.Joins.asOfJoin(clicks, views, "user_id", "ts",
+          Seq("view_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("value").as("click_value"),
+          date_format(col("matched_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("view_ts"),
+          col("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // engine extra: interval/range join — events bucketed into value bands
+    "j6_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 8.0), ("mid", 8.0, 16.0),
+        ("high", 16.0, 1e9)).toDF("band", "lo", "hi")
+      graft.ops.Joins.rangeJoin(events(s, d), bands, "value", "lo", "hi")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("band"))
+    }),
+
     // ---- A: aggregations / reshaping --------------------------------------
     // A1 — multi-key group-by count (challenge.py:293 groupby count).
     "a1_groupby_count" -> ((s, d) =>
@@ -684,6 +716,30 @@ object QueriesCore {
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey""".stripMargin,
+
+    "j5_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, MAX(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  c.value AS click_value,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "j6_range_join" ->
+      """WITH bands(band, lo, hi) AS (
+        |  VALUES ('low', 0.0, 8.0), ('mid', 8.0, 16.0),
+        |         ('high', 16.0, 1e9))
+        |SELECT band, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY band ORDER BY band""".stripMargin,
 
     "a1_groupby_count" ->
       """SELECT l_returnflag, l_linestatus, COUNT(l_orderkey) AS cnt

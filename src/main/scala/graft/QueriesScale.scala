@@ -161,13 +161,29 @@ object QueriesScale {
 
     "st2_sessionize" -> ((s, d) =>
       StreamingOps.sessionize(events(s, d), "10 minutes")
-        .orderBy(col("user_id"), col("session_start")))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // custom keyed state (mapGroupsWithState) — batch mode of the streaming
+    // running-totals accumulator; oracle = the equivalent group-by
+    "st3_user_totals" -> ((s, d) =>
+      StreamingOps.runningUserTotals(events(s, d))
+        .toDF()
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .orderBy(col("user_id")))
   )
 
   val oracles: Map[String, String] = Map(
     "dd1_exact_dedup" ->
       """SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_dupes
         |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin,
+
+    "st3_user_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 2) AS total_value,
+        |  strftime(MAX(ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "sim3_ivf_topk" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

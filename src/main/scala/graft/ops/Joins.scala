@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join flavors Spark lacks as built-ins, composed from built-in operators
+  * (preference (a) of the engine's custom-operator policy — no custom
+  * SparkStrategy is warranted because both reduce to shapes Catalyst
+  * already plans well).
+  *
+  * The reference itself needs only plain equi-joins (SURVEY §2.5 J1/J2);
+  * these are engine extras for the time-keyed `events` table.
+  */
+object Joins {
+
+  /** Backward as-of join: for every left row, the latest right row with
+    * `right.ts <= left.ts` for the same key (inclusive), optionally within
+    * a tolerance interval.
+    *
+    * Implemented as union + running `last(_, ignoreNulls)` window — ONE
+    * shuffle keyed by `keyCol` (both sides co-partitioned by the window),
+    * no point-interval explosion and no per-row probe join. This is the
+    * 100 TB shape: cost is a sort within key partitions, skew follows the
+    * key distribution exactly like any keyed window.
+    *
+    * Ties: right rows sharing (key, ts) are resolved to the greatest
+    * payload struct (deterministic); right rows at exactly left.ts match
+    * (backward-inclusive, like pandas merge_asof and DuckDB ASOF JOIN).
+    *
+    * @param valueCols right columns to attach (must not collide with left
+    *                  column names — rename on the right side first)
+    * @param tolerance e.g. `"30 minutes"`: matches older than
+    *                  `left.ts - tolerance` are nulled out
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCols: Seq[String],
+      tolerance: Option[String] = None): DataFrame = {
+    val leftRest = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    val lpay = struct(leftRest.map(col): _*)
+    val rpay = struct((col(tsCol).as("_rts") +: valueCols.map(col)): _*)
+    val lpayType = left.select(lpay).schema.head.dataType
+    val rpayType = right.select(rpay).schema.head.dataType
+
+    val l = left.select(col(keyCol), col(tsCol), lit(1).as("_side"),
+      lpay.as("_lpay"), lit(null).cast(rpayType).as("_rpay"))
+    val r = right.select(col(keyCol), col(tsCol), lit(0).as("_side"),
+      lit(null).cast(lpayType).as("_lpay"), rpay.as("_rpay"))
+
+    // right (_side 0) sorts before left at equal ts → inclusive match;
+    // _rpay in the ordering makes equal-ts right rows resolve greatest-last
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"), col("_rpay"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.union(r)
+      .withColumn("_m", last(col("_rpay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val bounded = tolerance match {
+      case Some(t) => matched.withColumn("_m",
+        when(col("_m._rts") >= col(tsCol) - expr(s"INTERVAL '$t'"),
+          col("_m")))
+      case None => matched
+    }
+    bounded.select(
+      (col(keyCol) +: col(tsCol) +: leftRest.map(c => col(s"_lpay.$c"))) ++
+        (col("_m._rts").as("matched_ts") +:
+          valueCols.map(c => col(s"_m.$c"))): _*)
+  }
+
+  /** Interval/range join: attach the dimension row whose
+    * `[loCol, hiCol)` interval contains `fact.valueCol`. The dimension side
+    * is explicitly broadcast — the physical plan is a
+    * BroadcastNestedLoopJoin whose inner loop is the (tiny) interval list,
+    * i.e. a map-side lookup at any fact scale. For large interval sets,
+    * bucket both sides by `floor(value / bucketWidth)` first and equi-join
+    * on the bucket to bound the nested-loop width.
+    */
+  def rangeJoin(fact: DataFrame, dims: DataFrame, valueCol: String,
+      loCol: String, hiCol: String): DataFrame =
+    fact.join(broadcast(dims),
+      fact(valueCol) >= dims(loCol) && fact(valueCol) < dims(hiCol))
+}

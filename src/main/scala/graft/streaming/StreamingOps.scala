@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery,
+  Trigger}
 
 /** Stream-shaped operators over the `events` table.
   *
@@ -62,6 +63,37 @@ object StreamingOps {
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double,
+      last_ts: java.sql.Timestamp)
+  case class RunState(n: Long, sum: Double, last: java.sql.Timestamp)
+
+  /** Custom keyed state via `mapGroupsWithState`: running per-user event
+    * totals. In streaming (Update mode) each micro-batch folds new events
+    * into the persisted per-key state and re-emits that user's totals; in
+    * batch mode the same code runs once per key (equivalent to a group-by,
+    * which the oracle checks). State is O(1) per key — the scalable shape
+    * for arbitrary custom accumulators that windowed aggs can't express.
+    */
+  def runningUserTotals(events: Dataset[_]): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .select(col("user_id"), col("ts"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[RunState, UserTotals](
+        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        var s = state.getOption.getOrElse(
+          RunState(0L, 0.0, new java.sql.Timestamp(Long.MinValue)))
+        it.foreach { e =>
+          s = RunState(s.n + 1, s.sum + e.value,
+            if (e.ts.after(s.last)) e.ts else s.last)
+        }
+        state.update(s)
+        UserTotals(uid, s.n, s.sum, s.last)
+      }
   }
 
   /** Chunked incremental load with progress accounting (S6): stream the

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin: latest right at-or-before left ts, per key") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:30"), "t2"),
+      (2L, ts("2024-01-01 10:00:10"), "t3")
+    ).toDF("acct", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:30"), 101.0),  // equal ts → inclusive
+      (1L, ts("2024-01-01 10:00:40"), 102.0),  // after t2 → never matched
+      (3L, ts("2024-01-01 09:00:00"), 999.0)   // other key
+    ).toDF("acct", "ts", "quote")
+
+    val got = Joins.asOfJoin(trades, quotes, "acct", "ts", Seq("quote"))
+      .collect().map(r => r.getString(2) -> Option(r.get(4))).toMap
+    assert(got("t1") == Some(100.0))
+    assert(got("t2") == Some(101.0))   // backward-inclusive at equal ts
+    assert(got("t3") == None)          // key 2 has no quotes
+  }
+
+  test("asOfJoin: tolerance nulls out stale matches") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "x"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 5.0))
+      .toDF("k", "ts", "v")
+    val wide = Joins.asOfJoin(left, right, "k", "ts", Seq("v"),
+      Some("3 hours")).collect()(0)
+    val tight = Joins.asOfJoin(left, right, "k", "ts", Seq("v"),
+      Some("30 minutes")).collect()(0)
+    assert(wide.getDouble(4) == 5.0)
+    assert(tight.isNullAt(4))
+  }
+
+  test("asOfJoin: equal-ts right duplicates resolve to greatest payload") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "x"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 9.0)
+    ).toDF("k", "ts", "v")
+    val r = Joins.asOfJoin(left, right, "k", "ts", Seq("v")).collect()(0)
+    assert(r.getDouble(4) == 9.0)
+  }
+
+  test("rangeJoin: value lands in its [lo, hi) band") {
+    val fact = Seq((1L, 3.0), (2L, 8.0), (3L, 15.9), (4L, 99.0))
+      .toDF("id", "value")
+    val bands = Seq(("low", 0.0, 8.0), ("mid", 8.0, 16.0),
+      ("high", 16.0, 1e9)).toDF("band", "lo", "hi")
+    val got = Joins.rangeJoin(fact, bands, "value", "lo", "hi")
+      .select("id", "band").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "low", 2L -> "mid", 3L -> "mid", 4L -> "high"))
+  }
+}

@@ -34,6 +34,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("mapGroupsWithState totals accumulate across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingOps.UserEvent
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = StreamingOps.runningUserTotals(in.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("totals_test").start()
+
+    in.addData(UserEvent(1L, t("2024-01-01 10:00:00"), 2.0),
+      UserEvent(1L, t("2024-01-01 10:05:00"), 3.0))
+    q.processAllAvailable()
+    val afterB1 = spark.sql(
+      "SELECT n_events, total_value FROM totals_test WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(afterB1 == Set((2L, 5.0)))
+
+    in.addData(UserEvent(1L, t("2024-01-01 10:10:00"), 10.0),
+      UserEvent(2L, t("2024-01-01 11:00:00"), 7.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user_id, n_events, total_value FROM totals_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    q.stop()
+    // update mode re-emits user 1 with state folded across both batches
+    assert(rows.contains((1L, 3L, 15.0)))
+    assert(rows.contains((2L, 1L, 7.0)))
+  }
+
   test("chunked incremental load lands all rows in the sink") {
     val out = java.nio.file.Files
       .createTempDirectory("chunked").toString + "/events_out"
