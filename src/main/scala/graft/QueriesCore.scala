@@ -405,6 +405,19 @@ object QueriesCore {
         .orderBy(col("band"))
     }),
 
+    // engine extra: salted join — salt spreads hot keys across reducers;
+    // output is salt-invariant, so the oracle is the PLAIN join aggregate
+    "j7_salted_join" -> ((s, d) =>
+      graft.ops.Joins.saltedJoin(
+          lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+          orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+          "l_orderkey", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority"))),
+
     // ---- A: aggregations / reshaping --------------------------------------
     // A1 — multi-key group-by count (challenge.py:293 groupby count).
     "a1_groupby_count" -> ((s, d) =>
@@ -732,6 +745,12 @@ object QueriesCore {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "j7_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "j6_range_join" ->
       """WITH bands(band, lo, hi) AS (

@@ -79,4 +79,26 @@ object Joins {
       loCol: String, hiCol: String): DataFrame =
     fact.join(broadcast(dims),
       fact(valueCol) >= dims(loCol) && fact(valueCol) < dims(hiCol))
+
+  /** Salted equi-join for skewed key distributions: the skewed side gets a
+    * uniform salt in `[0, salts)`, the other side is replicated once per
+    * salt value, and the shuffle key becomes (key, salt) — a hot key's rows
+    * spread over `salts` reducers instead of one straggler. The salt never
+    * appears in the output, so results are identical to a plain equi-join
+    * (the catalog query oracle-checks exactly that).
+    *
+    * AQE's skew-join handling covers sort-merge joins at runtime; explicit
+    * salting is for when the skew is known up front, the join isn't a
+    * sort-merge, or a downstream keyed op (window/groupBy) inherits the
+    * hot key. Cost: `other` is replicated ×salts — keep `salts` modest or
+    * salt only the hot keys (filter + union) at extreme skew.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keyCol: String,
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    val salted = skewed.withColumn("_salt",
+      (rand(42) * salts).cast("int"))
+    val replicated = other.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(keyCol, "_salt"), joinType).drop("_salt")
+  }
 }

@@ -52,6 +52,20 @@ class JoinsSpec extends SparkSpec {
     assert(r.getDouble(4) == 9.0)
   }
 
+  test("saltedJoin: identical rows to a plain join on a skewed key") {
+    // one hot key (90% of rows) + tail
+    val skewed = ((1 to 90).map(i => (7L, i.toDouble)) ++
+      (1 to 10).map(i => (i.toLong, 0.5))).toDF("k", "v")
+    val dim = Seq((7L, "hot"), (3L, "cold"), (99L, "absent"))
+      .toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted
+    val salted = Joins.saltedJoin(skewed, dim, "k", 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.length == 92)  // 90 hot + tail key 7 (v=0.5) + key 3
+  }
+
   test("rangeJoin: value lands in its [lo, hi) band") {
     val fact = Seq((1L, 3.0), (2L, 8.0), (3L, 15.9), (4L, 99.0))
       .toDF("id", "value")
