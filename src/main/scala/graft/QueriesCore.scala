@@ -529,7 +529,43 @@ object QueriesCore {
         .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
         .select(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
-    })
+    }),
+
+    // engine extra: lag/lead — previous/next order price per customer
+    "w3_lag_lead" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // engine extra: rollup — subtotals per (priority, status) hierarchy;
+    // grouping keys coalesced to '(all)' to avoid NULL-ordering divergence
+    "g1_rollup" -> ((s, d) =>
+      orders(s, d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .select(coalesce(col("o_orderpriority"), lit("(all)"))
+            .as("o_orderpriority"),
+          coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+          col("n"), col("sum_price"))
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))),
+
+    // engine extra: cube — all grouping combinations
+    "g2_cube" -> ((s, d) =>
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("(all)"))
+            .as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -841,6 +877,28 @@ object QueriesCore {
         |    ORDER BY l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
         |    AS running_qty
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber, running_qty""".stripMargin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, running_qty""".stripMargin,
+
+    "w3_lag_lead" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "g1_rollup" ->
+      """SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+        |  COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+        |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "g2_cube" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+        |  COALESCE(l_linestatus, '(all)') AS l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 }
