@@ -19,6 +19,9 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
     registry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
       "heavy_hitters",
       exprs => HeavyHitters(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue())
@@ -37,11 +40,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HeavyHitters(exprs.head,
           exprs(1).eval(null).asInstanceOf[Number].intValue())
           .toAggregateExpression()))
+    ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
   }
 }

@@ -1,7 +1,6 @@
 package graft.plans
 
 import graft.functions.DotProduct
-import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -20,8 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * lambda work, different zero, non-float/double arrays) leaves the plan
   * untouched.
   *
-  * Registered through [[GraftExtensions]]
-  * (`spark.sql.extensions=graft.plans.GraftExtensions`).
+  * Registered through [[graft.functions.GraftExtensions]]
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`).
   */
 object FuseDotProduct extends Rule[LogicalPlan] {
 
@@ -60,13 +59,4 @@ object FuseDotProduct extends Rule[LogicalPlan] {
             fin.exprId == facc.exprId =>
         DotProduct(a, b)
     }
-}
-
-/** SparkSessionExtensions entry point: optimizer rules + SQL function
-  * registration, usable via `spark.sql.extensions=graft.plans.GraftExtensions`
-  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
-  */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectOptimizerRule(_ => FuseDotProduct)
 }

@@ -60,7 +60,7 @@ class FuseDotProductSpec extends SparkSpec {
     SparkSession.clearDefaultSession()
     val s2 = SparkSession.builder()
       .master("local[4]")
-      .withExtensions(new GraftExtensions)
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     try {
       import s2.implicits._
