@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery,
-  Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode,
+  StreamingQuery, Trigger}
 
 /** Stream-shaped operators over the `events` table.
   *
@@ -93,6 +93,67 @@ object StreamingOps {
         }
         state.update(s)
         UserTotals(uid, s.n, s.sum, s.last)
+      }
+  }
+
+  case class UserTick(user_id: Long, ts: java.sql.Timestamp)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+  case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** Streaming gap-sessionizer via `flatMapGroupsWithState` + event-time
+    * timeout: per-user state holds the open session; an event within `gap`
+    * of the last extends it, a later event closes it (emitting the closed
+    * session) and opens a new one, and the watermark passing
+    * `last + gap` fires the timeout that closes an idle session. This is
+    * the Append-mode-correct form `session_window` can't express when the
+    * close action needs custom logic (e.g. emitting exactly-once session
+    * records to a downstream log). Streaming-only by design: in batch the
+    * timeout never fires, so open sessions would be silently dropped —
+    * batch sessionization is [[sessionize]] (oracle-checked).
+    *
+    * Caller must `withWatermark` the input; state is O(1) per active user.
+    */
+  def statefulSessionize(events: Dataset[UserTick], gap: String)
+  : Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(gap)) match {
+      case i => i.days * 86400000L + i.microseconds / 1000L
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n))
+          } else {
+            val ticks = it.map(_.ts.getTime).toArray.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            ticks.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  Some(OpenSession(s.start, t, s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(uid,
+                    new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n)
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverse.iterator
+          }
       }
   }
 

@@ -67,6 +67,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((2L, 1L, 7.0)))
   }
 
+  test("flatMapGroupsWithState sessions close on gap and on watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingOps.UserTick
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[UserTick]
+    val q = StreamingOps.statefulSessionize(
+        in.toDS().withWatermark("ts", "0 seconds").as[UserTick],
+        "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_test").start()
+    def sessions() = spark.sql(
+      "SELECT user_id, session_start, n_events FROM sessions_test")
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).toString.stripSuffix(".0"), r.getLong(2))).toSet
+
+    // batch 1: two events inside one session
+    in.addData(UserTick(1L, t("2024-01-01 10:00:00")),
+      UserTick(1L, t("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    assert(sessions().isEmpty)          // session still open
+
+    // batch 2: event past the gap closes the first session inline
+    in.addData(UserTick(1L, t("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    assert(sessions() == Set((1L, "2024-01-01 10:00:00", 2L)))
+
+    // batch 3+: watermark passes 11:00+gap → idle session times out
+    in.addData(UserTick(2L, t("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    in.addData(UserTick(2L, t("2024-01-01 12:01:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(sessions().contains((1L, "2024-01-01 11:00:00", 1L)),
+      s"watermark-driven timeout should close user 1: ${sessions()}")
+  }
+
   test("chunked incremental load lands all rows in the sink") {
     val out = java.nio.file.Files
       .createTempDirectory("chunked").toString + "/events_out"
