@@ -71,6 +71,33 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(1L) && !got.contains(3L))  // representatives survive
   }
 
+  test("wordGrams equals the naive slice formulation on random docs") {
+    // the zip_with rewrite must produce exactly the grams of the reference
+    // transform(sequence)+slice form it replaced, including docs shorter
+    // than k (whole text as the single gram) and empty text
+    val rnd = new scala.util.Random(20260812L)
+    val words = Vector("a", "bb", "ccc", "dog", "fox", "x1", "yz")
+    val texts = (0 until 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(8)).map(_ =>
+        words(rnd.nextInt(words.size))).mkString(" "))
+    } :+ (60L -> "")
+    val df = texts.toDF("id", "text")
+      .select(col("id"), Dedup.tokens(col("text")).as("toks"))
+    for (k <- Seq(2, 3, 5)) {
+      val naive = expr(
+        s"transform(sequence(0, greatest(size(toks) - $k, 0)), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $k)))")
+      val rows = df.select(col("id"),
+          Dedup.wordGrams(col("toks"), k).as("zip"), naive.as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"k=$k id=${r.getLong(0)}: ${r.getSeq[String](1)} vs " +
+            s"${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("simhash near-dup pairs: exact dup at hamming 0, unrelated absent") {
     val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
