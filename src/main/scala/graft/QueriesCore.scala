@@ -418,6 +418,23 @@ object QueriesCore {
           round(sum(col("l_extendedprice")), 2).as("sum_price"))
         .orderBy(col("o_orderpriority"))),
 
+    // engine extras: set operations over aligned projections
+    "set1_union" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey").as("key"))
+        .union(orders(s, d).select(col("o_custkey").as("key")))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+        .orderBy(col("key"))),
+
+    "set2_intersect" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey").as("key"))
+        .intersect(orders(s, d).select(col("o_custkey").as("key")))
+        .orderBy(col("key"))),
+
+    "set3_except" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey").as("key"))
+        .except(orders(s, d).select(col("o_custkey").as("key")))
+        .orderBy(col("key"))),
+
     // ---- A: aggregations / reshaping --------------------------------------
     // A1 — multi-key group-by count (challenge.py:293 groupby count).
     "a1_groupby_count" -> ((s, d) =>
@@ -781,6 +798,22 @@ object QueriesCore {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "set1_union" ->
+      """SELECT key, COUNT(*) AS n FROM (
+        |  SELECT c_custkey AS key FROM customer
+        |  UNION ALL SELECT o_custkey FROM orders)
+        |GROUP BY key ORDER BY key""".stripMargin,
+
+    "set2_intersect" ->
+      """SELECT c_custkey AS key FROM customer
+        |INTERSECT SELECT o_custkey FROM orders
+        |ORDER BY key""".stripMargin,
+
+    "set3_except" ->
+      """SELECT c_custkey AS key FROM customer
+        |EXCEPT SELECT o_custkey FROM orders
+        |ORDER BY key""".stripMargin,
 
     "j7_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
