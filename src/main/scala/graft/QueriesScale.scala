@@ -154,6 +154,16 @@ object QueriesScale {
         .orderBy(col("doc_id"), col("frame_no"))
     }),
 
+    // resize plumbing: byte-stride downsample; lengths are oracle-checked
+    "mm3_resize" -> ((s, d) => {
+      val media = Multimodal.withBinaryPayload(
+        fanOut(documents(s, d)), "doc_id", "text")
+      Multimodal.resizeStub(s, media, 4).toDF()
+        .select(col("doc_id"), col("orig_len").cast("long").as("orig_len"),
+          col("new_len").cast("long").as("new_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- stream-shaped aggregation ----------------------------------------
     "st1_hourly_window" -> ((s, d) =>
       StreamingOps.hourlyAgg(events(s, d))
@@ -324,6 +334,11 @@ object QueriesScale {
     "mm1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  lower(hex(encode(substring(text, 1, 8)))) AS header_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm3_resize" ->
+      """SELECT doc_id, octet_length(encode(text)) AS orig_len,
+        |  CAST(CEIL(octet_length(encode(text)) / 4.0) AS BIGINT) AS new_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm2_frame_sample" ->

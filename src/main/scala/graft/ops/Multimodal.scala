@@ -56,6 +56,31 @@ object Multimodal {
       }
   }
 
+  case class MediaResized(doc_id: Long, payload: Array[Byte],
+      orig_len: Int, new_len: Int)
+
+  /** Resize plumbing: downsample the payload by keeping every `factor`-th
+    * byte — the partition-local pass a real image resampler would be
+    * (decode → scale → re-encode), minus the codec. Output length is
+    * `ceil(len / factor)`, which the catalog query oracle-checks; the
+    * byte selection itself is deterministic (offsets 0, factor, 2·factor…).
+    */
+  def resizeStub(spark: SparkSession, media: DataFrame, factor: Int)
+  : Dataset[MediaResized] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), lit("raw").as("format"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // real impl: scaler initialized once per partition
+        it.map { r =>
+          val out = r.payload.indices.collect {
+            case i if i % factor == 0 => r.payload(i)
+          }.toArray
+          MediaResized(r.doc_id, out, r.payload.length, out.length)
+        }
+      }
+  }
+
   /** Frame sampling plumbing: every `stride` bytes is a "frame" offset —
     * the byte arithmetic a real video frame-sampler would do, minus the
     * codec. One row per sampled frame.

@@ -31,6 +31,15 @@ class MultimodalSpec extends SparkSpec {
     assert(again(1L) == feats(1L).feature.toSeq)
   }
 
+  test("resize stub: every k-th byte kept, ceil(len/k) length") {
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
+    val out = Multimodal.resizeStub(spark, media, 4).collect()
+      .map(r => r.doc_id -> r).toMap
+    // doc 1: "hello world payload" (19 bytes) → offsets 0,4,8,12,16
+    assert(out(1L).orig_len == 19 && out(1L).new_len == 5)
+    assert(new String(out(1L).payload, "UTF-8") == "horpo")
+  }
+
   test("frame sampling: stride offsets bounded by maxFrames") {
     val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(media, "doc_id", 8, 3)
