@@ -97,6 +97,18 @@ object QueriesCore {
     "q3_shipping_priority" -> (shippingPriority _),
     "q5_region_volume" -> (regionVolume _),
 
+    // TPC-H Q6 shape: pure scan-side predicate work — all three range
+    // filters reach the parquet scan (PushedFilters), one partial agg
+    "q6_revenue_delta" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1994-01-01") &&
+          col("l_shipdate") < lit("1995-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+            .cast("decimal(18,6)")).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n"))),
+
     // heavy-hitters sketch over an unbounded-domain column (approximate
     // lower-bound counts by construction → rows-only check)
     "a4b_heavy_hitters" -> ((s, d) =>
@@ -624,6 +636,14 @@ object QueriesCore {
         |WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey
         |  AND n_nationkey = s_nationkey AND l_suppkey = s_suppkey
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_revenue_delta" ->
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "s2_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
