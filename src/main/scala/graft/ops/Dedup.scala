@@ -36,7 +36,8 @@ object Dedup {
     */
   def barrier(df: DataFrame, keyCol: String): DataFrame = {
     val others = df.columns.filter(_ != keyCol)
-    df.groupBy(col(keyCol))
+    if (others.isEmpty) df.distinct()  // degenerate: key-only relation
+    else df.groupBy(col(keyCol))
       .agg(first(col(others.head)).as(others.head),
         others.tail.map(c => first(col(c)).as(c)): _*)
   }

@@ -71,6 +71,16 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(1L) && !got.contains(3L))  // representatives survive
   }
 
+  test("barrier is a semantic identity (incl. key-only relations)") {
+    val df = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "s", "v")
+    val b = Dedup.barrier(df, "id")
+    assert(b.columns.toSeq == Seq("id", "s", "v"))
+    assert(b.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2))).sorted.toSeq == Seq((1L, "a", 2.0), (2L, "b", 3.0)))
+    val keyOnly = Dedup.barrier(df.select("id"), "id")
+    assert(keyOnly.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("wordGrams equals the naive slice formulation on random docs") {
     // the zip_with rewrite must produce exactly the grams of the reference
     // transform(sequence)+slice form it replaced, including docs shorter
