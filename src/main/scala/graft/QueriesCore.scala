@@ -109,6 +109,20 @@ object QueriesCore {
             .cast("decimal(18,6)")).cast("double"), 2).as("revenue"),
           count(lit(1)).as("n"))),
 
+    // TPC-H Q14 shape: conditional aggregation — class share of revenue;
+    // the (small) part dimension is broadcast
+    "q14_class_share" -> ((s, d) => {
+      val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")
+      lineitem(s, d)
+        .join(broadcast(part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          (sum(when(col("p_type") === "ECONOMY", disc)
+            .otherwise(lit(0).cast("decimal(18,6)"))) * 100 / sum(disc))
+            .cast("double"), 4).as("economy_share_pct"))
+    }),
+
     // heavy-hitters sketch over an unbounded-domain column (approximate
     // lower-bound counts by construction → rows-only check)
     "a4b_heavy_hitters" -> ((s, d) =>
@@ -644,6 +658,16 @@ object QueriesCore {
         |FROM lineitem
         |WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q14_class_share" ->
+      """SELECT ROUND(CAST(
+        |    SUM(CASE WHEN p_type = 'ECONOMY'
+        |        THEN CAST(l_extendedprice * (1 - l_discount)
+        |             AS DECIMAL(18,6))
+        |        ELSE CAST(0 AS DECIMAL(18,6)) END) * 100
+        |    / SUM(CAST(l_extendedprice * (1 - l_discount)
+        |          AS DECIMAL(18,6))) AS DOUBLE), 4) AS economy_share_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
 
     "s2_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
