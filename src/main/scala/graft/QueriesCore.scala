@@ -278,6 +278,29 @@ object QueriesCore {
 
     // X3+X4+X7 — range collapse + citation strip + extract + parse
     // ("$10–15 million[3]" → 15e6; challenge.py:119,167,169).
+    // X1 — polymorphic list→string join (challenge.py:117): rejoin the
+    // token array form of each document (array_join over split)
+    "x1_flatten_join" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("joined", array_join(split(col("text"), " "), " "))
+        .select(col("doc_id"), (length(col("joined")) -
+          length(col("text"))).cast("long").as("len_delta"))
+        .orderBy(col("doc_id"))),
+
+    // X2 — regex capture extract (challenge.py:107): imdb-style id from a
+    // synthesized link column; no-match → null like pandas NaN
+    "x2_regex_capture" -> ((s, d) =>
+      orders(s, d)
+        .withColumn("link",
+          when(col("o_orderkey") % 3 =!= 0,
+            format_string("https://www.imdb.com/title/tt%07d/",
+              col("o_orderkey"))).otherwise(lit("no link here")))
+        .withColumn("imdb_id",
+          when(regexp_extract(col("link"), "(tt\\d{7})", 1) =!= "",
+            regexp_extract(col("link"), "(tt\\d{7})", 1)))
+        .select(col("o_orderkey"), col("imdb_id"))
+        .orderBy(col("o_orderkey"))),
+
     "x3_money_cleanup" -> ((s, d) => {
       val raw = part(s, d).withColumn("raw_money",
         format_string("$%d–%d million[%d]",
@@ -745,6 +768,20 @@ object QueriesCore {
         |       WHEN p_partkey % 3 = 1 THEN p_size * 1e9
         |       ELSE NULL END AS parsed
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "x1_flatten_join" ->
+      """SELECT doc_id,
+        |  CAST(length(array_to_string(string_split(text, ' '), ' '))
+        |    - length(text) AS BIGINT) AS len_delta
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x2_regex_capture" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 <> 0 THEN
+        |    regexp_extract(printf('https://www.imdb.com/title/tt%07d/',
+        |                          o_orderkey), '(tt\d{7})', 1)
+        |  END AS imdb_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "x3_money_cleanup" ->
       """SELECT p_partkey, (p_size + 5) * 1e6 AS parsed
