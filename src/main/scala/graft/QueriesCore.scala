@@ -454,6 +454,28 @@ object QueriesCore {
         .orderBy(col("band"))
     }),
 
+    // engine extra: full outer join — unmatched sides surface with nulls
+    "j8_full_outer" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey"), col("c_name"))
+      val topOrders = orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(topOrders, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("key"),
+          col("c_name"), col("n_orders"))
+        .orderBy(col("key"))
+    }),
+
+    // TPC-H Q12 shape: per-group conditional counts (priority classes)
+    "q12_priority_classes" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("low_line_count"))
+        .orderBy(col("o_orderstatus"))),
+
     // engine extra: salted join — salt spreads hot keys across reducers;
     // output is salt-invariant, so the oracle is the PLAIN join aggregate
     "j7_salted_join" -> ((s, d) =>
@@ -895,6 +917,22 @@ object QueriesCore {
       """SELECT c_custkey AS key FROM customer
         |EXCEPT SELECT o_custkey FROM orders
         |ORDER BY key""".stripMargin,
+
+    "j8_full_outer" ->
+      """WITH t AS (SELECT o_custkey, COUNT(*) AS n_orders
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS key, c_name, n_orders
+        |FROM customer FULL OUTER JOIN t ON c_custkey = o_custkey
+        |ORDER BY key""".stripMargin,
+
+    "q12_priority_classes" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "j7_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
