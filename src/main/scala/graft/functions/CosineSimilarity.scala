@@ -14,7 +14,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * times over) allocates an intermediate array per pair and pays a lambda
   * dispatch per element; this expression is a single fused loop with
   * whole-stage codegen (`doGenCode`), accumulating in double exactly like
-  * the built-in chain — so results are bit-identical, just cheaper.
+  * the built-in chain — so results are bit-identical, just cheaper. Null
+  * semantics also mirror the chain (and [[DotProduct]]): length-mismatched
+  * arrays and null elements yield null, never a silent partial sum.
   * Registered for SQL as `cosine_sim` via [[GraftFunctions.register]].
   */
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -33,6 +35,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   private def get(x: ArrayData, t: DataType, i: Int): Double = t match {
     case FloatType => x.getFloat(i).toDouble
@@ -42,13 +45,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val (lt, rt) = (elemOf(left).get, elemOf(right).get)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = get(x, lt, i)
       val yv = get(y, rt, i)
       dot += xv * yv
@@ -73,15 +78,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.$la($i);
-         |  double $yv = (double) $b.$ra($i);
-         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    double $xv = (double) $a.$la($i);
+         |    double $yv = (double) $b.$ra($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx)
+         |      * java.lang.Math.sqrt($ny));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx)
-         |  * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -37,21 +37,31 @@ case class HeavyHitters(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
-  /** Misra-Gries decrement step: adding a (k+1)-th distinct key decrements
-    * every counter; zeroed slots are evicted.
+  /** Misra-Gries decrement step, weighted (merge feeds whole partial counts
+    * through here). A full buffer is decremented by min(residual, smallest
+    * counter) — never the full weight at once: decrementing by the whole
+    * incoming count would over-punish every resident counter AND drop the
+    * incoming key's residual weight, losing heavy keys that arrive as merged
+    * partials. Zeroed slots are evicted (freeing room), and the loop repeats
+    * until the residual is absorbed as decrements or inserted.
     */
   private def offer(buf: mutable.HashMap[String, Long], key: String,
       inc: Long): Unit = {
-    if (buf.contains(key) || buf.size < k) {
-      buf.update(key, buf.getOrElse(key, 0L) + inc)
-    } else {
-      val dec = inc
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.keysIterator.foreach { kk =>
-        val v = buf(kk) - dec
-        if (v <= 0) dead += kk else buf.update(kk, v)
+    var rem = inc
+    while (rem > 0) {
+      if (buf.contains(key) || buf.size < k) {
+        buf.update(key, buf.getOrElse(key, 0L) + rem)
+        rem = 0
+      } else {
+        val dec = math.min(rem, buf.valuesIterator.min)
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.keysIterator.foreach { kk =>
+          val v = buf(kk) - dec
+          if (v <= 0) dead += kk else buf.update(kk, v)
+        }
+        dead.foreach(buf.remove)
+        rem -= dec
       }
-      dead.foreach(buf.remove)
     }
   }
 

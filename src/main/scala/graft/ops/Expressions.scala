@@ -53,8 +53,14 @@ object Expressions {
     */
   def parseDollars(c: Column): Column = {
     val num = regexp_extract(c, """(\d+\.?\d*)""", 1).cast("double")
-    val absolute = regexp_replace(
-      regexp_extract(c, """([\d,\.]+)""", 1), """[,]""", "").cast("double")
+    // comma-stripped like the reference; the residue can still be uncastable
+    // when dots were group separators ("$1.234.567" → "1.234.567", where the
+    // reference's float() raises), so the cast is gated on a numeric shape —
+    // un-castable residue → null, keeping the branch total under ANSI mode
+    val absStr = regexp_replace(
+      regexp_extract(c, """([\d,\.]+)""", 1), """[,]""", "")
+    val absolute = when(absStr.rlike("""^\d+(\.\d+)?$"""),
+      absStr.cast("double")).otherwise(lit(null).cast("double"))
     when(c.rlike("""(?i)^\$\s*\d+\.?\d*\s*milli?on"""), num * 1e6)
       .when(c.rlike("""(?i)^\$\s*\d+\.?\d*\s*billi?on"""), num * 1e9)
       .when(c.rlike("""^\$\s*\d{1,3}(?:[,\.]\d{3})+(?!\s[mb]illi?on)"""), absolute)

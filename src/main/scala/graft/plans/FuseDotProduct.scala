@@ -52,6 +52,11 @@ object FuseDotProduct extends Rule[LogicalPlan] {
             LambdaFunction(fin: NamedLambdaVariable,
               Seq(facc: NamedLambdaVariable), _))
           if isNumArray(a) && isNumArray(b) &&
+            // the multiply itself must be double-precision: for float
+            // arrays a FloatType multiply (uncast lambda vars) rounds each
+            // product to float before accumulating — DotProduct multiplies
+            // in double, so fusing would change result bits
+            mul.dataType == DoubleType &&
             ((isVar(mul.left, x) && isVar(mul.right, y)) ||
               (isVar(mul.left, y) && isVar(mul.right, x))) &&
             ((isVar(add.left, acc) && isVar(add.right, v)) ||

@@ -121,7 +121,12 @@ object StreamingOps {
     val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String
         .fromString(gap)) match {
-      case i => i.days * 86400000L + i.microseconds / 1000L
+      case i =>
+        // month-bearing gaps have no fixed millisecond width — converting
+        // from days+micros alone would silently sessionize with gap 0
+        require(i.months == 0,
+          s"session gap must be a fixed duration (days/hours/...), got '$gap'")
+        i.days * 86400000L + i.microseconds / 1000L
     }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, ClosedSession](

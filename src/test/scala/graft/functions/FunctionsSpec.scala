@@ -48,6 +48,35 @@ class FunctionsSpec extends SparkSpec {
     assert(m.size <= 4)
   }
 
+  test("cosine_sim nulls on length mismatch and null elements " +
+    "(both eval paths)") {
+    val df = Seq(
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](1.0f)),
+      (Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)))
+      .toDF("a", "b")
+    // codegen path
+    assert(df.select(CosineSimilarity(col("a"), col("b")))
+      .collect().forall(_.isNullAt(0)))
+    // interpreted path (eval via filter on a non-codegen context)
+    val interpreted = df.select(
+      CosineSimilarity(col("a"), col("b")).as("c")).filter(col("c").isNull)
+    assert(interpreted.count() == 2)
+  }
+
+  test("heavy_hitters merge keeps a heavy key arriving as one partial") {
+    // the ADVICE r1 scenario: one partition holds the heavy key, others only
+    // light keys; a buggy merge that decrements by the FULL incoming count
+    // discards the heavy partial entirely. 1 heavy key (200×) + light noise,
+    // partitioned so the heavy mass is a single merged partial.
+    val values = Seq.fill(200)("heavy") ++ (1 to 40).map(i => s"light$i")
+    val df = values.toDF("v").repartition(8, col("v"))
+    val m = df.select(HeavyHitters(col("v"), 3).as("hh"))
+      .collect().head.getMap[String, Long](0)
+    // N=240, k=3 → anything with freq > 80 must survive, undercount ≤ 80
+    assert(m.contains("heavy"), s"heavy key lost in merge: $m")
+    assert(m("heavy") >= 200 - 80 && m("heavy") <= 200)
+  }
+
   test("heavy_hitters merges across partitions (grouped + SQL form)") {
     GraftFunctions.register(spark)
     val df = (Seq.fill(40)("x") ++ Seq.fill(10)("y")).toDF("v")

@@ -29,6 +29,10 @@ class ExpressionsSpec extends SparkSpec {
       "$123,456,789" -> Some(1.23456789e8),
       "$2,500,000" -> Some(2.5e6),
       "$900,000" -> Some(9.0e5),
+      // dot-grouped: comma-strip leaves "1.234.567", where the reference's
+      // float() raises — our total form yields null instead of throwing
+      "$1.234.567" -> None,
+      "$1.234" -> Some(1.234),              // single dot = decimal, like ref
       "$99" -> None,                        // matches neither form
       "N/A" -> None,
       "twenty bucks" -> None)
