@@ -174,6 +174,13 @@ object QueriesCore {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_discount"))),
 
+    // F5 — dedicated single-column notnull filter (DC:3010).
+    "f5_notnull_column" -> ((s, d) =>
+      events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))),
+
     // F6 — negated membership (DC:5300: ~isin(['True','False'])).
     "f6_negated_membership" -> ((s, d) =>
       customer(s, d)
@@ -295,9 +302,13 @@ object QueriesCore {
           when(col("o_orderkey") % 3 =!= 0,
             format_string("https://www.imdb.com/title/tt%07d/",
               col("o_orderkey"))).otherwise(lit("no link here")))
+        // single regex pass: extract-all + try_element_at yields null on
+        // no-match directly (vs the when(x =!= "", x) form, which embeds
+        // the extraction twice in the expression tree)
         .withColumn("imdb_id",
-          when(regexp_extract(col("link"), "(tt\\d{7})", 1) =!= "",
-            regexp_extract(col("link"), "(tt\\d{7})", 1)))
+          try_element_at(
+            regexp_extract_all(col("link"), lit("(tt\\d{7})"), lit(1)),
+            lit(1)))
         .select(col("o_orderkey"), col("imdb_id"))
         .orderBy(col("o_orderkey"))),
 
@@ -414,11 +425,14 @@ object QueriesCore {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
-    // J4 — left-anti (NOT EXISTS).
+    // J4 — left-anti (NOT EXISTS). The subtracted side is restricted to
+    // big-ticket orders so the result is non-empty at every SF (every
+    // customer has SOME order in the harness data — an unrestricted anti
+    // join returns 0 rows and tests nothing).
     "j4_anti_join" -> ((s, d) =>
       customer(s, d)
-        .join(orders(s, d), col("c_custkey") === col("o_custkey"),
-          "left_anti")
+        .join(orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
@@ -501,9 +515,12 @@ object QueriesCore {
         .intersect(orders(s, d).select(col("o_custkey").as("key")))
         .orderBy(col("key"))),
 
+    // subtracted side restricted (big-ticket orders) for the same
+    // non-emptiness reason as j4
     "set3_except" -> ((s, d) =>
       customer(s, d).select(col("c_custkey").as("key"))
-        .except(orders(s, d).select(col("o_custkey").as("key")))
+        .except(orders(s, d).filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("key")))
         .orderBy(col("key"))),
 
     // ---- A: aggregations / reshaping --------------------------------------
@@ -539,7 +556,11 @@ object QueriesCore {
         .orderBy(col("cnt").desc, col("event_type"))),
 
     // A5 — describe(): count/mean/std/min/quartiles/max (DC:5613). Exact
-    // percentile (not approx) for oracle parity.
+    // percentile (not approx) for oracle parity. Memory note: exact
+    // `percentile` buffers one (value, count) entry per DISTINCT value per
+    // group — bounded here (l_quantity has ~50 distinct values at any SF),
+    // but O(distinct) at 100 TB on an unbounded-domain column; use the a5b
+    // approx_percentile twin (fixed-size GK sketch) for those.
     "a5_describe" -> ((s, d) =>
       lineitem(s, d).agg(
         count(col("l_quantity")).as("cnt"),
@@ -550,6 +571,22 @@ object QueriesCore {
         round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
         round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
         max(col("l_quantity")).as("max"))),
+
+    // A5b — describe() at scale: approx_percentile (Greenwald-Khanna
+    // sketch, fixed memory per group regardless of cardinality — the
+    // 100 TB path for unbounded-domain columns). At this accuracy the
+    // sketch is exact on the harness data, so the oracle compares against
+    // DuckDB's discrete quantile (both pick actual data values, no
+    // interpolation).
+    "a5b_describe_approx" -> ((s, d) =>
+      lineitem(s, d).agg(
+        count(col("l_quantity")).as("cnt"),
+        round(expr("approx_percentile(l_quantity, 0.25, 1000000)"), 4)
+          .as("p25"),
+        round(expr("approx_percentile(l_quantity, 0.5, 1000000)"), 4)
+          .as("p50"),
+        round(expr("approx_percentile(l_quantity, 0.75, 1000000)"), 4)
+          .as("p75"))),
 
     // A6 — histogram: fixed-width binned counts (DC:5612).
     "a6_histogram" -> ((s, d) =>
@@ -579,6 +616,14 @@ object QueriesCore {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey")).limit(5)),
 
+    // O1b — tail(5): last 5 by key, presented ascending (a global sort-desc
+    // limit — the distributed analogue of pandas tail).
+    "o1b_tail" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey").desc).limit(5)
+        .orderBy(col("o_orderkey"))),
+
     // O2 — deterministic "sample": key-mod selection (engines' RNGs differ,
     // so random sampling is oracle-checked via a hash-free deterministic
     // predicate; df.sample(frac) itself is exercised in ScalaTest).
@@ -587,6 +632,21 @@ object QueriesCore {
         .filter(col("l_orderkey") % 500 === 0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // O2b — true seeded Bernoulli sampling (df.sample). Engines' RNGs
+    // differ, so there is no cross-engine oracle (driver records rows-only);
+    // the output is self-checking: sampled count, total, and an
+    // expected-range flag (Binomial(n, 0.1) at n=60k is within ±20% of the
+    // mean with overwhelming probability).
+    "o2b_sample_seeded" -> ((s, d) => {
+      val li = lineitem(s, d)
+      li.sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .agg(count(lit(1)).as("n_sampled"))
+        .crossJoin(li.agg(count(lit(1)).as("n_total")))
+        .select(col("n_sampled"), col("n_total"),
+          (col("n_sampled").cast("double") / col("n_total"))
+            .between(0.08, 0.12).as("frac_in_range"))
+    }),
 
     // O3 — positional slice: offset + limit (DC cells 5-7).
     "o3_slice" -> ((s, d) =>
@@ -737,6 +797,10 @@ object QueriesCore {
         |WHERE NOT (l_shipdate > TIMESTAMP '1997-01-01' AND l_discount < 0.02)
         |ORDER BY l_orderkey, l_linenumber, l_discount""".stripMargin,
 
+    "f5_notnull_column" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE user_id IS NOT NULL ORDER BY event_id""".stripMargin,
+
     "f6_negated_membership" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_mktsegment NOT IN ('BUILDING','MACHINERY')
@@ -882,8 +946,9 @@ object QueriesCore {
         |ORDER BY c_custkey""".stripMargin,
 
     "j4_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
 
     "j5_asof_join" ->
@@ -915,7 +980,7 @@ object QueriesCore {
 
     "set3_except" ->
       """SELECT c_custkey AS key FROM customer
-        |EXCEPT SELECT o_custkey FROM orders
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 400000
         |ORDER BY key""".stripMargin,
 
     "j8_full_outer" ->
@@ -985,6 +1050,13 @@ object QueriesCore {
         |  MAX(l_quantity) AS max
         |FROM lineitem""".stripMargin,
 
+    "a5b_describe_approx" ->
+      """SELECT COUNT(l_quantity) AS cnt,
+        |  ROUND(quantile_disc(l_quantity, 0.25), 4) AS p25,
+        |  ROUND(quantile_disc(l_quantity, 0.5), 4) AS p50,
+        |  ROUND(quantile_disc(l_quantity, 0.75), 4) AS p75
+        |FROM lineitem""".stripMargin,
+
     "a6_histogram" ->
       """SELECT CAST(FLOOR(l_quantity / 5) AS BIGINT) AS bin,
         |       COUNT(*) AS cnt
@@ -1004,6 +1076,12 @@ object QueriesCore {
     "o1_head" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 5""".stripMargin,
+
+    "o1b_tail" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  ORDER BY o_orderkey DESC LIMIT 5)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "o2_sample_mod" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

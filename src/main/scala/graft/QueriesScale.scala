@@ -54,17 +54,22 @@ object QueriesScale {
       Dedup.simhash64(fanOut(documents(s, d)), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
-    // exact n-gram Jaccard pairs via inverted index, blocked by (lang,source)
+    // exact n-gram Jaccard pairs via inverted index, blocked by (lang,source);
+    // document-frequency cutoff 64 bounds hot-gram buckets (no-op at this
+    // corpus — max DF is 3 — but the cost guard the 100× corpus needs; the
+    // oracle below encodes the same cutoff)
     "dd5_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(fanOut(documents(s, d)), "doc_id", "text",
-          Seq("lang", "source"), 3, 0.05)
+          Seq("lang", "source"), 3, 0.05, maxDocFreq = 64)
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    // embedding-cosine near-dup: pairs ≥ threshold contracted to a
-    // doc_id → representative mapping (threshold matches this corpus's
-    // actual similarity tail; real near-dup corpora would sit at ~0.95)
+    // embedding-cosine near-dup: hyperplane-LSH candidates + exact cosine
+    // verification (no cross join), contracted to a doc_id → representative
+    // mapping (threshold matches this corpus's actual similarity tail; real
+    // near-dup corpora would sit at ~0.95, where the LSH prunes far harder)
     "dd6_embedding_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDup(embeddings(s, d), "vec_id", "embedding", 0.35)
+      Dedup.embeddingNearDup(embeddings(s, d), "vec_id", "embedding", 0.35,
+          dim = 64)
         .orderBy(col("doc_id"))),
 
     // simhash near-dup pairs: 4×16-bit band candidates + exact Hamming ≤ 3
@@ -80,12 +85,21 @@ object QueriesScale {
         .select(col("doc_id"), col("lang"), col("predicted_lang"))
         .orderBy(col("doc_id"))),
 
+    // two-stage select: the regex/split passes land once in the first
+    // projection (rawCounts); every feature + the score derive
+    // arithmetically from those columns in the second
     "ts2_quality" -> ((s, d) => {
-      val feats = TextOps.qualityFeatures(col("text"))
+      val counts = TextOps.rawCounts(col("text")).map { case (n, c) =>
+        c.as(n)
+      }
+      val (ch, w, pu, st) =
+        (col("n_chars"), col("n_words"), col("n_punct"), col("n_stops"))
+      val feats = TextOps.qualityFeaturesFromCounts(ch, w, pu, st)
         .map { case (n, c) => c.as(n) }
       fanOut(documents(s, d))
-        .select((col("doc_id") +: feats :+
-          TextOps.qualityScore(col("text")).as("quality")): _*)
+        .select(col("doc_id") +: counts: _*)
+        .select((col("doc_id") +: ch.as("n_chars_q") +: w +: feats :+
+          TextOps.qualityScoreFromCounts(ch, w, pu, st).as("quality")): _*)
         .orderBy(col("doc_id"))
     }),
 
@@ -120,11 +134,12 @@ object QueriesScale {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
-    // exact all-pairs above threshold in a blocked id range
+    // all pairs above threshold: LSH-bucketed candidates + exact cosine
+    // verification — same result set as an all-pairs scan, cross-join-free
     "sim2_threshold_pairs" -> ((s, d) =>
       Similarity.thresholdPairs(
           embeddings(s, d).filter(col("vec_id") < 300),
-          "vec_id", "embedding", 0.3)
+          "vec_id", "embedding", 0.3, dim = 64)
         .orderBy(col("id_a"), col("id_b"))),
 
     // IVF-style ANN probe — approximate vs brute force, but deterministic
@@ -246,11 +261,17 @@ object QueriesScale {
         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
         |  FROM toks),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |hot AS (
+        |  SELECT lang, source, gram FROM grams
+        |  GROUP BY lang, source, gram HAVING COUNT(*) > 64),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ix
         |  FROM grams a JOIN grams b
         |    ON a.gram = b.gram AND a.lang = b.lang AND a.source = b.source
         |   AND a.doc_id < b.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |    WHERE h.lang = a.lang AND h.source = a.source
+        |      AND h.gram = a.gram)
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         |       ROUND(ix * 1.0 / (sa.sz + sb.sz - ix), 4) AS jaccard

@@ -184,9 +184,21 @@ object Dedup {
     * group, via inverted-index join (gram → docs), never a cross join.
     * Blocking columns bound bucket sizes; intersection counts come from the
     * gram-join group-by, union sizes from per-doc gram counts.
+    *
+    * `maxDocFreq` is the document-frequency cutoff that bounds bucket cost:
+    * a gram appearing in more than `maxDocFreq` docs of a block (a
+    * stop-gram) would alone contribute |bucket|² pair structs — quadratic in
+    * the block on hot grams — while carrying near-zero discriminative
+    * signal. Such grams are excluded from intersection counting (they still
+    * count in each doc's union size), so reported jaccard is a lower bound
+    * for pairs sharing hot grams: the trade is bounded cost
+    * (Σ|bucket|² ≤ maxDocFreq · Σ|bucket|, linear in the gram relation) for
+    * conservative similarity on stop-gram-heavy pairs — mirroring
+    * [[lshCandidatePairs]]'s maxBucket guard.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], n: Int, minJaccard: Double): DataFrame = {
+      blockCols: Seq[String], n: Int, minJaccard: Double,
+      maxDocFreq: Int = 1000): DataFrame = {
     // per-row distinct gram-hash arrays: per-doc set sizes come for free
     // (size(array), no shuffle) and no global DISTINCT is needed — grams
     // are already unique within a doc. Hashing grams to 64-bit keeps the
@@ -212,7 +224,7 @@ object Dedup {
     val buckets = grams
       .groupBy((blockCols.map(col) :+ col("gram")): _*)
       .agg(collect_list(col(idCol)).as("docs"))
-      .filter(size(col("docs")) > 1)
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDocFreq)
     val inter = buckets
       .select(explode(expr(
         "filter(flatten(transform(docs, a -> transform(docs, " +
@@ -236,14 +248,13 @@ object Dedup {
   /** Embedding-cosine near-dup: rows whose embedding cosine ≥ threshold are
     * duplicates; each duplicate maps to its smallest near-duplicate id as
     * representative (one-pass min-neighbor contraction — the id to keep is
-    * any id NOT appearing in doc_id). Exact pair generation delegates to
-    * [[Similarity.thresholdPairs]]; at corpus scale swap that stage for the
-    * IVF/LSH-bucketed candidate path ([[Similarity.ivfTopK]] clusters or
-    * [[lshCandidatePairs]]) — the contraction below is unchanged.
+    * any id NOT appearing in doc_id). Pair generation is the bucketed
+    * [[Similarity.thresholdPairs]] (hyperplane-LSH candidates + exact
+    * verification — no cross join at any scale); `dim` = embedding length.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame =
-    Similarity.thresholdPairs(df, idCol, vecCol, threshold)
+      threshold: Double, dim: Int): DataFrame =
+    Similarity.thresholdPairs(df, idCol, vecCol, threshold, dim)
       .groupBy(col("id_b").as("doc_id"))
       .agg(min(col("id_a")).as("rep_id"), count(lit(1)).as("n_near_dups"))
 

@@ -55,10 +55,105 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** All pairs above a cosine threshold within a bounded id range —
-    * blocked self-join (upper-triangle), exact, fused native cosine.
+  /** Deterministic seeded Gaussian hyperplanes for sign-random-projection
+    * LSH — driver-side literals, reproducible across runs/partitions.
+    */
+  private[ops] def hyperplanes(numBits: Int, dim: Int, seed: Long)
+  : Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numBits)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** (rowsPerBand, bands) for hyperplane LSH, tuned so a pair AT `threshold`
+    * is missed with probability ≤ `missProb` (pairs above the threshold miss
+    * even less often). Per-bit collision probability for cosine sim t is
+    * p = 1 − acos(t)/π (Goemans–Williamson); a pair survives a band of r
+    * bits with p^r, so recall over b bands is 1 − (1 − p^r)^b. Picks the
+    * largest rows-per-band whose required band count fits `maxBits` — fewer
+    * false candidates at high thresholds, graceful degradation toward
+    * all-candidates at the low thresholds where exactness genuinely needs
+    * near-all pairs examined.
+    */
+  def lshParams(threshold: Double, missProb: Double = 1e-9,
+      maxBits: Int = 256): (Int, Int) = {
+    val t = math.max(-0.999, math.min(0.999, threshold))
+    val p = 1.0 - math.acos(t) / math.Pi
+    var best = (1, math.min(maxBits,
+      math.max(1, math.ceil(math.log(missProb) / math.log(1 - p)).toInt)))
+    for (r <- 2 to 32) {
+      val pr = math.pow(p, r)
+      val b = math.ceil(math.log(missProb) / math.log(1 - pr))
+      if (b >= 1 && b * r <= maxBits) best = (r, b.toInt)
+    }
+    best
+  }
+
+  /** Candidate (id_a, id_b) pairs whose cosine similarity plausibly reaches
+    * `threshold`, via sign-random-projection LSH: per row, r·b sign bits
+    * (one pass over a literal hyperplane matrix — zero shuffles), banded
+    * into b buckets of r bits; docs sharing any (band, bucket) pair up.
+    * Cost is Σ|bucket|² on the band shuffle — never a cross join; recall at
+    * the threshold is 1 − 1e-9 per pair (see [[lshParams]]) and
+    * deterministic for a fixed seed. `dim` must equal the vector length
+    * (signatures of malformed shorter/longer vectors go null and those rows
+    * drop out of candidacy).
+    */
+  def cosineCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, seed: Long = 42L): DataFrame = {
+    val (r, b) = lshParams(threshold)
+    val planes = typedlit(hyperplanes(r * b, dim, seed))
+    // bits materialized as a real column (referenced b times below —
+    // CollapseProject keeps non-cheap multi-referenced projections apart,
+    // so the hyperplane pass runs once per row, not once per band)
+    val bits = transform(planes, p =>
+      when(aggregate(zip_with(col(vecCol), p,
+          (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v) >= 0, 1L).otherwise(0L))
+    val buckets = transform(sequence(lit(0), lit(b - 1)), j =>
+      struct(j.cast("int").as("band"),
+        aggregate(slice(col("bits"), j * r + 1, lit(r)), lit(0L),
+          (acc, x) => acc * 2 + x).as("bucket")))
+    val banded = df.select(col(idCol), col(vecCol))
+      .withColumn("bits", bits)
+      .select(col(idCol), explode(buckets).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    // self-join on the bucket key; both sides shuffle identically →
+    // ReuseExchange evaluates the signature pipeline once
+    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val bside = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"))
+    a.join(bside, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** All pairs above a cosine threshold. Default path is bucketed: LSH
+    * candidate generation ([[cosineCandidatePairs]]) followed by an exact
+    * fused-cosine verification of the candidates — no cross join anywhere,
+    * so the plan survives a corpus-scale input (cost ≈ candidate count, not
+    * n²). `dim` = embedding length (needed to build the hyperplane
+    * literals). For tiny bounded inputs where the quadratic scan is
+    * genuinely cheapest, [[thresholdPairsExact]] remains available.
     */
   def thresholdPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, seed: Long = 42L): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol))
+    val cands = cosineCandidatePairs(base, idCol, vecCol, dim, threshold,
+      seed)
+    val a = base.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = base.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Exact all-pairs scan (upper-triangle cross join) — O(n²); small-n
+    * fallback ONLY (e.g. a bounded id block that fits one executor). The
+    * default [[thresholdPairs]] is the scale path.
+    */
+  def thresholdPairsExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))

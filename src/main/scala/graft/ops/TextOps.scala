@@ -47,35 +47,59 @@ object TextOps {
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[^A-Za-z0-9\\s]"))
 
-  /** Quality features + a simple composite score in [0,1]:
-    * penalizes very short docs, rewards stopword presence (natural-language
-    * prior), penalizes punctuation excess. Deterministic integer-derived
-    * arithmetic (cross-engine exact).
+  /** Raw per-doc counts — the expensive regex/split passes, each exactly
+    * once. Everything downstream (features, score) is plain arithmetic over
+    * these columns; materialize them in one projection and derive in the
+    * next so each regex runs once per doc, not once per derived column
+    * (CollapseProject keeps multi-referenced non-cheap projections apart).
+    * long casts: DuckDB length()/len() return BIGINT — keep dtypes equal.
+    */
+  def rawCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_chars" -> length(text).cast("long"),
+    "n_words" -> wordCount(text).cast("long"),
+    "n_stops" -> markerCount(text, stopwords).cast("long"),
+    "n_punct" -> punctCount(text).cast("long"))
+
+  /** Quality ratio features derived from [[rawCounts]] columns — zero regex
+    * work.
+    */
+  def qualityFeaturesFromCounts(chars: Column, words: Column,
+      punct: Column, stops: Column): Seq[(String, Column)] = Seq(
+    "avg_word_len" -> round(chars.cast("double") / words, 4),
+    "stopword_ratio" -> round(stops.cast("double") / words, 4),
+    "punct_ratio" -> round(punct.cast("double") / chars, 4))
+
+  /** Composite quality score in [0,1] from [[rawCounts]] columns: penalizes
+    * very short docs, rewards stopword presence (natural-language prior),
+    * penalizes punctuation excess. Deterministic integer-derived arithmetic
+    * (cross-engine exact).
+    */
+  def qualityScoreFromCounts(chars: Column, words: Column, punct: Column,
+      stops: Column): Column = {
+    val w = words.cast("double")
+    val lengthTerm = least(w / 50.0, lit(1.0))
+    val stopTerm = least((stops.cast("double") / w) * 5.0, lit(1.0))
+    val punctTerm = greatest(
+      lit(1.0) - (punct.cast("double") / chars.cast("double")) * 10.0,
+      lit(0.0))
+    round((lengthTerm + stopTerm + punctTerm) / 3.0, 4)
+  }
+
+  /** Single-expression convenience forms (each recomputes the counts —
+    * fine standalone; multi-feature pipelines should select [[rawCounts]]
+    * first and use the `FromCounts` variants).
     */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val chars = length(text)
-    val words = wordCount(text)
-    val stops = markerCount(text, stopwords)
-    val punct = punctCount(text)
-    Seq(
-      // long casts: DuckDB length()/len() return BIGINT — keep dtypes equal
-      "n_chars_q" -> chars.cast("long"),
-      "n_words" -> words.cast("long"),
-      "avg_word_len" -> round(chars.cast("double") / words, 4),
-      "stopword_ratio" -> round(stops.cast("double") / words, 4),
-      "punct_ratio" -> round(punct.cast("double") / chars, 4))
+    Seq("n_chars_q" -> chars.cast("long"),
+      "n_words" -> wordCount(text).cast("long")) ++
+      qualityFeaturesFromCounts(chars, wordCount(text), punctCount(text),
+        markerCount(text, stopwords))
   }
 
-  def qualityScore(text: Column): Column = {
-    val words = wordCount(text).cast("double")
-    val stops = markerCount(text, stopwords).cast("double")
-    val punct = punctCount(text).cast("double")
-    val chars = length(text).cast("double")
-    val lengthTerm = least(words / 50.0, lit(1.0))
-    val stopTerm = least((stops / words) * 5.0, lit(1.0))
-    val punctTerm = greatest(lit(1.0) - (punct / chars) * 10.0, lit(0.0))
-    round((lengthTerm + stopTerm + punctTerm) / 3.0, 4)
-  }
+  def qualityScore(text: Column): Column =
+    qualityScoreFromCounts(length(text), wordCount(text), punctCount(text),
+      markerCount(text, stopwords))
 
   /** Content fingerprint: md5 (cross-engine checkable). */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))

@@ -63,12 +63,30 @@ class DedupSpec extends SparkSpec {
       (3L, Array(0.0f, 1.0f, 0.0f)),      // orthogonal
       (4L, Array(1.0f, 0.01f, 0.0f))      // near-dup of 1 and 2
     ).toDF("vec_id", "embedding")
-    val got = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", 0.95)
+    val got = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", 0.95,
+        dim = 3)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     assert(got(2L) == ((1L, 1L)))         // 2 dupes 1
     assert(got(4L) == ((1L, 2L)))         // 4 dupes both 1 and 2
     assert(!got.contains(1L) && !got.contains(3L))  // representatives survive
+  }
+
+  test("ngram jaccard DF cutoff drops hot-gram buckets (stays sub-quadratic)") {
+    // 30 docs in one block sharing ONLY the stop-gram "the quick brown";
+    // each doc's remaining grams are unique. With maxDocFreq below the
+    // block size the hot bucket is excluded: zero pairs emitted instead of
+    // 30·29/2 = 435 — the cost bound a stop-gram-heavy 100× corpus needs.
+    val hot = (1 to 30).map(i =>
+      (i.toLong, s"the quick brown unique$i gram$i tail$i"))
+      .toDF("doc_id", "text").withColumn("grp", lit("all"))
+    val capped = Dedup.ngramJaccardPairs(hot, "doc_id", "text",
+      Seq("grp"), 3, 0.0, maxDocFreq = 10)
+    assert(capped.count() == 0, "hot-gram bucket must be dropped")
+    // uncapped control: the same stop-gram generates all 435 pairs
+    val uncapped = Dedup.ngramJaccardPairs(hot, "doc_id", "text",
+      Seq("grp"), 3, 0.0, maxDocFreq = 1000)
+    assert(uncapped.count() == 435L)
   }
 
   test("barrier is a semantic identity (incl. key-only relations)") {

@@ -45,4 +45,46 @@ class SimilaritySpec extends SparkSpec {
     // only cluster 0 members (vec 1; vec 0 excluded as self)
     assert(got.map(_.getLong(2)).toSet == Set(1L))
   }
+
+  // 40 deterministic pseudo-random unit-ish vectors in R^8 — enough mass
+  // around every threshold to exercise recall, small enough to brute-force
+  private lazy val many = {
+    val rnd = new scala.util.Random(7L)
+    (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("bucketed thresholdPairs equals the exact all-pairs scan") {
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      val exact = Similarity.thresholdPairsExact(
+          many, "vec_id", "embedding", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val bucketed = Similarity.thresholdPairs(
+          many, "vec_id", "embedding", t, dim = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(bucketed == exact, s"threshold $t: LSH path diverged")
+    }
+  }
+
+  test("lshParams: recall at threshold meets the miss-probability target") {
+    for (t <- Seq(0.3, 0.5, 0.9, 0.95)) {
+      val (r, b) = Similarity.lshParams(t)
+      val p = 1.0 - math.acos(t) / math.Pi
+      val miss = math.pow(1.0 - math.pow(p, r), b)
+      assert(miss <= 1e-9, s"t=$t (r=$r, b=$b) miss=$miss")
+      assert(r * b <= 256, s"t=$t bit budget exceeded: ${r * b}")
+    }
+  }
+
+  test("thresholdPairs plan has no cartesian/nested-loop join") {
+    val plan = Similarity.thresholdPairs(
+        many, "vec_id", "embedding", 0.5, dim = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5)
+      .mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
