@@ -28,14 +28,16 @@ object Bench {
       "q6_revenue_delta",
       "j1_inner_join", "j2_left_join_fill", "j5_asof_join",
       "a2_pivot", "w1_row_number", "x7_parse_dollars", "x13_date_cascade",
-      "dd2_minhash_sig", "dd5_ngram_jaccard", "ts2_quality",
-      "sim1_cosine_topk", "st1_hourly_window", "st2_sessionize",
+      "dd2_minhash_sig", "dd5_ngram_jaccard", "dd6_embedding_neardup",
+      "dd7_simhash_neardup", "ts2_quality",
+      "sim1_cosine_topk", "sim2_threshold_pairs",
+      "st1_hourly_window", "st2_sessionize",
       "mm1_binary_meta")
 
     val all = SparkEntry.queries
     // steady-state timing: one warmup run pays whole-stage-codegen JIT +
-    // file-index setup, then min of two timed runs (what a resident cluster
-    // would see; min damps single-tenant-host CPU-steal spikes).
+    // file-index setup, then min of three timed runs (what a resident
+    // cluster would see; min damps this host's up-to-5× CPU-steal spikes).
     val results = headline.filter(all.contains).map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -43,7 +45,7 @@ object Bench {
           .mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val t = try { once(); math.min(once(), once()) } catch {
+      val t = try { once(); Seq(once(), once(), once()).min } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0

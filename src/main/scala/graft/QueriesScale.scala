@@ -65,8 +65,11 @@ object QueriesScale {
 
     // embedding-cosine near-dup: hyperplane-LSH candidates + exact cosine
     // verification (no cross join), contracted to a doc_id → representative
-    // mapping (threshold matches this corpus's actual similarity tail; real
-    // near-dup corpora would sit at ~0.95, where the LSH prunes far harder)
+    // mapping. The 0.35 threshold matches this corpus's actual similarity
+    // tail; it is the LSH worst case (nearly all pairs become candidates —
+    // see Similarity.thresholdPairs "threshold economics"), so this entry
+    // prices the operator's overhead ceiling in BENCH. Real near-dup
+    // corpora sit at ~0.95, where the same plan prunes to near-linear.
     "dd6_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(embeddings(s, d), "vec_id", "embedding", 0.35,
           dim = 64)

@@ -9,9 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     ordering/windows (SURVEY §2 operator inventory);
   *   - [[QueriesScale]] — dedup, similarity search, text analysis,
   *     multimodal plumbing, stream-shaped windows (training-data ops).
-  * The movie-domain reference pipeline itself lives in `graft.etl` and is
-  * exercised by the ScalaTest golden suite on synthesized fixtures (the
-  * reference's data files are missing blobs).
+  * The movie-domain reference pipeline itself lives in `graft.etl`; it is
+  * exercised end-to-end by [[QueriesEtl]] (driver-verified over the
+  * synthesized fixtures — the reference's data files are missing blobs)
+  * and branch-by-branch by the ScalaTest golden suite.
   */
 object SparkEntry {
 
@@ -19,14 +20,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     QueriesCore.pricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2 (+ scale ops). */
+  /** One entry per implemented operator from SURVEY.md §2 (+ scale ops,
+    * + the reference pipeline end-to-end).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries ++ QueriesScale.queries
+    QueriesCore.queries ++ QueriesScale.queries ++ QueriesEtl.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-seeded/approximate ops
-    * (minhash, simhash, LSH, IVF, rolling-hash) → rows-only check.
+    * the same parquet tables (the e1 oracle reads the fixture files
+    * directly). Omitted for hash-seeded/approximate ops (minhash, simhash,
+    * LSH, IVF, rolling-hash) → rows-only check.
     */
   def oracleSql: Map[String, String] =
-    QueriesCore.oracles ++ QueriesScale.oracles
+    QueriesCore.oracles ++ QueriesScale.oracles ++ QueriesEtl.oracles
 }

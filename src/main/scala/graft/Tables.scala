@@ -21,7 +21,11 @@ object Tables {
     */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // inputFiles is pure file-index metadata — unlike df.rdd, it forces no
+    // plan-to-RDD conversion. At cluster scale (files ≥ cores) the scan
+    // already parallelizes and this is a no-op; the single-file harness
+    // tables get an explicit spread.
+    if (df.inputFiles.length >= target) df else df.repartition(target)
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")

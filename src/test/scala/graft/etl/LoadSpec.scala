@@ -1,0 +1,35 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.sum
+
+/** Proves the JDBC sink (S5/S7, challenge.py:305-325) actually round-trips:
+  * append-mode write into an in-process embedded Derby database (the same
+  * `DataFrameWriter.jdbc` path a Postgres URL would take — Spark picks the
+  * dialect from the URL) and read-back of counts/values. Two writes verify
+  * append semantics (`to_sql(if_exists='append')`), matching the reference's
+  * chunked append loop.
+  */
+class LoadSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("JDBC sink: append-mode write + read-back (embedded Derby)") {
+    val url = "jdbc:derby:memory:graftload;create=true"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "score")
+
+    Load.jdbc(df, url, "movies_rt", "", "", numPartitions = 2)
+    // second write must append, not replace
+    Load.jdbc(df, url, "movies_rt", "", "", numPartitions = 2)
+
+    val back = spark.read.jdbc(url, "movies_rt", new java.util.Properties())
+    assert(back.count() == 6)
+    assert(back.columns.map(_.toLowerCase).toSet ==
+      Set("id", "name", "score"))
+    assert(back.agg(sum("id")).collect().head.getLong(0) == 12L)
+    // Derby maps StringType → CLOB, which rejects pushed-down string
+    // equality — filter on the numeric key instead
+    assert(back.filter($"id" === 2L).agg(sum("score"))
+      .collect().head.getDouble(0) == 5.0)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.{QueriesCore, QueriesScale, SparkSpec, SparkEntry}
+
+/** Plan-shape regression tests: lock in the physical-plan properties the
+  * 100 TB design depends on — filters pushed to the parquet scan, dimension
+  * joins broadcast, no quadratic join anywhere outside the documented
+  * constant-size or exact-baseline ops, and single-evaluation of expensive
+  * regex projections. A future edit that silently un-pushes a filter or
+  * reintroduces a cross join fails here, not in a production plan review.
+  */
+class PlansSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q6: all range filters reach the parquet scan (PushedFilters)") {
+    val plan = planOf("q6_revenue_delta")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(!plan.contains("PushedFilters: []"), "scan lost its pushdown")
+    // the plan string truncates long pushed-filter lists — match a prefix
+    assert(plan.contains("GreaterThanOrEqual(l_shipda"),
+      "l_shipdate range must be pushed")
+  }
+
+  test("q3: the filtered customer dimension joins as a broadcast") {
+    assert(planOf("q3_shipping_priority").contains("BroadcastHashJoin"))
+  }
+
+  test("q5: all dimension joins broadcast (no shuffled fact-side join)") {
+    val plan = planOf("q5_region_volume")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "dim chain must not shuffle the fact table")
+  }
+
+  // 1-row × 1-row aggregate combinations (constant cost) and documented
+  // broadcast nested-loop ops: sim1 (exact brute-force baseline: corpus ×
+  // broadcast query set), sim3 (query × broadcast centroids probe),
+  // j6 (non-equi band join against a broadcast 3-row dim).
+  private val allowedQuadratic = Set(
+    "a8_counts", "dd3_lsh_stats", "o2b_sample_seeded", "e1_movie_pipeline",
+    "sim1_cosine_topk", "sim3_ivf_topk", "j6_range_join")
+
+  test("no cartesian/nested-loop join outside documented ops") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = planOf(name)
+      val quadratic = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (quadratic && !allowedQuadratic(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"quadratic join introduced in: ${offenders.mkString(", ")}")
+  }
+
+  test("ts2: each text regex evaluated once (two-stage projection held)") {
+    val plan = QueriesScale.queries("ts2_quality")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    def occurrences(needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    // stopword markers + punctuation = the two regex passes (Catalyst
+    // renders regexp_count as size(regexp_extract_all)); whitespace
+    // tokenization = the one split
+    assert(occurrences("regexp_extract_all(") == 2, plan.take(2000))
+    assert(occurrences("split(") == 1, plan.take(2000))
+  }
+
+  test("q1: aggregation pushes partials below the exchange") {
+    val plan = planOf("q1_pricing_summary")
+    assert(plan.contains("HashAggregate"),
+      "expected hash aggregation with map-side partials")
+  }
+}
