@@ -145,6 +145,14 @@ object QueriesScale {
           "vec_id", "embedding", 0.3, dim = 64)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // IVF-blocked pair mining: exact cosine restricted to same-cluster
+    // pairs (equi-join on the deterministic label column → full oracle) —
+    // the cluster-partitioned alternative to sim2's LSH candidates
+    "sim4_clustered_pairs" -> ((s, d) =>
+      Similarity.clusteredThresholdPairs(
+          embeddings(s, d), "vec_id", "embedding", "label", 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // IVF-style ANN probe — approximate vs brute force, but deterministic
     // (clusters = label column, no RNG) → fully oracle-checked
     "sim3_ivf_topk" -> ((s, d) => {
@@ -344,6 +352,16 @@ object QueriesScale {
         |      FROM s)
         |SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim4_clustered_pairs" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |FROM e a JOIN e b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "sim2_threshold_pairs" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v

@@ -158,6 +158,29 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** IVF-blocked threshold pairs: exact cosine over pairs sharing a
+    * cluster — an equi-join on the cluster id, so cost is Σ|cluster|²
+    * (bucket-sized, never a cross join) and the shuffle key is the cluster.
+    * The IVF analogue of LSH banding: recall is bounded by the assignment
+    * (cross-cluster pairs are never examined — the standard partitioned-ANN
+    * trade), fully deterministic given the cluster column, and the right
+    * candidate generator when clusters already exist (e.g. from [[ivfTopK]]
+    * centroid assignment) because it re-uses that partitioning instead of
+    * hashing fresh signatures.
+    */
+  def clusteredThresholdPairs(df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(clusterCol).as("cluster"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(clusterCol).as("cluster"),
+      col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Exact all-pairs scan (upper-triangle cross join) — O(n²); small-n
     * fallback ONLY (e.g. a bounded id block that fits one executor). The
     * default [[thresholdPairs]] is the scale path.

@@ -79,6 +79,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("clusteredThresholdPairs only examines same-cluster pairs") {
+    // vecs: ids 0,1 in cluster 0 are near-identical; 2,3 in cluster 1;
+    // a near pair ACROSS clusters must not appear even above threshold
+    val cross = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f), 0),
+      (11L, Array(0.99f, 0.14f, 0.0f), 1)   // sim ≈ 0.99 but other cluster
+    ).toDF("vec_id", "embedding", "label")
+    val df = vecs.union(cross)
+    val got = Similarity.clusteredThresholdPairs(
+        df, "vec_id", "embedding", "label", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)))           // same-cluster near pair kept
+    assert(got.contains((2L, 3L)))
+    assert(!got.exists { case (a, b) => Set(a, b) == Set(10L, 11L) },
+      "cross-cluster pair must be pruned by the blocking")
+  }
+
   test("thresholdPairs plan has no cartesian/nested-loop join") {
     val plan = Similarity.thresholdPairs(
         many, "vec_id", "embedding", 0.5, dim = 8)
