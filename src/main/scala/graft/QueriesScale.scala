@@ -81,6 +81,29 @@ object QueriesScale {
       Dedup.simhashNearDupPairs(fanOut(documents(s, d)), "doc_id", "text", 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // training-data curation, composed end-to-end: exact-dedup to
+    // representatives -> language gate -> quality floor -> corpus
+    // accounting. One shuffle for the dedup groupBy, one for the rep join,
+    // everything between is row-local codegen — the shape of a real
+    // corpus-curation pass at 100 TB.
+    "tp1_curation" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val reps = Dedup.exact(docs, "text", "doc_id")
+        .select(col("rep_id").as("doc_id"))
+      val counts = TextOps.rawCounts(col("text")).map { case (n, c) =>
+        c.as(n)
+      }
+      docs.join(reps, Seq("doc_id"))
+        .filter(TextOps.languageId(col("text")) === "en")
+        .select(col("doc_id") +: counts: _*)
+        .withColumn("quality", TextOps.qualityScoreFromCounts(
+          col("n_chars"), col("n_words"), col("n_punct"), col("n_stops")))
+        .filter(col("quality") >= 0.5)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+    }),
+
     // ---- text analysis -----------------------------------------------------
     "ts1_lang_id" -> ((s, d) =>
       fanOut(documents(s, d))
@@ -291,6 +314,39 @@ object QueriesScale {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.05
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "tp1_curation" ->
+      """WITH dedup AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+        |d AS (SELECT doc_id, text FROM documents
+        |      WHERE doc_id IN (SELECT doc_id FROM dedup)),
+        |s AS (SELECT doc_id, text,
+        |  len(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|and|is)\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text),
+        |      '\b(le|la|et|les|des)\b')) AS s_fr,
+        |  len(regexp_extract_all(lower(text),
+        |      '\b(el|los|las|y|que)\b')) AS s_es
+        |  FROM d),
+        |en AS (SELECT doc_id, text FROM s
+        |       WHERE s_en > 0 AND s_en >= s_fr AND s_en >= s_es),
+        |f AS (SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split_regex(text, '\s+')) AS n_words,
+        |  len(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|and|is|to|in)\b')) AS n_stops,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |  FROM en),
+        |q AS (SELECT doc_id, n_words,
+        |  ROUND((LEAST(n_words / 50.0, 1.0)
+        |       + LEAST((n_stops * 1.0 / n_words) * 5.0, 1.0)
+        |       + GREATEST(1.0 - (n_punct * 1.0 / n_chars) * 10.0, 0.0))
+        |       / 3.0, 4) AS quality
+        |  FROM f)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  ROUND(AVG(quality), 4) AS avg_quality
+        |FROM q WHERE quality >= 0.5""".stripMargin,
 
     "ts1_lang_id" ->
       """WITH s AS (
