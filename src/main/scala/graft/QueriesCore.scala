@@ -603,6 +603,19 @@ object QueriesCore {
         countDistinct(col("o_orderpriority")).as("nd_priority"),
         countDistinct(col("o_custkey")).as("nd_custkey"))),
 
+    // A7b — approx_count_distinct (HyperLogLog++, fixed sketch memory —
+    // the 100 TB path for unbounded-cardinality columns where exact
+    // countDistinct's per-group hash set cannot fit). Sketch estimates are
+    // engine-specific → no cross-engine oracle (rows-only); the output is
+    // self-checking against the exact count.
+    "a7b_approx_distinct" -> ((s, d) =>
+      orders(s, d).agg(
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_nd"),
+          countDistinct(col("o_custkey")).as("exact_nd"))
+        .select(col("approx_nd"), col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")).cast("double")
+            / col("exact_nd") <= 0.05).as("within_tolerance"))),
+
     // A8 — cardinality checks (DC:67 len()).
     "a8_counts" -> ((s, d) =>
       lineitem(s, d).agg(count(lit(1)).as("lineitem_cnt"))

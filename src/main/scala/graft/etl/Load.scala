@@ -14,6 +14,22 @@ object Load {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Hive-layout partitioned parquet — the data-lake sink shape at 100 TB:
+    * downstream filters on the partition columns become directory pruning
+    * (PartitionFilters in the scan, zero data read for pruned keys), and
+    * optional within-partition sort clusters rows so per-file min/max
+    * stats stay selective for range predicates.
+    */
+  def partitionedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val clustered =
+      if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*)
+      else df
+    clustered.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** Append to a relational table over JDBC. Spark partitions the write
     * natively — the scalable replacement for the reference's 1 M-row chunk
     * loop (numPartitions bounds connection fan-out at cluster scale).

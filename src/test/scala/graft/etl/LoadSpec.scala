@@ -32,4 +32,25 @@ class LoadSpec extends SparkSpec {
     assert(back.filter($"id" === 2L).agg(sum("score"))
       .collect().head.getDouble(0) == 5.0)
   }
+
+  test("partitioned parquet write prunes partitions on read-back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = Seq(
+      ("click", 1L, 0.5), ("click", 2L, 1.5),
+      ("view", 3L, 2.5), ("purchase", 4L, 3.5)
+    ).toDF("event_type", "event_id", "value")
+    Load.partitionedParquet(df, dir, Seq("event_type"), Seq("event_id"))
+
+    val layout = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(Set("event_type=click", "event_type=view",
+      "event_type=purchase").subsetOf(layout), layout.toString)
+
+    val filtered = spark.read.parquet(dir)
+      .filter($"event_type" === "click")
+    assert(filtered.count() == 2)
+    // the equality filter must resolve as directory pruning, not data scan
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.contains("PartitionFilters: []"), plan.take(1500))
+  }
 }
