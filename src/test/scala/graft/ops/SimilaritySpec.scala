@@ -56,6 +56,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("bucketed thresholdPairs equals the exact all-pairs scan") {
+    // 0.3/0.6 exercise the grid branch, 0.9 the LSH branch (see dispatch)
     for (t <- Seq(0.3, 0.6, 0.9)) {
       val exact = Similarity.thresholdPairsExact(
           many, "vec_id", "embedding", t)
@@ -65,8 +66,32 @@ class SimilaritySpec extends SparkSpec {
           many, "vec_id", "embedding", t, dim = 8)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
-      assert(bucketed == exact, s"threshold $t: LSH path diverged")
+      assert(bucketed == exact, s"threshold $t: bucketed path diverged")
     }
+  }
+
+  test("both named strategies equal exact regardless of dispatch") {
+    for (t <- Seq(0.5, 0.9)) {
+      val exact = Similarity.thresholdPairsExact(
+          many, "vec_id", "embedding", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val grid = Similarity.gridThresholdPairs(
+          many, "vec_id", "embedding", t, blocks = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val lsh = Similarity.lshThresholdPairs(
+          many, "vec_id", "embedding", t, dim = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(grid == exact, s"t=$t: grid diverged")
+      assert(lsh == exact, s"t=$t: lsh diverged")
+    }
+  }
+
+  test("dispatch: LSH for sparse (high-t) regimes, grid for dense") {
+    assert(Similarity.lshCandidateRate(0.95) <= 0.5)
+    assert(Similarity.lshCandidateRate(0.35) > 0.5)
   }
 
   test("lshParams: recall at threshold meets the miss-probability target") {
