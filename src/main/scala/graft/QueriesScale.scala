@@ -222,6 +222,25 @@ object QueriesScale {
       StreamingOps.sessionize(events(s, d), "10 minutes")
         .orderBy(col("user_id"), col("session_start"))),
 
+    // event-time interval join — batch mode of the watermarked
+    // stream-stream join: each click picks up the same user's views from
+    // the preceding 10 minutes
+    "st4_interval_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      StreamingOps.intervalJoin(clicks, views, "user_id", "ts",
+          "10 minutes")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("r_event_id").as("view_id"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          col("r_value").as("view_value"))
+        .orderBy(col("click_id"), col("view_id"))
+    }),
+
     // custom keyed state (mapGroupsWithState) — batch mode of the streaming
     // running-totals accumulator; oracle = the equivalent group-by
     "st3_user_totals" -> ((s, d) =>
@@ -454,6 +473,19 @@ object QueriesScale {
         |       ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "st4_interval_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  strftime(c.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  v.event_id AS view_id,
+        |  strftime(v.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  v.value AS view_value
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP - INTERVAL '10 minutes'
+        | AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |ORDER BY click_id, view_id""".stripMargin,
 
     "st2_sessionize" ->
       """WITH o AS (

@@ -162,6 +162,26 @@ object StreamingOps {
       }
   }
 
+  /** Event-time interval join: each left row matched to the same key's
+    * right rows within [left.ts − lookback, left.ts]; right columns come
+    * back `r_`-prefixed. One definition, two modes:
+    *   - batch — an equi-join on the key with a time-range residual
+    *     condition (the oracle-checked `st4` catalog shape);
+    *   - streaming — the canonical watermarked stream-stream join: with a
+    *     watermark on BOTH inputs, the bounded time condition is exactly
+    *     what lets Spark expire buffered per-key state once the watermark
+    *     passes `ts + lookback` — state stays proportional to the lookback
+    *     window, not the stream length.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, lookback: String): DataFrame = {
+    val r = right.toDF(right.columns.map(c => s"r_$c"): _*)
+    left.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $lookback") &&
+        col(s"r_$tsCol") <= col(tsCol))
+  }
+
   /** Chunked incremental load with progress accounting (S6): stream the
     * source in micro-batches, append each batch to a parquet sink, log
     * cumulative rows + elapsed — the reference's chunked to_sql loop.

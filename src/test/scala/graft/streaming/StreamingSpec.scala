@@ -106,6 +106,38 @@ class StreamingSpec extends SparkSpec {
       s"watermark-driven timeout should close user 1: ${sessions()}")
   }
 
+  test("watermarked stream-stream interval join matches within lookback") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingOps.UserEvent
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val views = MemoryStream[UserEvent]
+    val joined = StreamingOps.intervalJoin(
+        clicks.toDS().toDF().withWatermark("ts", "0 seconds"),
+        views.toDS().toDF().withWatermark("ts", "0 seconds"),
+        "user_id", "ts", "10 minutes")
+      .select(col("user_id"), col("value").as("click_v"),
+        col("r_value").as("view_v"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin_test").start()
+
+    views.addData(UserEvent(1L, t("2024-01-01 10:00:00"), 100.0))
+    clicks.addData(
+      UserEvent(1L, t("2024-01-01 10:05:00"), 1.0),   // within 10 min
+      UserEvent(1L, t("2024-01-01 10:20:00"), 2.0),   // view too old
+      UserEvent(2L, t("2024-01-01 10:05:00"), 3.0))   // other user
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT user_id, click_v, view_v FROM ssjoin_test")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    q.stop()
+    assert(rows == Set((1L, 1.0, 100.0)),
+      s"only the in-window same-user pair should join: $rows")
+  }
+
   test("chunked incremental load lands all rows in the sink") {
     val out = java.nio.file.Files
       .createTempDirectory("chunked").toString + "/events_out"
