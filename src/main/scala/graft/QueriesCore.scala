@@ -661,6 +661,26 @@ object QueriesCore {
             .between(0.08, 0.12).as("frac_in_range"))
     }),
 
+    // O2c — stratified sampling: per-stratum Bernoulli fractions
+    // (df.stat.sampleBy, seeded). RNG is engine-specific → rows-only with
+    // a self-checking per-stratum tolerance flag (±25% of the target
+    // fraction, generous at these stratum sizes).
+    "o2c_stratified_sample" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val fractions = Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.1)
+      val target = fractions.foldLeft(lit(null).cast("double")) {
+        case (acc, (k, f)) => when(col("l_returnflag") === k, f).otherwise(acc)
+      }
+      li.stat.sampleBy("l_returnflag", fractions, 42L)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_sampled"))
+        .join(li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_total")), "l_returnflag")
+        .select(col("l_returnflag"), col("n_sampled"), col("n_total"),
+          (abs(col("n_sampled").cast("double") / col("n_total") - target)
+            / target <= 0.25).as("frac_in_range"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // O3 — positional slice: offset + limit (DC cells 5-7).
     "o3_slice" -> ((s, d) =>
       orders(s, d)
@@ -690,6 +710,26 @@ object QueriesCore {
         .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
         .select(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+    }),
+
+    // engine extra: time-RANGE window frame — trailing 30-day spend per
+    // customer. RANGE (unlike ROWS) includes ALL peers at equal order
+    // values, so the result is deterministic under ties without tie-break
+    // columns.
+    "w4_range_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // NTZ has no direct long cast; NTZ→TIMESTAMP uses the session TZ
+      // (UTC here), giving the same epoch seconds DuckDB's epoch() computes
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      orders(s, d)
+        .withColumn("trailing_30d_spend",
+          round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("trailing_30d_spend"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // engine extra: lag/lead — previous/next order price per customer
@@ -1130,6 +1170,15 @@ object QueriesCore {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "w4_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  ROUND(SUM(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+        |    AS trailing_30d_spend
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "g1_rollup" ->
       """SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,

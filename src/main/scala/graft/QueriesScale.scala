@@ -142,6 +142,12 @@ object QueriesScale {
           TextOps.fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy(col("doc_id"))),
 
+    // exact corpus TF-IDF over whitespace tokens — arithmetic is
+    // deterministic, so the full (doc, term) relation is oracle-compared
+    "ts6_tfidf" -> ((s, d) =>
+      TextOps.tfidf(fanOut(documents(s, d)), "doc_id", "text")
+        .orderBy(col("doc_id"), col("term"))),
+
     // winnowing-style rolling-hash fingerprint (xxhash64-seeded → no oracle)
     "ts5_rolling_fp" -> ((s, d) =>
       fanOut(documents(s, d))
@@ -402,6 +408,21 @@ object QueriesScale {
         |       + GREATEST(1.0 - (n_punct * 1.0 / n_chars_q) * 10.0, 0.0))
         |       / 3.0, 4) AS quality
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "ts6_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+        |    AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+        |          FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT t.doc_id, t.term,
+        |  ROUND(t.tf * ln(n.n * 1.0 / d.df), 4) AS tfidf
+        |FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+        |ORDER BY doc_id, term""".stripMargin,
 
     "ts3_token_count" ->
       """SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: language ID
@@ -100,6 +100,29 @@ object TextOps {
   def qualityScore(text: Column): Column =
     qualityScoreFromCounts(length(text), wordCount(text), punctCount(text),
       markerCount(text, stopwords))
+
+  /** Exact corpus TF-IDF: per-(doc, term) score = tf × ln(N/df).
+    * Two aggregations over the exploded token relation — term frequency
+    * keyed by (doc, term), document frequency keyed by term (both
+    * map-side-combining before their shuffle) — then a term-keyed join and
+    * a broadcast of the 1-row corpus size. The token relation is derived
+    * twice (once per aggregation): at corpus scale re-tokenizing is one
+    * linear codegen pass per side, cheaper than materializing the exploded
+    * relation through a barrier shuffle.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), "\\s+")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4)
+          .as("tfidf"))
+  }
 
   /** Content fingerprint: md5 (cross-engine checkable). */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))

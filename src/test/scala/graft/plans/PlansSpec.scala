@@ -36,13 +36,14 @@ class PlansSpec extends SparkSpec {
       "dim chain must not shuffle the fact table")
   }
 
-  // 1-row × 1-row aggregate combinations (constant cost) and documented
-  // broadcast nested-loop ops: sim1 (exact brute-force baseline: corpus ×
-  // broadcast query set), sim3 (query × broadcast centroids probe),
-  // j6 (non-equi band join against a broadcast 3-row dim).
+  // 1-row × 1-row aggregate combinations (constant cost: a8, dd3, o2b,
+  // e1, and ts6's broadcast corpus-size row) and documented broadcast
+  // nested-loop ops: sim1 (exact brute-force baseline: corpus × broadcast
+  // query set), sim3 (query × broadcast centroids probe), j6 (non-equi
+  // band join against a broadcast 3-row dim).
   private val allowedQuadratic = Set(
     "a8_counts", "dd3_lsh_stats", "o2b_sample_seeded", "e1_movie_pipeline",
-    "sim1_cosine_topk", "sim3_ivf_topk", "j6_range_join")
+    "ts6_tfidf", "sim1_cosine_topk", "sim3_ivf_topk", "j6_range_join")
 
   test("no cartesian/nested-loop join outside documented ops") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
