@@ -380,6 +380,17 @@ object QueriesCore {
           col("bad_num"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty_int"))),
 
+    // X18 — semi-structured field access: extract + type a key from the
+    // JSON props column (the S1 polymorphic-JSON domain applied at the
+    // expression layer; get_json_object stays codegen'd and prunes to the
+    // single needed key, no full from_json struct materialization).
+    "x18_json_extract" -> ((s, d) =>
+      events(s, d)
+        .withColumn("k_val",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("event_id"), col("k_val"))
+        .orderBy(col("event_id"))),
+
     // X15 — epoch seconds → timestamp (challenge.py:219), emitted as string.
     "x15_epoch_seconds" -> ((s, d) =>
       events(s, d)
@@ -969,6 +980,11 @@ object QueriesCore {
         |  CAST(l_quantity AS BIGINT) AS qty_int,
         |  TRY_CAST(l_returnflag AS DOUBLE) AS bad_num
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_int""".stripMargin,
+
+    "x18_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "x15_epoch_seconds" ->
       """SELECT event_id,
