@@ -204,7 +204,7 @@ object QueriesScale {
 
     "mm2_frame_sample" -> ((s, d) => {
       val media = Multimodal.withBinaryPayload(
-        documents(s, d), "doc_id", "text")
+        fanOut(documents(s, d)), "doc_id", "text")
       Multimodal.sampleFrames(media, "doc_id", 64, 5)
         .orderBy(col("doc_id"), col("frame_no"))
     }),

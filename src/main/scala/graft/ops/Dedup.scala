@@ -129,17 +129,20 @@ object Dedup {
     */
   def lshCandidatePairs(bandsDf: DataFrame, idCol: String,
       maxBucket: Int = 1000): DataFrame = {
-    val sized = bandsDf.withColumn("bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bsz") <= maxBucket)
-    val a = sized.select(col("band"), col("band_hash"),
-      col(idCol).as("id_a"))
-    val b = sized.select(col("band"), col("band_hash"),
-      col(idCol).as("id_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // one groupBy on the bucket key, pairs emitted in-task from the
+    // collected bucket (the same shape as [[ngramJaccardPairs]]) — the
+    // window-count alternative pays a sort inside the band exchange for
+    // nothing; a collected bucket is idCol-only, so even a degenerate
+    // bucket is bounded memory before the size filter drops it
+    bandsDf.groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col(idCol)).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
+      .select(explode(expr(
+        "filter(flatten(transform(docs, a -> transform(docs, " +
+          "b -> struct(a AS id_a, b AS id_b)))), " +
+          "p -> p.id_a < p.id_b)")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
   }
 
   /** Estimated Jaccard for candidate pairs from their signatures: fraction of

@@ -140,4 +140,15 @@ class MovieEtlSpec extends SparkSpec {
     assert(k.count() == 50)
     assert(!k.columns.contains("adult"))
   }
+
+  test("e1 entry leaves the caller session's caseSensitive untouched") {
+    // the ETL needs caseSensitive=true for the wiki schema; the catalog
+    // entry scopes the flip to a child session so a shared Verify/Bench
+    // session keeps its resolution semantics regardless of run order
+    spark.conf.set("spark.sql.caseSensitive", "false")
+    val row = graft.QueriesEtl.queries("e1_movie_pipeline")(spark, "")
+      .collect().head
+    assert(row.getLong(0) > 0)
+    assert(spark.conf.get("spark.sql.caseSensitive") == "false")
+  }
 }

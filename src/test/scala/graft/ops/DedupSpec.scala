@@ -89,6 +89,18 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 435L)
   }
 
+  test("lshCandidatePairs: no sort or window in the bucket plan") {
+    // pairs are emitted in-task from collected buckets (one groupBy on the
+    // bucket key); the old window-count sizing forced a sort inside the
+    // band exchange — lock the sort-free shape in
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64)
+    val bands = Dedup.lshBands(sig, "doc_id", 16, 4)
+    val plan = Dedup.lshCandidatePairs(bands, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Sort ["), plan.take(2000))
+  }
+
   test("barrier is a semantic identity (incl. key-only relations)") {
     val df = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "s", "v")
     val b = Dedup.barrier(df, "id")
