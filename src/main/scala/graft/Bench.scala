@@ -6,22 +6,37 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line. Results are forced with a noop-format write (full
   * plan execution incl. projected columns — `count()` would let Spark prune
   * the very expressions being measured).
+  *
+  * Each query is timed in a FRESH SparkSession (shared SparkContext,
+  * rebuilt session state): a single long-lived session accumulating all
+  * headline queries degrades 3-5× on later queries on this host (codegen
+  * cache + GC pressure), which corrupts the round-over-round signal — r3's
+  * apparent dd5 regression was exactly that artifact. A fresh session per
+  * query makes every reported number reproducible in isolation; min-of-3
+  * after a warmup run damps the host's CPU-steal spikes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      // one ~20 MB parquet file per table would yield <4 input splits under
-      // the 128 MB default — split finer so all cores scan in parallel
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+    def freshSession(): SparkSession = {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        // one ~20 MB parquet file per table would yield <4 input splits
+        // under the 128 MB default — split finer so all cores scan in
+        // parallel
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
 
     val headline = Seq(
       "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
@@ -29,9 +44,10 @@ object Bench {
       "j1_inner_join", "j2_left_join_fill", "j5_asof_join",
       "a2_pivot", "w1_row_number", "x7_parse_dollars", "x13_date_cascade",
       "dd2_minhash_sig", "dd5_ngram_jaccard", "dd6_embedding_neardup",
-      "dd7_simhash_neardup", "ts2_quality",
-      "sim1_cosine_topk", "sim2_threshold_pairs",
-      "st1_hourly_window", "st2_sessionize",
+      "dd7_simhash_neardup", "ts2_quality", "ts6_tfidf",
+      "sim1_cosine_topk", "sim2_threshold_pairs", "sim4_clustered_pairs",
+      "st1_hourly_window", "st2_sessionize", "st4_interval_join",
+      "tp1_curation",
       "mm1_binary_meta")
 
     val all = SparkEntry.queries
@@ -39,6 +55,7 @@ object Bench {
     // file-index setup, then min of three timed runs (what a resident
     // cluster would see; min damps this host's up-to-5× CPU-steal spikes).
     val results = headline.filter(all.contains).map { name =>
+      val spark = freshSession()
       def once(): Double = {
         val t0 = System.nanoTime()
         all(name)(spark, sfDir).write.format("noop")
@@ -50,6 +67,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
       }
+      // give the next query a clean runway: the dropped session's codegen
+      // classes and shuffle buffers are only reclaimed on GC
+      System.gc()
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -57,6 +77,6 @@ object Bench {
     val total = results.map(_._2).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    freshSession().stop()
   }
 }
