@@ -479,6 +479,22 @@ object QueriesCore {
         .orderBy(col("band"))
     }),
 
+    // engine extra: bucketed range join — the interval-set-scalable form
+    // of j6: 1000 bands equi-joined on floor(value/width) buckets with a
+    // containment residual; hash join only, no nested loop (PlansSpec's
+    // global no-quadratic check covers it since it is NOT allow-listed)
+    "j6b_bucketed_range_join" -> ((s, d) => {
+      val bands = s.range(1000).select(col("id").as("band"),
+        (col("id") * lit(0.1)).as("lo"),
+        ((col("id") + 1) * lit(0.1)).as("hi"))
+      graft.ops.Joins.bucketedRangeJoin(events(s, d), bands, "value",
+          "lo", "hi", 0.1)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("band"))
+    }),
+
     // engine extra: full outer join — unmatched sides surface with nulls
     "j8_full_outer" -> ((s, d) => {
       val c = customer(s, d).select(col("c_custkey"), col("c_name"))
@@ -1080,6 +1096,15 @@ object QueriesCore {
         |         ('high', 16.0, 1e9))
         |SELECT band, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "j6b_bucketed_range_join" ->
+      """WITH bands AS (
+        |  SELECT unnest(generate_series(0, 999)) AS band),
+        |b AS (SELECT band, band * CAST(0.1 AS DOUBLE) AS lo,
+        |             (band + 1) * CAST(0.1 AS DOUBLE) AS hi FROM bands)
+        |SELECT band, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY band ORDER BY band""".stripMargin,
 
     "a1_groupby_count" ->

@@ -80,6 +80,30 @@ object Joins {
     fact.join(broadcast(dims),
       fact(valueCol) >= dims(loCol) && fact(valueCol) < dims(hiCol))
 
+  /** Bucketed range join — the large-interval-set variant of [[rangeJoin]]:
+    * both sides bucket by `floor(value / bucketWidth)`. A dim interval
+    * `[lo, hi)` is replicated to every bucket it overlaps (span/width + 1
+    * rows), a fact lands in exactly one bucket, and the join becomes an
+    * EQUI-join on the bucket id with interval containment as a residual
+    * filter — Catalyst plans a hash join (broadcast or shuffled), never a
+    * nested loop, so cost is O(facts + dims·span/width + matches) at any
+    * dim cardinality. Pick `bucketWidth` near the median interval span so
+    * dim replication stays O(1) per interval. Floor-division monotonicity
+    * guarantees a fact's bucket always lies within its matching interval's
+    * bucket range, so results are identical to [[rangeJoin]].
+    */
+  def bucketedRangeJoin(fact: DataFrame, dims: DataFrame, valueCol: String,
+      loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+    val fb = fact.withColumn("_bkt",
+      floor(col(valueCol) / bucketWidth).cast("long"))
+    val db = dims.withColumn("_bkt", explode(sequence(
+      floor(col(loCol) / bucketWidth).cast("long"),
+      floor(col(hiCol) / bucketWidth).cast("long"))))
+    fb.join(db, Seq("_bkt"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("_bkt")
+  }
+
   /** Salted equi-join for skewed key distributions: the skewed side gets a
     * uniform salt in `[0, salts)`, the other side is replicated once per
     * salt value, and the shuffle key becomes (key, salt) — a hot key's rows

@@ -76,4 +76,27 @@ class JoinsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "low", 2L -> "mid", 3L -> "mid", 4L -> "high"))
   }
+
+  test("bucketedRangeJoin: equals rangeJoin incl. boundaries, hash join only") {
+    // boundary values sit exactly on band edges (8.0 → mid, not low) and
+    // on bucket edges for several widths; results must match the
+    // nested-loop reference join bit-for-bit
+    val fact = ((0 to 200).map(i => (i.toLong, i * 0.31)) ++
+      Seq((900L, 8.0), (901L, 16.0), (902L, 0.0))).toDF("id", "value")
+    val bands = Seq(("low", 0.0, 8.0), ("mid", 8.0, 16.0),
+      ("high", 16.0, 64.0)).toDF("band", "lo", "hi")
+    val ref = Joins.rangeJoin(fact, bands, "value", "lo", "hi")
+      .select("id", "band").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    for (w <- Seq(0.1, 1.0, 7.0, 64.0)) {
+      val bkt = Joins.bucketedRangeJoin(fact, bands, "value", "lo", "hi", w)
+      val got = bkt.select("id", "band").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got == ref, s"width $w diverges from rangeJoin")
+    }
+    val plan = Joins.bucketedRangeJoin(fact, bands, "value", "lo", "hi", 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
