@@ -182,6 +182,41 @@ object QueriesScale {
           embeddings(s, d), "vec_id", "embedding", "label", 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // seeded k-means training (Lloyd's, deterministic init = vectors of
+    // the k smallest ids) — the self-contained IVF path for unlabeled
+    // corpora. The FULL final assignment relation is oracle-checked
+    // against an unrolled Lloyd's in DuckDB (same init, same rounded
+    // tie-breaks), proving the training itself, not just its shape.
+    "sim5_kmeans_train" -> ((s, d) =>
+      Similarity.kmeansAssign(embeddings(s, d), "vec_id", "embedding",
+          k = 10, iters = 2)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))),
+
+    // end-to-end self-contained ANN: train clusters with k-means, probe
+    // with ivfTopK, score recall@5 against in-entry brute force. Approx
+    // recall is hash-free but float-tie-sensitive → self-checking
+    // rows-only entry: the `recall_ok` column asserts the quality floor.
+    "sim6_kmeans_ivf" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val clusters = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        k = 10, iters = 2)
+      val clustered = emb.join(clusters, "vec_id")
+      val queries = emb.filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfTopK(clustered, queries, "vec_id",
+        "embedding", "cluster", 5, 2)
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 5)
+      val hits = bf.select(col("query_id"), col("neighbor_id"))
+        .join(ivf.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      bf.agg(count(lit(1)).as("n_bf"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_bf"), col("n_hit"),
+          round(col("n_hit") / col("n_bf"), 4).as("recall"),
+          (col("n_hit") / col("n_bf") >= 0.8).as("recall_ok"))
+    }),
+
     // IVF-style ANN probe — approximate vs brute force, but deterministic
     // (clusters = label column, no RNG) → fully oracle-checked
     "sim3_ivf_topk" -> ((s, d) => {
@@ -300,6 +335,42 @@ object QueriesScale {
         |  FROM probe)
         |SELECT query_id, neighbor_id, sim, cluster, rnk
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // unrolled 2-iteration Lloyd's with the same deterministic init and
+    // the same rounded tie-break as Similarity.kmeansAssign
+    "sim5_kmeans_train" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+        |              v AS centroid
+        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 10)),
+        |a1 AS (SELECT vec_id, v, cluster FROM (
+        |         SELECT e.vec_id, e.v, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |             ORDER BY ROUND(list_cosine_similarity(e.v, c.centroid),
+        |                            6) DESC, c.cluster) AS rk
+        |         FROM e, c0 c) WHERE rk = 1),
+        |c1 AS (SELECT cluster, list(cavg ORDER BY i) AS centroid FROM (
+        |         SELECT cluster, i, avg(v[i]) AS cavg FROM (
+        |           SELECT cluster, unnest(generate_series(1, len(v))) AS i, v
+        |           FROM a1) GROUP BY cluster, i) GROUP BY cluster),
+        |a2 AS (SELECT vec_id, v, cluster FROM (
+        |         SELECT e.vec_id, e.v, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |             ORDER BY ROUND(list_cosine_similarity(e.v, c.centroid),
+        |                            6) DESC, c.cluster) AS rk
+        |         FROM e, c1 c) WHERE rk = 1),
+        |c2 AS (SELECT cluster, list(cavg ORDER BY i) AS centroid FROM (
+        |         SELECT cluster, i, avg(v[i]) AS cavg FROM (
+        |           SELECT cluster, unnest(generate_series(1, len(v))) AS i, v
+        |           FROM a2) GROUP BY cluster, i) GROUP BY cluster),
+        |fin AS (SELECT vec_id, cluster FROM (
+        |         SELECT e.vec_id, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |             ORDER BY ROUND(list_cosine_similarity(e.v, c.centroid),
+        |                            6) DESC, c.cluster) AS rk
+        |         FROM e, c2 c) WHERE rk = 1)
+        |SELECT vec_id, cluster FROM fin ORDER BY vec_id""".stripMargin,
 
     "dd6_embedding_neardup" ->
       """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -267,6 +267,58 @@ object Similarity {
         expr("transform(pairs, p -> p.mv)").as("centroid"))
   }
 
+  /** Deterministic seeded k-means (Lloyd's) over an embedding column —
+    * makes the IVF stack self-contained on unlabeled corpora: the returned
+    * (id, cluster) assignment is exactly what [[ivfTopK]] /
+    * [[clusteredThresholdPairs]] consume as their cluster column.
+    *
+    * Determinism and scale shape:
+    *   - init = the vectors of the k smallest ids (no RNG — reproducible
+    *     and oracle-replicable), cluster index = rank by id;
+    *   - assignment is a ROW-LOCAL fold over the k centroids embedded as a
+    *     literal array (argmax by cosine, rounded to 6 so ties break the
+    *     same under any summation order; strict `>` + ascending cluster
+    *     order = lowest cluster wins ties). Zero shuffle, no window, no
+    *     join — the corpus is scanned once per iteration;
+    *   - recompute reuses the [[centroids]] shuffle (posexplode keyed by
+    *     (cluster, pos) with map-side combine), then pulls k·dim doubles
+    *     to the driver for the next iteration's literal — the MLlib
+    *     pattern; per-iteration cost is one scan + one tiny shuffle, and
+    *     the final plan stays shallow. Empty clusters simply drop out.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol))
+
+    def assignCol(cents: Seq[(Int, Seq[Double])]): Column = {
+      val centArr = array(cents.sortBy(_._1).map { case (cid, v) =>
+        struct(lit(cid).as("cluster"), typedlit(v).as("centroid"))
+      }: _*)
+      aggregate(centArr,
+        struct(lit(-2.0).as("sim"), lit(-1).as("cluster")),
+        (acc, c) => {
+          val s = round(cosine(col(vecCol), c.getField("centroid")), 6)
+          when(s > acc.getField("sim"),
+            struct(s.as("sim"), c.getField("cluster").as("cluster")))
+            .otherwise(acc)
+        }).getField("cluster")
+    }
+
+    var cents: Seq[(Int, Seq[Double])] = base
+      .orderBy(col(idCol)).limit(k)
+      .select(transform(col(vecCol), x => x.cast("double")))
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
+    for (_ <- 1 to iters) {
+      val assigned = base.withColumn("cluster", assignCol(cents))
+      cents = centroids(assigned, "cluster", vecCol)
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+    }
+    base.withColumn("cluster", assignCol(cents))
+      .select(col(idCol), col("cluster"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, clusterCol: String, k: Int, nprobe: Int = 1)
   : DataFrame = {

@@ -121,6 +121,32 @@ class SimilaritySpec extends SparkSpec {
       "cross-cluster pair must be pruned by the blocking")
   }
 
+  test("kmeansAssign recovers well-separated direction clusters") {
+    // three orthogonal direction cones with small off-axis jitter; ids
+    // interleave true clusters so the deterministic init (k smallest ids)
+    // spans all three
+    val pts = (0 until 30).map { i =>
+      val c = i % 3
+      val v = Array.fill(4)(0.0f)
+      v(c) = 1.0f
+      v(3) = 0.05f * ((i / 3) % 5)
+      (i.toLong, v)
+    }
+    val df = pts.toDF("id", "vec")
+    val got = Similarity.kmeansAssign(df, "id", "vec", 3, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (c <- 0 until 3) {
+      val members = (0 until 30).filter(_ % 3 == c).map(i => got(i.toLong))
+      assert(members.distinct.size == 1, s"true cluster $c split: $members")
+    }
+    assert((0 until 3).map(c => got(c.toLong)).distinct.size == 3,
+      "three true clusters must map to three distinct trained clusters")
+    // deterministic: a second run reproduces the assignment exactly
+    val again = Similarity.kmeansAssign(df, "id", "vec", 3, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == got)
+  }
+
   test("thresholdPairs plan has no cartesian/nested-loop join") {
     val plan = Similarity.thresholdPairs(
         many, "vec_id", "embedding", 0.5, dim = 8)
