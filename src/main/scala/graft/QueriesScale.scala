@@ -282,6 +282,71 @@ object QueriesScale {
         .orderBy(col("click_id"), col("view_id"))
     }),
 
+    // S4/S6 driver-visible proof: run the TRUE streaming paths (file
+    // source, maxFilesPerTrigger=1, watermark, AvailableNow) over a
+    // multi-file landing zone and check them against the batch results in
+    // one self-checking row. hourly agg (complete mode) must EQUAL the
+    // batch result exactly; the stateful sessionizer's CLOSED sessions
+    // must be a subset of batch sessions with only still-open tails
+    // (each user's last session) allowed to be missing — no DuckDB
+    // oracle can run a watermark, so the entry carries its own `equal`
+    // verdict (rows-only check by design).
+    "st2b_stream_batch_equiv" -> ((s, d) => {
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_landing_").toString
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // a time-ordered landing zone: six sequential appends (one per ts
+      // sextile) give strictly increasing file modification times, and the
+      // file stream source processes oldest-first — so micro-batches
+      // arrive in event-time order, watermarks advance monotonically and
+      // nothing is late. (A single multi-file write does NOT guarantee
+      // discovery order: all parts share one mtime.)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val withB = raw.withColumn("_b",
+        ntile(6).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"))))
+      for (i <- 1 to 6) {
+        withB.filter(col("_b") === i).drop("_b")
+          .coalesce(1).write.mode("append").parquet(tmp)
+        Thread.sleep(20)  // ensure distinct mtimes at fs resolution
+      }
+
+      val hq = StreamingOps.streamingHourlyAgg(s, tmp, s"st2b_h_$tag")
+      hq.awaitTermination()
+      val hStream = s.table(s"st2b_h_$tag")
+      val hBatch = StreamingOps.hourlyAgg(events(s, d))
+
+      val closed = StreamingOps.streamClosedSessions(s, tmp, "10 minutes",
+        s"st2b_s_$tag")
+      val cN = closed.select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
+      val bSess = StreamingOps.sessionize(events(s, d), "10 minutes")
+      val lastPerUser = bSess.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("session_start").desc)))
+        .filter(col("rk") === 1).drop("rk")
+
+      hStream.exceptAll(hBatch).agg(count(lit(1)).as("h_only_stream"))
+        .crossJoin(hBatch.exceptAll(hStream)
+          .agg(count(lit(1)).as("h_only_batch")))
+        .crossJoin(cN.exceptAll(bSess)
+          .agg(count(lit(1)).as("sess_not_in_batch")))
+        .crossJoin(bSess.exceptAll(cN).exceptAll(lastPerUser)
+          .agg(count(lit(1)).as("sess_missing_nonlast")))
+        .crossJoin(bSess.agg(count(lit(1)).as("n_batch_sessions")))
+        .crossJoin(cN.agg(count(lit(1)).as("n_closed_stream")))
+        .select(col("n_batch_sessions"), col("n_closed_stream"),
+          col("h_only_stream"), col("h_only_batch"),
+          col("sess_not_in_batch"), col("sess_missing_nonlast"),
+          (col("h_only_stream") === 0 && col("h_only_batch") === 0 &&
+            col("sess_not_in_batch") === 0 &&
+            col("sess_missing_nonlast") === 0).as("equal"))
+    }),
+
     // custom keyed state (mapGroupsWithState) — batch mode of the streaming
     // running-totals accumulator; oracle = the equivalent group-by
     "st3_user_totals" -> ((s, d) =>

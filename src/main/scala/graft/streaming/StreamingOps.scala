@@ -143,7 +143,11 @@ object StreamingOps {
             var cur = state.getOption
             ticks.foreach { t =>
               cur = cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                // strict <: an event exactly `gap` after the last starts a
+                // NEW session, matching session_window ([start, last+gap)
+                // windows don't overlap at t = last+gap) so streaming and
+                // batch sessionization agree on boundary events
+                case Some(s) if t - s.last < gapMs =>
                   Some(OpenSession(s.start, t, s.n + 1))
                 case Some(s) =>
                   closed ::= ClosedSession(uid,
@@ -155,7 +159,12 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // clamp to the watermark: a session already overdue (its
+              // user's ticks arrived in a batch whose watermark passed
+              // last+gap) times out at the next instant instead of
+              // throwing "timeout earlier than watermark"
+              state.setTimeoutTimestamp(math.max(s.last + gapMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.reverse.iterator
           }
@@ -180,6 +189,29 @@ object StreamingOps {
       col(keyCol) === col(s"r_$keyCol") &&
         col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $lookback") &&
         col(s"r_$tsCol") <= col(tsCol))
+  }
+
+  /** Drive [[statefulSessionize]] over a parquet landing zone with
+    * `AvailableNow` and return the CLOSED sessions it emitted (memory
+    * sink). The driver-visible batch-equivalence proof for S4/S6 lives in
+    * the `st2b_stream_batch_equiv` catalog entry, which checks these
+    * against [[sessionize]]'s batch result.
+    */
+  def streamClosedSessions(spark: SparkSession, eventsDir: String,
+      gap: String, queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    import spark.implicits._
+    val ticks = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts")).as[UserTick]
+    val q = statefulSessionize(ticks, gap)
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
   }
 
   /** Chunked incremental load with progress accounting (S6): stream the

@@ -45,7 +45,9 @@ class PlansSpec extends SparkSpec {
     "a8_counts", "dd3_lsh_stats", "o2b_sample_seeded", "e1_movie_pipeline",
     "ts6_tfidf", "sim1_cosine_topk", "sim3_ivf_topk", "j6_range_join",
     // in-entry brute-force recall baseline × broadcast IVF probe
-    "sim6_kmeans_ivf")
+    "sim6_kmeans_ivf",
+    // 1-row × 1-row accounting combination over streamed-vs-batch counts
+    "st2b_stream_batch_equiv")
 
   test("no cartesian/nested-loop join outside documented ops") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
