@@ -141,6 +141,27 @@ object QueriesCore {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
 
+    // S5 — data-lake sink round trip: write events Hive-partitioned by
+    // event date (Load.partitionedParquet, ts-clustered within partitions),
+    // read back with a partition predicate — the filter must become
+    // directory pruning (PartitionFilters, asserted in PlansSpec), with
+    // the aggregate oracle-checked against the same filter on the source.
+    // The min-date literal is one driver round-trip (the data-dependent
+    // predicate decision, same pattern as P1's null-ratio pruning).
+    "s5_lake_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_").toString
+      val ev = events(s, d)
+        .withColumn("date", to_date(col("ts")).cast("string"))
+      graft.etl.Load.partitionedParquet(ev, tmp, Seq("date"), Seq("ts"))
+      val minDate = ev.agg(min(col("date"))).head().getString(0)
+      s.read.parquet(tmp)
+        .filter(col("date") === lit(minDate))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("part_date", lit(minDate))
+    }),
+
     // ---- F: filters -------------------------------------------------------
     // F1 — compound key-existence style predicate (challenge.py:55-58 shape).
     "f1_key_existence" -> ((s, d) =>
@@ -857,6 +878,15 @@ object QueriesCore {
     "s2_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "s5_lake_roundtrip" ->
+      """WITH src AS (SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS date,
+        |                    value
+        |             FROM events),
+        |m AS (SELECT MIN(date) AS d FROM src)
+        |SELECT COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value,
+        |       MIN(m.d) AS part_date
+        |FROM src, m WHERE src.date = m.d""".stripMargin,
 
     "f1_key_existence" ->
       """SELECT event_id, event_type, user_id FROM events

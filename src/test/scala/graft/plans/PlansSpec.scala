@@ -60,6 +60,14 @@ class PlansSpec extends SparkSpec {
       s"quadratic join introduced in: ${offenders.mkString(", ")}")
   }
 
+  test("s5: lake read-back scan prunes partitions (PartitionFilters)") {
+    val plan = planOf("s5_lake_roundtrip")
+    assert(plan.contains("PartitionFilters: [isnotnull(date"),
+      plan.take(2000))
+    // no data filter should remain — pruning is purely directory-level
+    assert(plan.contains("(date"), plan.take(2000))
+  }
+
   test("ts2: each text regex evaluated once (two-stage projection held)") {
     val plan = QueriesScale.queries("ts2_quality")(spark, sf)
       .queryExecution.optimizedPlan.toString
