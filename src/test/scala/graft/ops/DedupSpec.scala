@@ -101,6 +101,19 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Sort ["), plan.take(2000))
   }
 
+  test("lshCandidatePairs maxBucket drops degenerate constant-text buckets") {
+    // constant corpus: every doc lands in the SAME bucket of every band —
+    // uncapped that is all n(n-1)/2 pairs; the cap trades that recall for
+    // a hard cost bound (the web-scale constant-boilerplate case)
+    val const = (1 to 20).map(i => (i.toLong, "same text in every doc here"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(const, "doc_id", "text", 3, 64)
+    val bands = Dedup.lshBands(sig, "doc_id", 16, 4)
+    assert(Dedup.lshCandidatePairs(bands, "doc_id").count() == 190L)
+    assert(Dedup.lshCandidatePairs(bands, "doc_id", maxBucket = 10)
+      .count() == 0L)
+  }
+
   test("barrier is a semantic identity (incl. key-only relations)") {
     val df = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "s", "v")
     val b = Dedup.barrier(df, "id")

@@ -121,6 +121,40 @@ class SimilaritySpec extends SparkSpec {
       "cross-cluster pair must be pruned by the blocking")
   }
 
+  test("pair mining survives adversarial corpora (duplicates, constants)") {
+    // corpora where buckets degenerate: heavy exact-duplicate mass (every
+    // dup pair shares every LSH band; grid diagonal blocks fill up) and
+    // constant corpora (ONE bucket holds everything, all pairs at sim
+    // 1.0). Both strategies must still equal the exact scan bit-for-bit.
+    val rnd = new scala.util.Random(20260812L)
+    def corpus(n: Int, dupFrac: Double, constFrac: Double) = {
+      val pool = Seq.fill(4)(Array.fill(8)(rnd.nextGaussian().toFloat))
+      val constV = Array.fill(8)(0.5f)
+      (0 until n).map { i =>
+        val u = rnd.nextDouble()
+        val v = if (u < constFrac) constV
+          else if (u < constFrac + dupFrac) pool(rnd.nextInt(pool.size))
+          else Array.fill(8)(rnd.nextGaussian().toFloat)
+        (i.toLong, v.clone())
+      }.toDF("vec_id", "embedding")
+    }
+    for ((dupF, constF) <- Seq((0.8, 0.0), (0.0, 1.0), (0.5, 0.3));
+         t <- Seq(0.5, 0.9)) {
+      val df = corpus(30, dupF, constF)
+      def mine(f: => org.apache.spark.sql.DataFrame) =
+        f.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+      val exact = mine(Similarity.thresholdPairsExact(
+        df, "vec_id", "embedding", t))
+      val grid = mine(Similarity.gridThresholdPairs(
+        df, "vec_id", "embedding", t, blocks = 5))
+      val lsh = mine(Similarity.lshThresholdPairs(
+        df, "vec_id", "embedding", t, dim = 8))
+      assert(grid == exact, s"grid diverged dup=$dupF const=$constF t=$t")
+      assert(lsh == exact, s"lsh diverged dup=$dupF const=$constF t=$t")
+    }
+  }
+
   test("kmeansAssign recovers well-separated direction clusters") {
     // three orthogonal direction cones with small off-axis jitter; ids
     // interleave true clusters so the deterministic init (k smallest ids)
