@@ -162,6 +162,30 @@ object QueriesCore {
         .withColumn("part_date", lit(minDate))
     }),
 
+    // J9 — join-driven dynamic partition pruning over the lake layout:
+    // the fact side is the date-partitioned parquet from the S5 sink, the
+    // dim side is a filtered date list from the SOURCE table. Joining on
+    // the partition column makes Catalyst inject a
+    // DynamicPruningExpression into the fact scan (asserted in PlansSpec)
+    // — at 100 TB the runtime-built date filter skips whole partitions
+    // the dim never mentions, without any literal predicate in the query.
+    "j9_partition_pruned_join" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dpp_").toString
+      val ev = events(s, d)
+        .withColumn("date", to_date(col("ts")).cast("string"))
+      graft.etl.Load.partitionedParquet(ev, tmp, Seq("date"))
+      val fact = s.read.parquet(tmp)
+      val cutoff = ev.select(col("date")).distinct()
+        .orderBy(col("date")).limit(3).collect().last.getString(0)
+      val dim = ev.select(col("date")).distinct()
+        .filter(col("date") <= lit(cutoff))
+      fact.join(broadcast(dim), Seq("date"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("cutoff_date", lit(cutoff))
+    }),
+
     // ---- F: filters -------------------------------------------------------
     // F1 — compound key-existence style predicate (challenge.py:55-58 shape).
     "f1_key_existence" -> ((s, d) =>
@@ -887,6 +911,16 @@ object QueriesCore {
         |SELECT COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value,
         |       MIN(m.d) AS part_date
         |FROM src, m WHERE src.date = m.d""".stripMargin,
+
+    "j9_partition_pruned_join" ->
+      """WITH src AS (SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS date,
+        |                    value
+        |             FROM events),
+        |dates AS (SELECT DISTINCT date FROM src ORDER BY date LIMIT 3),
+        |cut AS (SELECT MAX(date) AS c FROM dates)
+        |SELECT COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value,
+        |       MIN(cut.c) AS cutoff_date
+        |FROM src, cut WHERE src.date <= cut.c""".stripMargin,
 
     "f1_key_existence" ->
       """SELECT event_id, event_type, user_id FROM events

@@ -68,6 +68,11 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("(date"), plan.take(2000))
   }
 
+  test("j9: join on the partition column triggers dynamic pruning") {
+    val plan = planOf("j9_partition_pruned_join")
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(3000))
+  }
+
   test("ts2: each text regex evaluated once (two-stage projection held)") {
     val plan = QueriesScale.queries("ts2_quality")(spark, sf)
       .queryExecution.optimizedPlan.toString
