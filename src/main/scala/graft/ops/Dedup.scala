@@ -166,10 +166,26 @@ object Dedup {
     * token-hash bit, sign → fingerprint bit.
     *
     * Computed PER ROW: token hashes are materialized once per doc
-    * (`transform` + xxhash64), then each bit folds over the hash array —
-    * zero shuffles vs the classic explode + 64-agg groupBy.
+    * (`transform` + xxhash64), then the fingerprint is ONE pass over the
+    * hash array via the native [[graft.functions.SimHash64]] expression
+    * (64 counters in a single codegen'd loop) — zero shuffles vs the
+    * classic explode + 64-agg groupBy, and none of the 64-fold builtin
+    * chain's repeated array passes / codegen blow-up (see
+    * [[simhash64Chain]], kept as the equivalence reference).
     */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHash64(
+        transform(tokens(col(textCol)), t => xxhash64(t))).as("simhash"))
+
+  /** The portable builtin-only formulation of [[simhash64]] (64 aggregate
+    * folds OR-ed together). Bit-identical on non-null input — DedupSpec
+    * asserts it against the native expression — but re-reads the hash
+    * array 64×; kept as the semantic reference and for engines without
+    * the extension registered.
+    */
+  private[ops] def simhash64Chain(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val withHashes = df.select(col(idCol),
       transform(tokens(col(textCol)), t => xxhash64(t)).as("thashes"))
     val fp = (0 until 64).map { i =>
@@ -178,8 +194,6 @@ object Dedup {
           when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
       when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    // Barrier-free like minhashSignatures; multi-reference consumers (e.g.
-    // [[simhashNearDupPairs]]) wrap the result in [[barrier]] themselves.
     withHashes.select(col(idCol), fp.as("simhash"))
   }
 

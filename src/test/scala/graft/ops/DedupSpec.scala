@@ -114,6 +114,22 @@ class DedupSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("native SimHash64 equals the 64-fold builtin chain on random docs") {
+    val rnd = new scala.util.Random(20260812L)
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "juliet")
+    val texts = (0 until 80).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ =>
+        words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val native = Dedup.simhash64(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chain = Dedup.simhash64Chain(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == chain)
+  }
+
   test("barrier is a semantic identity (incl. key-only relations)") {
     val df = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "s", "v")
     val b = Dedup.barrier(df, "id")
