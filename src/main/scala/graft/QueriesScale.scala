@@ -347,6 +347,37 @@ object QueriesScale {
             col("sess_missing_nonlast") === 0).as("equal"))
     }),
 
+    // streaming ingest dedup: the landing zone is written TWICE (each
+    // sextile file duplicated back-to-back — an at-least-once feed where
+    // every event is redelivered in the adjacent micro-batch);
+    // dropDuplicatesWithinWatermark must reduce it to exactly-once, i.e.
+    // the batch-distinct counts. Self-checking rows-only entry.
+    "st6_stream_dedup" -> ((s, d) => {
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dedup_feed_").toString
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val withB = raw.withColumn("_b",
+        ntile(6).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"))))
+      for (i <- 1 to 6; _ <- 1 to 2) {
+        withB.filter(col("_b") === i).drop("_b")
+          .coalesce(1).write.mode("append").parquet(tmp)
+        Thread.sleep(20)
+      }
+      val deduped = StreamingOps.streamDedup(s, tmp, "event_id",
+        s"st6_$tag")
+      val ev = events(s, d)
+      deduped.agg(count(lit(1)).as("n_stream"),
+          sum(col("value")).as("v_stream"))
+        .crossJoin(ev.agg(count(lit(1)).as("n_batch"),
+          sum(col("value")).as("v_batch")))
+        .select(col("n_stream"), col("n_batch"),
+          (col("n_stream") === col("n_batch") &&
+            abs(col("v_stream") - col("v_batch")) < 1e-6).as("equal"))
+    }),
+
     // custom keyed state (mapGroupsWithState) — batch mode of the streaming
     // running-totals accumulator; oracle = the equivalent group-by
     "st3_user_totals" -> ((s, d) =>

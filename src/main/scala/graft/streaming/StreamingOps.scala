@@ -214,6 +214,30 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming ingest dedup: exactly-once event delivery on top of an
+    * at-least-once feed — `dropDuplicatesWithinWatermark` keys state by
+    * `idCol` and expires it once the watermark passes the key's event
+    * time + delay, so state is bounded by the duplicate-arrival horizon
+    * (the redelivery window), NOT the stream length. The unbounded
+    * `dropDuplicates` alternative never forgets a key; this is the shape
+    * a 100 TB/day feed needs. Returns the deduplicated rows collected in
+    * a memory sink after an AvailableNow pass.
+    */
+  def streamDedup(spark: SparkSession, eventsDir: String, idCol: String,
+      queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+    val q = src.dropDuplicatesWithinWatermark(idCol)
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Chunked incremental load with progress accounting (S6): stream the
     * source in micro-batches, append each batch to a parquet sink, log
     * cumulative rows + elapsed — the reference's chunked to_sql loop.

@@ -46,8 +46,8 @@ class PlansSpec extends SparkSpec {
     "ts6_tfidf", "sim1_cosine_topk", "sim3_ivf_topk", "j6_range_join",
     // in-entry brute-force recall baseline × broadcast IVF probe
     "sim6_kmeans_ivf",
-    // 1-row × 1-row accounting combination over streamed-vs-batch counts
-    "st2b_stream_batch_equiv")
+    // 1-row × 1-row accounting combinations over streamed-vs-batch counts
+    "st2b_stream_batch_equiv", "st6_stream_dedup")
 
   test("no cartesian/nested-loop join outside documented ops") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
