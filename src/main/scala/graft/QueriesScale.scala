@@ -217,6 +217,36 @@ object QueriesScale {
           (col("n_hit") / col("n_bf") >= 0.8).as("recall_ok"))
     }),
 
+    // product-quantization ANN (ADC): train sub-codebooks, score the
+    // 8-byte codes, exact-rerank a 100-deep shortlist fetched by id join —
+    // the compressed-scan path (codes ~32× narrower than the float
+    // vectors). Corpus is L2-normalized so the PQ's L2 geometry matches
+    // the cosine ground truth; recall@5 vs brute force is the
+    // self-check (rows-only by design — PQ is float-tie-sensitive).
+    "sim7_pq_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val nrm = sqrt(aggregate(col("embedding"),
+        lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+      val corpus = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / nrm)
+          .as("embedding"))
+      val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 2)
+      val queries = corpus.filter(col("vec_id") < 10)
+      val pq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+        books, 5, shortlist = 100)
+      val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+        "embedding", 5)
+      val hits = bf.select(col("query_id"), col("neighbor_id"))
+        .join(pq.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      bf.agg(count(lit(1)).as("n_bf"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_bf"), col("n_hit"),
+          round(col("n_hit") / col("n_bf"), 4).as("recall"),
+          (col("n_hit") / col("n_bf") >= 0.75).as("recall_ok"))
+    }),
+
     // IVF-style ANN probe — approximate vs brute force, but deterministic
     // (clusters = label column, no RNG) → fully oracle-checked
     "sim3_ivf_topk" -> ((s, d) => {

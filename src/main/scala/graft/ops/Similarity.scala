@@ -319,6 +319,132 @@ object Similarity {
       .select(col(idCol), col("cluster"))
   }
 
+  // ---- Product quantization (ADC) — the compressed-ANN path --------------
+  // Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+  // Search" (TPAMI 2011): split D dims into m subspaces, k-means each
+  // subspace to ksub centroids, store each vector as m byte-ish codes
+  // (m·log2(ksub) bits vs 4·D bytes), score queries against codes with
+  // asymmetric distances, exact-rerank a shortlist. At 100 TB this is the
+  // difference between scanning 64-dim floats (256 B/row) and scanning
+  // 8-byte codes — memory-bandwidth-bound either way, so ~32× faster —
+  // with the full vectors only fetched (by id join) for the shortlist.
+
+  /** Squared L2 distance between `vec[off, off+dsub)` and a centroid. */
+  private def subDist(vec: Column, off: Int, dsub: Int, centroid: Column)
+  : Column =
+    aggregate(zip_with(slice(vec, off + 1, dsub), centroid,
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (a, v) => a + v)
+
+  /** Row-local PQ encoding: per subspace, argmin-L2 over the literal
+    * sub-codebook (a fold, like [[kmeansAssign]]'s assignment — zero
+    * shuffles); ties break to the lowest code.
+    */
+  private def codesExpr(books: Seq[Seq[Seq[Double]]], vecCol: String,
+      dsub: Int): Column =
+    array(books.indices.map { mi =>
+      val lits = books(mi).zipWithIndex.map { case (c, ci) =>
+        struct(lit(ci).as("ci"), typedlit(c).as("cent"))
+      }
+      aggregate(array(lits: _*),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("ci")),
+        (acc, s) => {
+          val d = subDist(col(vecCol), mi * dsub, dsub, s.getField("cent"))
+          when(d < acc.getField("d"),
+            struct(d.as("d"), s.getField("ci").as("ci")))
+            .otherwise(acc)
+        }).getField("ci")
+    }: _*)
+
+  /** Train PQ sub-codebooks: deterministic init (subvectors of the ksub
+    * smallest ids), then `iters` Lloyd's rounds where ALL m subspaces are
+    * assigned in one row-local projection and recomputed in ONE
+    * (subspace, code, position) shuffle per round — m·ksub·dsub doubles
+    * pulled to the driver between rounds (tiny). A code that empties
+    * keeps its previous centroid.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      ksub: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    val base = df.select(col(idCol), col(vecCol))
+    val dim = base.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val initRows = base.orderBy(col(idCol)).limit(ksub)
+      .select(transform(col(vecCol), x => x.cast("double")))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq)
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
+      initRows.toSeq.map(r => r.slice(mi * dsub, (mi + 1) * dsub).toSeq))
+    for (_ <- 1 to iters) {
+      val assigned = base.select(col(vecCol),
+        codesExpr(books, vecCol, dsub).as("codes"))
+      val stats = assigned
+        .select(col("codes"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .select((col("pos") / dsub).cast("int").as("mi"),
+          element_at(col("codes"), (col("pos") / dsub).cast("int") + 1)
+            .as("ci"),
+          pmod(col("pos"), lit(dsub)).cast("int").as("sp"),
+          col("v").cast("double").as("v"))
+        .groupBy(col("mi"), col("ci"), col("sp"))
+        .agg(avg(col("v")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      books = (0 until m).map(mi => (0 until ksub).map(ci =>
+        (0 until dsub).map(sp =>
+          stats.getOrElse((mi, ci, sp), books(mi)(ci)(sp)))))
+    }
+    books
+  }
+
+  /** PQ-encode a corpus: (id, codes) — the compressed representation a
+    * 100 TB deployment would persist next to the id.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val dsub = books.head.head.size
+    df.select(col(idCol), codesExpr(books, vecCol, dsub).as("codes"))
+  }
+
+  /** ADC top-k: queries score the CODES (sum of per-subspace L2 to the
+    * coded centroid — codebooks are literals, so scoring is row-local on
+    * the compressed relation), a per-query shortlist survives, and ONLY
+    * the shortlist joins back to the corpus by id for exact-cosine
+    * rerank — full vectors never stream through the scan. Input should
+    * be L2-normalized if the ground-truth metric is cosine.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, books: Seq[Seq[Seq[Double]]], k: Int,
+      shortlist: Int = 50): DataFrame = {
+    val m = books.size
+    val dsub = books.head.head.size
+    val cb = typedlit(books)
+    val enc = pqEncode(corpus, idCol, vecCol, books)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val adist = (0 until m).map { mi =>
+      subDist(col("q_vec"), mi * dsub, dsub,
+        element_at(element_at(cb, mi + 1),
+          element_at(col("codes"), mi + 1) + 1))
+    }.reduce(_ + _)
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val short = enc.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"))
+    val vecsById = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    short.join(vecsById, Seq("neighbor_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, clusterCol: String, k: Int, nprobe: Int = 1)
   : DataFrame = {

@@ -181,6 +181,30 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("PQ ADC with full-corpus shortlist equals exact brute force") {
+    // with the shortlist covering the whole corpus the ADC stage only
+    // orders candidates and the exact rerank decides — results must equal
+    // brute force bit-for-bit; also pins codebook shape and determinism
+    val rnd = new scala.util.Random(11L)
+    val pts = (0 until 40).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => x / n))
+    }.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(pts, "vec_id", "embedding", 4, 8, 2)
+    assert(books.size == 4 && books.head.size == 8 &&
+      books.head.head.size == 2)
+    assert(books == Similarity.pqTrain(pts, "vec_id", "embedding", 4, 8, 2),
+      "training must be deterministic")
+    val q = pts.filter(col("vec_id") < 3)
+    val pq = Similarity.pqTopK(pts, q, "vec_id", "embedding", books, 3,
+        shortlist = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bf = Similarity.bruteForceTopK(pts, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pq == bf)
+  }
+
   test("thresholdPairs plan has no cartesian/nested-loop join") {
     val plan = Similarity.thresholdPairs(
         many, "vec_id", "embedding", 0.5, dim = 8)

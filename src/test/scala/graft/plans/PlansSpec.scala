@@ -44,8 +44,8 @@ class PlansSpec extends SparkSpec {
   private val allowedQuadratic = Set(
     "a8_counts", "dd3_lsh_stats", "o2b_sample_seeded", "e1_movie_pipeline",
     "ts6_tfidf", "sim1_cosine_topk", "sim3_ivf_topk", "j6_range_join",
-    // in-entry brute-force recall baseline × broadcast IVF probe
-    "sim6_kmeans_ivf",
+    // in-entry brute-force recall baseline × broadcast IVF/PQ probes
+    "sim6_kmeans_ivf", "sim7_pq_topk",
     // 1-row × 1-row accounting combinations over streamed-vs-batch counts
     "st2b_stream_batch_equiv", "st6_stream_dedup")
 
