@@ -24,6 +24,11 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
+      "minhash_sigs",
+      exprs => MinHashSigs(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
+    registry.createOrReplaceTempFunction(
       "heavy_hitters",
       exprs => HeavyHitters(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue())

@@ -93,15 +93,35 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame = {
+    // single-pass native expression: all numHashes running minima carried
+    // through one traversal of the base-hash array, vs numHashes
+    // intermediate arrays + traversals for the builtin chain (kept below
+    // as [[minhashSignaturesChain]], bit-identical, DedupSpec-asserted).
+    // The sig array lands in its own projection (non-cheap,
+    // multi-referenced → CollapseProject keeps it apart), the h_i columns
+    // are cheap element_at extractions.
+    val sh = shingleArray(df, idCol, textCol, k)
+      .withColumn("sig", graft.functions.MinHashSigs(
+        transform(col("shingles"), s => xxhash64(s)), numHashes))
+    // NOTE: intentionally barrier-free (zero shuffles, embarrassingly
+    // parallel). Compositions that reference the signatures more than once
+    // (LSH band self-joins + estimate joins) should wrap the result in
+    // [[barrier]] or the pipeline is re-evaluated per reference.
+    sh.select(col(idCol) +: (0 until numHashes).map(i =>
+      element_at(col("sig"), i + 1).as(s"h$i")): _*)
+  }
+
+  /** The portable builtin-only formulation of [[minhashSignatures]]
+    * (numHashes× transform + array_min). Bit-identical — the semantic
+    * reference for the native expression.
+    */
+  private[ops] def minhashSignaturesChain(df: DataFrame, idCol: String,
+      textCol: String, k: Int, numHashes: Int): DataFrame = {
     val sh = shingleArray(df, idCol, textCol, k)
       .withColumn("bh", transform(col("shingles"), s => xxhash64(s)))
     val sigCols = (0 until numHashes).map { i =>
       array_min(transform(col("bh"), h => xxhash64(h, lit(i)))).as(s"h$i")
     }
-    // NOTE: intentionally barrier-free (zero shuffles, embarrassingly
-    // parallel). Compositions that reference the signatures more than once
-    // (LSH band self-joins + estimate joins) should wrap the result in
-    // [[barrier]] or the pipeline is re-evaluated per reference.
     sh.select(col(idCol) +: sigCols: _*)
   }
 

@@ -130,6 +130,24 @@ class DedupSpec extends SparkSpec {
     assert(native == chain)
   }
 
+  test("native MinHashSigs equals the builtin transform+array_min chain") {
+    val rnd = new scala.util.Random(20260812L)
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox")
+    val texts = (0 until 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ =>
+        words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy(col("doc_id")).collect()
+        .map(r => (0 until r.length).map(i =>
+          if (r.isNullAt(i)) null else r.get(i)).toSeq).toSeq
+    val native = rows(Dedup.minhashSignatures(df, "doc_id", "text", 3, 16))
+    val chain = rows(Dedup.minhashSignaturesChain(df, "doc_id", "text", 3,
+      16))
+    assert(native == chain)
+  }
+
   test("barrier is a semantic identity (incl. key-only relations)") {
     val df = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "s", "v")
     val b = Dedup.barrier(df, "id")
