@@ -408,6 +408,41 @@ object QueriesScale {
             abs(col("v_stream") - col("v_batch")) < 1e-6).as("equal"))
     }),
 
+    // per-source ingestion quota on the NEW arbitrary-state API
+    // (transformWithState + RocksDB state store): at most 15 docs per
+    // source admitted across all micro-batches. Which docs survive
+    // depends on arrival order (inherently so), but the per-source
+    // admitted COUNT is exact: least(batch_count, quota) — checked for
+    // every source in one self-checking row.
+    "st7_per_source_quota" -> ((s, d) => {
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_docs_feed_").toString
+      val docs = documents(s, d)
+      val withB = docs.withColumn("_b",
+        ntile(6).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"))))
+      for (i <- 1 to 6) {
+        withB.filter(col("_b") === i).drop("_b")
+          .coalesce(1).write.mode("append").parquet(tmp)
+        Thread.sleep(20)
+      }
+      val admitted = StreamingOps.streamPerKeyQuota(s, tmp, 15L,
+        s"st7_$tag")
+      val got = admitted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_admitted"))
+      val want = docs.groupBy(col("source"))
+        .agg(least(count(lit(1)), lit(15L)).as("n_expected"))
+      val joined = want.join(got, Seq("source"), "left")
+      joined.agg(count(lit(1)).as("n_sources"),
+          sum(when(col("n_admitted").isNull ||
+            col("n_admitted") =!= col("n_expected"), 1L).otherwise(0L))
+            .as("n_bad"))
+        .crossJoin(admitted.agg(count(lit(1)).as("n_admitted_total")))
+        .select(col("n_sources"), col("n_admitted_total"), col("n_bad"),
+          (col("n_bad") === 0).as("equal"))
+    }),
+
     // custom keyed state (mapGroupsWithState) — batch mode of the streaming
     // running-totals accumulator; oracle = the equivalent group-by
     "st3_user_totals" -> ((s, d) =>

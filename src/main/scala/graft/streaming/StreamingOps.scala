@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode,
-  StreamingQuery, Trigger}
+  StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger,
+  TTLConfig, ValueState}
 
 /** Stream-shaped operators over the `events` table.
   *
@@ -212,6 +213,63 @@ object StreamingOps {
       .queryName(queryName).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  case class SourcedDoc(source: String, doc_id: Long)
+
+  /** Per-key ingestion quota on the NEW arbitrary-state API
+    * (`transformWithState`, Spark 4): admit at most `maxPerKey` rows per
+    * key across the whole stream — the per-domain contribution cap every
+    * large-scale corpus curation applies (Common-Crawl-style dominance
+    * control), enforced at ingest so over-quota documents never land.
+    * State is ONE counter per key in RocksDB; `TTLConfig` is where a
+    * production feed would age quotas out (daily windows).
+    */
+  class PerKeyQuota(maxPerKey: Long)
+      extends StatefulProcessor[String, SourcedDoc, SourcedDoc] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[SourcedDoc],
+        timers: TimerValues): Iterator[SourcedDoc] = {
+      var n = if (count.exists()) count.get() else 0L
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[SourcedDoc]
+      rows.foreach { r =>
+        if (n < maxPerKey) { admitted += r; n += 1 }
+      }
+      count.update(n)
+      admitted.iterator
+    }
+  }
+
+  /** Drive [[PerKeyQuota]] over a documents landing zone (AvailableNow,
+    * memory sink). transformWithState requires the RocksDB state store —
+    * scoped to this query and restored after.
+    */
+  def streamPerKeyQuota(spark: SparkSession, docsDir: String,
+      maxPerKey: Long, queryName: String): DataFrame = {
+    val schema = spark.read.parquet(docsDir).schema
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(docsDir)
+        .select(col("source"), col("doc_id")).as[SourcedDoc]
+      val q = src.groupByKey(_.source)
+        .transformWithState(new PerKeyQuota(maxPerKey), TimeMode.None(),
+          OutputMode.Append(), Encoders.product[SourcedDoc])
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
   }
 
   /** Streaming ingest dedup: exactly-once event delivery on top of an
