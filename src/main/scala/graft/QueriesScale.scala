@@ -104,6 +104,33 @@ object QueriesScale {
           round(avg(col("quality")), 4).as("avg_quality"))
     }),
 
+    // corpus accounting report: per-(lang, source) doc counts, token
+    // mass, quality stats and corpus share — the summary page every
+    // curation run publishes. Pure arithmetic over one pass → full
+    // oracle; ONE shuffle (the group-by), the corpus total broadcast
+    // back for the share column.
+    "tp2_corpus_report" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val counts = TextOps.rawCounts(col("text")).map { case (n, c) =>
+        c.as(n)
+      }
+      val scored = docs
+        .select(col("lang") +: col("source") +: counts: _*)
+        .withColumn("quality", TextOps.qualityScoreFromCounts(
+          col("n_chars"), col("n_words"), col("n_punct"), col("n_stops")))
+      scored.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          round(avg(col("quality")), 4).as("avg_quality"),
+          round(min(col("quality")), 4).as("min_quality"),
+          round(max(col("quality")), 4).as("max_quality"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_corpus"))))
+        .withColumn("share_pct",
+          round(col("n_docs") * lit(100.0) / col("n_corpus"), 4))
+        .drop("n_corpus")
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // ---- text analysis -----------------------------------------------------
     "ts1_lang_id" -> ((s, d) =>
       fanOut(documents(s, d))
@@ -604,6 +631,31 @@ object QueriesScale {
         |  CAST(SUM(n_words) AS BIGINT) AS total_words,
         |  ROUND(AVG(quality), 4) AS avg_quality
         |FROM q WHERE quality >= 0.5""".stripMargin,
+
+    "tp2_corpus_report" ->
+      """WITH f AS (
+        |  SELECT lang, source,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_words,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(the|a|of|and|is|to|in)\b')) AS n_stops,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |  FROM documents),
+        |q AS (SELECT lang, source, n_words,
+        |  ROUND((LEAST(n_words / 50.0, 1.0)
+        |       + LEAST((n_stops * 1.0 / n_words) * 5.0, 1.0)
+        |       + GREATEST(1.0 - (n_punct * 1.0 / n_chars) * 10.0, 0.0))
+        |       / 3.0, 4) AS quality
+        |  FROM f),
+        |n AS (SELECT COUNT(*) AS n_corpus FROM documents)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  ROUND(AVG(quality), 4) AS avg_quality,
+        |  ROUND(MIN(quality), 4) AS min_quality,
+        |  ROUND(MAX(quality), 4) AS max_quality,
+        |  ROUND(COUNT(*) * 100.0 / MIN(n.n_corpus), 4) AS share_pct
+        |FROM q CROSS JOIN n
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "ts1_lang_id" ->
       """WITH s AS (

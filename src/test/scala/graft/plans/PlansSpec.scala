@@ -43,7 +43,8 @@ class PlansSpec extends SparkSpec {
   // band join against a broadcast 3-row dim).
   private val allowedQuadratic = Set(
     "a8_counts", "dd3_lsh_stats", "o2b_sample_seeded", "e1_movie_pipeline",
-    "ts6_tfidf", "sim1_cosine_topk", "sim3_ivf_topk", "j6_range_join",
+    "ts6_tfidf", "tp2_corpus_report", "sim1_cosine_topk", "sim3_ivf_topk",
+    "j6_range_join",
     // in-entry brute-force recall baseline × broadcast IVF/PQ probes
     "sim6_kmeans_ivf", "sim7_pq_topk",
     // 1-row × 1-row accounting combinations over streamed-vs-batch counts
