@@ -274,6 +274,36 @@ object QueriesScale {
           (col("n_hit") / col("n_bf") >= 0.75).as("recall_ok"))
     }),
 
+    // the full self-contained billion-scale ANN stack composed end to
+    // end: k-means coarse clusters (scan ÷ nlist) × PQ codes (bytes ÷
+    // ~32) × exact rerank — recall@5 self-check vs brute force
+    "sim8_ivfpq_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val nrm = sqrt(aggregate(col("embedding"),
+        lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+      val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / nrm)
+          .as("embedding"))
+      val clusters = Similarity.kmeansAssign(base, "vec_id", "embedding",
+        k = 10, iters = 2)
+      val corpus = base.join(clusters, "vec_id")
+      val books = Similarity.pqTrain(base, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 2)
+      val queries = base.filter(col("vec_id") < 10)
+      val ivfpq = Similarity.ivfPqTopK(corpus, queries, "vec_id",
+        "embedding", "cluster", books, 5, nprobe = 4, shortlist = 100)
+      val bf = Similarity.bruteForceTopK(base, queries, "vec_id",
+        "embedding", 5)
+      val hits = bf.select(col("query_id"), col("neighbor_id"))
+        .join(ivfpq.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      bf.agg(count(lit(1)).as("n_bf"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_bf"), col("n_hit"),
+          round(col("n_hit") / col("n_bf"), 4).as("recall"),
+          (col("n_hit") / col("n_bf") >= 0.7).as("recall_ok"))
+    }),
+
     // IVF-style ANN probe — approximate vs brute force, but deterministic
     // (clusters = label column, no RNG) → fully oracle-checked
     "sim3_ivf_topk" -> ((s, d) => {

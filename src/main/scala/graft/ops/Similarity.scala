@@ -445,6 +445,56 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** The composed IVF-ADC stack (the standard billion-scale ANN design):
+    * coarse pruning by trained clusters (scan cost ÷ nlist) × compressed
+    * PQ-code scoring (bytes scanned ÷ ~32) × exact rerank of the
+    * shortlist fetched by id. Queries probe their `nprobe` nearest
+    * centroids (broadcast), ADC runs only over the probed clusters'
+    * CODES, and full vectors are touched only for the shortlist join.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, books: Seq[Seq[Seq[Double]]],
+      k: Int, nprobe: Int = 2, shortlist: Int = 50): DataFrame = {
+    val m = books.size
+    val dsub = books.head.head.size
+    val cb = typedlit(books)
+    val cents = centroids(corpus, clusterCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cluster"))
+    val assigned = q.crossJoin(broadcast(cents))
+      .withColumn("cdist", round(cosine(col("q_vec"), col("centroid")), 6))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("cluster"))
+    val enc = pqEncode(corpus, idCol, vecCol, books)
+      .join(corpus.select(col(idCol), col(clusterCol).as("cluster")),
+        Seq(idCol))
+      .select(col("cluster"), col(idCol).as("neighbor_id"), col("codes"))
+    val adist = (0 until m).map { mi =>
+      subDist(col("q_vec"), mi * dsub, dsub,
+        element_at(element_at(cb, mi + 1),
+          element_at(col("codes"), mi + 1) + 1))
+    }.reduce(_ + _)
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val short = enc.join(broadcast(assigned), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"))
+    val vecsById = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    short.join(vecsById, Seq("neighbor_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, clusterCol: String, k: Int, nprobe: Int = 1)
   : DataFrame = {

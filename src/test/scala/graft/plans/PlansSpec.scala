@@ -46,7 +46,7 @@ class PlansSpec extends SparkSpec {
     "ts6_tfidf", "tp2_corpus_report", "sim1_cosine_topk", "sim3_ivf_topk",
     "j6_range_join",
     // in-entry brute-force recall baseline × broadcast IVF/PQ probes
-    "sim6_kmeans_ivf", "sim7_pq_topk",
+    "sim6_kmeans_ivf", "sim7_pq_topk", "sim8_ivfpq_topk",
     // 1-row × 1-row accounting combinations over streamed-vs-batch counts
     "st2b_stream_batch_equiv", "st6_stream_dedup", "st7_per_source_quota")
 
