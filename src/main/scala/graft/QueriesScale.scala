@@ -500,6 +500,38 @@ object QueriesScale {
           (col("n_bad") === 0).as("equal"))
     }),
 
+    // S6 driver-visible proof: chunked incremental load — stream the
+    // landing zone file-by-file through foreachBatch appends into a
+    // parquet sink (the reference's chunked to_sql loop, challenge.py:
+    // 317-325), then compare the landed rows to the source. Progress
+    // accounting prints per batch; the self-check row proves no batch
+    // was lost or double-landed.
+    "st8_chunked_load" -> ((s, d) => {
+      val tmpIn = java.nio.file.Files
+        .createTempDirectory("graft_load_in_").toString
+      val tmpOut = java.nio.file.Files
+        .createTempDirectory("graft_load_out_").toString + "/out"
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val withB = raw.withColumn("_b",
+        ntile(6).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"))))
+      for (i <- 1 to 6) {
+        withB.filter(col("_b") === i).drop("_b")
+          .coalesce(1).write.mode("append").parquet(tmpIn)
+        Thread.sleep(20)
+      }
+      StreamingOps.chunkedLoad(s, tmpIn, tmpOut).awaitTermination()
+      val landed = s.read.parquet(tmpOut)
+      landed.agg(count(lit(1)).as("n_landed"),
+          sum(col("value")).as("v_landed"))
+        .crossJoin(raw.agg(count(lit(1)).as("n_src"),
+          sum(col("value")).as("v_src")))
+        .select(col("n_landed"), col("n_src"),
+          (col("n_landed") === col("n_src") &&
+            abs(col("v_landed") - col("v_src")) < 1e-6).as("equal"))
+    }),
+
     // custom keyed state (mapGroupsWithState) — batch mode of the streaming
     // running-totals accumulator; oracle = the equivalent group-by
     "st3_user_totals" -> ((s, d) =>
