@@ -118,10 +118,17 @@ object QueriesScale {
         .select(col("lang") +: col("source") +: counts: _*)
         .withColumn("quality", TextOps.qualityScoreFromCounts(
           col("n_chars"), col("n_words"), col("n_punct"), col("n_stops")))
+      // quality mass as exact basis points: per-doc quality is already
+      // 4-dp, so round(q*10000) is an exact integer and the SUM is
+      // cross-engine exact — a rounded AVG lands on half-up boundaries
+      // where Spark (BigDecimal of the double) and DuckDB (shortest
+      // decimal repr) disagree in the last digit. min/max stay doubles:
+      // selection-only, no arithmetic.
       scored.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("total_words"),
-          round(avg(col("quality")), 4).as("avg_quality"),
+          sum(round(col("quality") * 10000).cast("long"))
+            .as("sum_quality_bp"),
           round(min(col("quality")), 4).as("min_quality"),
           round(max(col("quality")), 4).as("max_quality"))
         .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_corpus"))))
@@ -712,7 +719,8 @@ object QueriesScale {
         |n AS (SELECT COUNT(*) AS n_corpus FROM documents)
         |SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_words) AS BIGINT) AS total_words,
-        |  ROUND(AVG(quality), 4) AS avg_quality,
+        |  CAST(SUM(CAST(ROUND(quality * 10000) AS BIGINT)) AS BIGINT)
+        |    AS sum_quality_bp,
         |  ROUND(MIN(quality), 4) AS min_quality,
         |  ROUND(MAX(quality), 4) AS max_quality,
         |  ROUND(COUNT(*) * 100.0 / MIN(n.n_corpus), 4) AS share_pct
