@@ -1,5 +1,9 @@
 package graft
 
+import java.lang.management.ManagementFactory
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
@@ -7,19 +11,59 @@ import org.apache.spark.sql.SparkSession
   * plan execution incl. projected columns — `count()` would let Spark prune
   * the very expressions being measured).
   *
-  * Each query is timed in a FRESH SparkSession (shared SparkContext,
-  * rebuilt session state): a single long-lived session accumulating all
-  * headline queries degrades 3-5× on later queries on this host (codegen
-  * cache + GC pressure), which corrupts the round-over-round signal — r3's
-  * apparent dd5 regression was exactly that artifact. A fresh session per
-  * query makes every reported number reproducible in isolation; min-of-3
-  * after a warmup run damps the host's CPU-steal spikes.
+  * Each query is timed in a FRESH JVM (forked child running this same
+  * main): a single long-lived session accumulating all headline queries
+  * degrades 3-5× on later queries on this host (codegen cache + GC
+  * pressure), and round 4 showed the degradation lives in the shared
+  * SparkContext, not just the session — a fresh-session-per-query sweep
+  * still reported ts6 at 4.4 s where an isolated run gives 1.5 s. A fresh
+  * JVM per query makes every reported number reproducible in isolation by
+  * construction; min-of-3 after a warmup run damps the host's CPU-steal
+  * spikes. `SPARK_GRAFT_FORK=0` forces the old in-process mode.
   */
 object Bench {
+
+  private val headline = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
+    "q6_revenue_delta",
+    "j1_inner_join", "j2_left_join_fill", "j5_asof_join",
+    "a2_pivot", "w1_row_number", "x7_parse_dollars", "x13_date_cascade",
+    "dd2_minhash_sig", "dd5_ngram_jaccard", "dd6_embedding_neardup",
+    "dd7_simhash_neardup", "ts2_quality", "ts6_tfidf",
+    "sim1_cosine_topk", "sim2_threshold_pairs", "sim4_clustered_pairs",
+    "st1_hourly_window", "st2_sessionize", "st4_interval_join",
+    "tp1_curation",
+    "mm1_binary_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+    // SPARK_GRAFT_ONLY=a,b,c narrows the run for single-query isolation
+    // checks (reproducing a reported number without the full sweep)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(headline)(s => headline.filter(s))
+      .filter(SparkEntry.queries.contains)
+
+    val inProcess = sys.env.contains("SPARK_GRAFT_FORKED") ||
+      sys.env.get("SPARK_GRAFT_FORK").contains("0")
+    val results =
+      if (inProcess) runInProcess(selected, sfDir, cpus)
+      else selected.map(name => name -> forkOne(name, sfDir))
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+  }
+
+  /** Child-JVM path (and `SPARK_GRAFT_FORK=0` fallback): time each query
+    * in a fresh SparkSession on one shared context.
+    */
+  private def runInProcess(selected: Seq[String], sfDir: String,
+      cpus: String): Seq[(String, Double)] = {
     def freshSession(): SparkSession = {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -37,24 +81,11 @@ object Bench {
       s.sparkContext.setLogLevel("WARN")
       s
     }
-
-    val headline = Seq(
-      "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
-      "q6_revenue_delta",
-      "j1_inner_join", "j2_left_join_fill", "j5_asof_join",
-      "a2_pivot", "w1_row_number", "x7_parse_dollars", "x13_date_cascade",
-      "dd2_minhash_sig", "dd5_ngram_jaccard", "dd6_embedding_neardup",
-      "dd7_simhash_neardup", "ts2_quality", "ts6_tfidf",
-      "sim1_cosine_topk", "sim2_threshold_pairs", "sim4_clustered_pairs",
-      "st1_hourly_window", "st2_sessionize", "st4_interval_join",
-      "tp1_curation",
-      "mm1_binary_meta")
-
     val all = SparkEntry.queries
     // steady-state timing: one warmup run pays whole-stage-codegen JIT +
     // file-index setup, then min of three timed runs (what a resident
     // cluster would see; min damps this host's up-to-5× CPU-steal spikes).
-    val results = headline.filter(all.contains).map { name =>
+    val results = selected.map { name =>
       val spark = freshSession()
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -72,11 +103,36 @@ object Bench {
       System.gc()
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     freshSession().stop()
+    results
+  }
+
+  /** Parent path: re-launch this main in a child JVM (same JVM args — the
+    * sbt fork already carries the JDK-17 --add-opens set and -Xmx — same
+    * classpath) scoped to one query, and parse its JSON line.
+    */
+  private def forkOne(name: String, sfDir: String): Double = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
+      .asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_GRAFT_FORKED", "1")
+    pb.environment().put("SPARK_GRAFT_ONLY", name)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream)
+      .getLines().toList
+    p.waitFor()
+    val pat = ("\"" + java.util.regex.Pattern.quote(name) +
+      "\":(-?\\d+\\.\\d+)").r
+    out.reverseIterator
+      .flatMap(l => pat.findFirstMatchIn(l).map(_.group(1).toDouble))
+      .nextOption().getOrElse {
+        System.err.println(s"[bench] $name: no result from child JVM")
+        -1.0
+      }
   }
 }
