@@ -81,6 +81,14 @@ object QueriesScale {
       Dedup.simhashNearDupPairs(fanOut(documents(s, d)), "doc_id", "text", 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // C4-style line-level dedup: corpus-frequency blacklist (>1 occurrence)
+    // over 5-word lines, docs reassembled from surviving lines in order.
+    // Pure arithmetic/string work → full oracle.
+    "dd8_line_dedup" -> ((s, d) =>
+      Dedup.lineDedup(fanOut(documents(s, d)), "doc_id", "text",
+          lineWords = 5, maxOccurrences = 1)
+        .orderBy(col("doc_id"))),
+
     // training-data curation, composed end-to-end: exact-dedup to
     // representatives -> language gate -> quality floor -> corpus
     // accounting. One shuffle for the dedup groupBy, one for the rep join,
@@ -667,6 +675,22 @@ object QueriesScale {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.05
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd8_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |lines AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS line
+        |  FROM t, idx WHERE i*5 < len(ws)),
+        |banned AS (SELECT line FROM lines GROUP BY line
+        |           HAVING COUNT(*) > 1),
+        |kept AS (SELECT doc_id, pos, line FROM lines
+        |         WHERE line NOT IN (SELECT line FROM banned))
+        |SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+        |       COUNT(*) AS n_lines_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "tp1_curation" ->
       """WITH dedup AS (

@@ -282,6 +282,47 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** C4/RefinedWeb-style line-level dedup: drop every line whose
+    * corpus-wide occurrence count exceeds `maxOccurrences`, then reassemble
+    * each document from its surviving lines in original order. Real corpora
+    * split lines on '\n'; this corpus has none, so a "line" is a fixed
+    * non-overlapping chunk of `lineWords` whitespace tokens — the machinery
+    * (explode with position, corpus-frequency blacklist, anti join, ordered
+    * reassembly) is the production shape either way.
+    *
+    * Scale: the blacklist is small BY CONSTRUCTION — every hot line
+    * collapses to one row in the count aggregate (map-side combined before
+    * its shuffle), and only lines breaching the cap survive the filter, so
+    * the anti join broadcasts and the full line relation never shuffles on
+    * the (skewed) line value. Two linear passes over the corpus (count,
+    * filter+reassemble) plus one doc-keyed shuffle — the classic two-pass
+    * C4 layout. Documents whose every line is banned disappear from the
+    * output (dropping now-empty docs is the curation intent).
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      lineWords: Int = 5, maxOccurrences: Long = 1): DataFrame = {
+    val w = lineWords
+    def lines(df: DataFrame): DataFrame = {
+      val ws = split(col(textCol), " ")
+      val nChunks = greatest(
+        ceil(size(ws).cast("double") / w).cast("int"), lit(1))
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(ws, i * w + 1, lit(w)), " "))
+      df.select(col(idCol), posexplode(chunks).as(Seq("pos", "line")))
+    }
+    val banned = lines(docs).groupBy(col("line"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxOccurrences)
+      .select(col("line"))
+    lines(docs).join(broadcast(banned), Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            p => p("line")), " ").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
   /** Embedding-cosine near-dup: rows whose embedding cosine ≥ threshold are
     * duplicates; each duplicate maps to its smallest near-duplicate id as
     * representative (one-pass min-neighbor contraction — the id to keep is

@@ -191,4 +191,23 @@ class DedupSpec extends SparkSpec {
     assert(got((3L, 4L)) == 0)            // identical text
     assert(!got.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
   }
+
+  test("line dedup drops corpus-repeated lines, keeps doc order") {
+    // 2-word lines: docs 1 and 2 share "dup dup"; doc 3 is untouched;
+    // doc 4 is ALL repeated lines and must disappear from the output
+    val df = Seq(
+      (1L, "aa bb dup dup cc dd"),
+      (2L, "dup dup ee ff"),
+      (3L, "gg hh ii jj"),
+      (4L, "dup dup dup dup")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(df, "doc_id", "text",
+        lineWords = 2, maxOccurrences = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == ("aa bb cc dd", 2L), got)
+    assert(got(2L) == ("ee ff", 1L), got)
+    assert(got(3L) == ("gg hh ii jj", 2L), got)
+    assert(!got.contains(4L), "fully-banned doc must drop out")
+  }
 }
