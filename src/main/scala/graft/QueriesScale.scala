@@ -89,6 +89,30 @@ object QueriesScale {
           lineWords = 5, maxOccurrences = 1)
         .orderBy(col("doc_id"))),
 
+    // benchmark decontamination: docs sharing any word 3-gram with the
+    // held-out slice (doc_id % 97 = 0 plays the eval suite), with the
+    // count of distinct shared grams. Exact string grams → full oracle.
+    "tc1_decontam_report" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the cleaned training corpus after decontamination, as accounting
+    // totals (proves the anti join preserves full rows)
+    "tc2_decontam_clean" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", 3)
+        .agg(count(lit(1)).as("n_clean"),
+          sum(col("n_chars")).as("clean_chars"))
+    }),
+
     // training-data curation, composed end-to-end: exact-dedup to
     // representatives -> language gate -> quality floor -> corpus
     // accounting. One shuffle for the dedup groupBy, one for the rep join,
@@ -675,6 +699,41 @@ object QueriesScale {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.05
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "tc1_decontam_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, COUNT(*) AS n_shared_grams
+        |FROM grams g JOIN bench b USING (gram)
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "tc2_decontam_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
+        |  WHERE g.doc_id % 97 <> 0)
+        |SELECT COUNT(*) AS n_clean,
+        |       CAST(SUM(n_chars) AS BIGINT) AS clean_chars
+        |FROM documents
+        |WHERE doc_id % 97 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+        .stripMargin,
 
     "dd8_line_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws

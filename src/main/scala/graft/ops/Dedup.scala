@@ -323,6 +323,35 @@ object Dedup {
         count(lit(1)).as("n_lines_kept"))
   }
 
+  /** Benchmark decontamination report: for each training doc sharing at
+    * least one word n-gram with the held-out benchmark set, the count of
+    * distinct shared grams. The benchmark gram set is SMALL by nature (eval
+    * suites are thousands of docs, not billions) → built distinct and
+    * broadcast, so the train-side gram relation joins map-side — no shuffle
+    * keyed on the (skew-prone) gram value anywhere; the only shuffle is the
+    * per-doc count aggregate, doc-keyed and partial-aggregated. This is the
+    * standard n-gram-overlap decontamination pass run before training.
+    */
+  def contaminationReport(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val benchGrams = broadcast(
+      docShingles(bench, idCol, textCol, n).select(col("shingle")).distinct())
+    docShingles(train, idCol, textCol, n)
+      .join(benchGrams, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** The cleaned corpus: training docs with NO benchmark n-gram overlap
+    * (all columns preserved). Contaminated ids come from
+    * [[contaminationReport]]; the removal is a doc-id-keyed left anti join.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    train.join(
+      contaminationReport(train, bench, idCol, textCol, n).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Embedding-cosine near-dup: rows whose embedding cosine ≥ threshold are
     * duplicates; each duplicate maps to its smallest near-duplicate id as
     * representative (one-pass min-neighbor contraction — the id to keep is

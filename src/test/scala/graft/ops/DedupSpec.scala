@@ -192,6 +192,26 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
   }
 
+  test("decontamination: overlapping docs reported and removed, rest kept") {
+    val bench = Seq((100L, "held out eval question about spark engines"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a doc with the eval question about spark inside it"),
+      (2L, "nothing in common with the benchmark suite at all"),
+      // shares two distinct 3-grams ("eval question about", "question
+      // about spark") via one span
+      (3L, "another eval question about spark mention")
+    ).toDF("doc_id", "text")
+    val report = Dedup.contaminationReport(train, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report.contains(1L) && report.contains(3L) && !report.contains(2L),
+      report)
+    assert(report(1L) >= 2L, "doc 1 shares at least two distinct 3-grams")
+    val clean = Dedup.decontaminate(train, bench, "doc_id", "text", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L), clean)
+  }
+
   test("line dedup drops corpus-repeated lines, keeps doc order") {
     // 2-word lines: docs 1 and 2 share "dup dup"; doc 3 is untouched;
     // doc 4 is ALL repeated lines and must disappear from the output
