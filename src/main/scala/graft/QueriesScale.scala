@@ -214,6 +214,13 @@ object QueriesScale {
       TextOps.tfidf(fanOut(documents(s, d)), "doc_id", "text")
         .orderBy(col("doc_id"), col("term"))),
 
+    // Gopher/MassiveText repetition filters: duplicate-line and top-bigram
+    // coverage per doc — entirely row-local (zero shuffles), full oracle
+    "ts7_repetition" -> ((s, d) =>
+      TextOps.repetitionSignals(fanOut(documents(s, d)), "doc_id", "text",
+          lineWords = 5)
+        .orderBy(col("doc_id"))),
+
     // winnowing-style rolling-hash fingerprint (xxhash64-seeded → no oracle)
     "ts5_rolling_fp" -> ((s, d) =>
       fanOut(documents(s, d))
@@ -699,6 +706,47 @@ object QueriesScale {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.05
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ts7_repetition" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n_chars,
+        |                  string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |lines AS (
+        |  SELECT doc_id, array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS line
+        |  FROM t, idx WHERE i*5 < len(ws)),
+        |line_stats AS (
+        |  SELECT doc_id, COUNT(*) AS n_lines,
+        |         COUNT(*) - COUNT(DISTINCT line) AS n_dup_lines,
+        |         SUM(length(line)) AS line_chars
+        |  FROM lines GROUP BY doc_id),
+        |dupc AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS dup_chars
+        |  FROM (SELECT doc_id, line, COUNT(*) AS c, length(line) AS ln
+        |        FROM lines GROUP BY doc_id, line)
+        |  GROUP BY doc_id),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1,
+        |           len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])) AS gram
+        |  FROM t),
+        |top AS (
+        |  SELECT doc_id, gram AS top_bigram, c AS top_bigram_count FROM (
+        |    SELECT doc_id, gram, COUNT(*) AS c,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id
+        |             ORDER BY COUNT(*) DESC, gram) AS rk
+        |    FROM grams GROUP BY doc_id, gram) WHERE rk = 1)
+        |SELECT s.doc_id, s.n_lines, s.n_dup_lines,
+        |  ROUND(s.n_dup_lines * 1.0 / s.n_lines, 4) AS dup_line_frac,
+        |  ROUND(d.dup_chars * 1.0 / s.line_chars, 4)
+        |    AS dup_line_char_frac,
+        |  p.top_bigram, p.top_bigram_count,
+        |  ROUND(p.top_bigram_count * length(p.top_bigram) * 1.0
+        |        / t.n_chars, 4) AS top_bigram_char_frac
+        |FROM line_stats s
+        |JOIN dupc d USING (doc_id)
+        |JOIN top p USING (doc_id)
+        |JOIN t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "tc1_decontam_report" ->
       """WITH toks AS (

@@ -299,17 +299,23 @@ object Dedup {
     * C4 layout. Documents whose every line is banned disappear from the
     * output (dropping now-empty docs is the curation intent).
     */
+  /** Non-overlapping chunks of `w` whitespace words as an array column —
+    * the "line" unit for line-level ops on newline-free corpora.
+    */
+  def wordChunks(text: Column, w: Int): Column = {
+    val ws = split(text, " ")
+    val nChunks = greatest(
+      ceil(size(ws).cast("double") / w).cast("int"), lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(ws, i * w + 1, lit(w)), " "))
+  }
+
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
       lineWords: Int = 5, maxOccurrences: Long = 1): DataFrame = {
     val w = lineWords
-    def lines(df: DataFrame): DataFrame = {
-      val ws = split(col(textCol), " ")
-      val nChunks = greatest(
-        ceil(size(ws).cast("double") / w).cast("int"), lit(1))
-      val chunks = transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(ws, i * w + 1, lit(w)), " "))
-      df.select(col(idCol), posexplode(chunks).as(Seq("pos", "line")))
-    }
+    def lines(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        posexplode(wordChunks(col(textCol), w)).as(Seq("pos", "line")))
     val banned = lines(docs).groupBy(col("line"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > maxOccurrences)

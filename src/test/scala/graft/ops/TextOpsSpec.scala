@@ -44,4 +44,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0).getString(0) != r(1).getString(0))
     assert(r(0).getLong(1) == r(2).getLong(1)) // same text → same fingerprint
   }
+
+  test("repetition signals: dup lines and top bigram counted exactly") {
+    // 2-word lines: "aa bb" appears 3×, "cc dd" once → 2 dup lines of 4;
+    // top bigram is "aa bb" ... wait — bigrams overlap: "bb aa" too.
+    // text: aa bb aa bb cc dd aa bb
+    //   lines(2): [aa bb][aa bb][cc dd][aa bb] → n=4, dups=2, dup_chars=15
+    //   bigrams: aa bb, bb aa, aa bb, bb cc, cc dd, dd aa, aa bb → top
+    //   "aa bb"×3
+    val df = Seq((1L, "aa bb aa bb cc dd aa bb")).toDF("doc_id", "text")
+    val r = TextOps.repetitionSignals(df, "doc_id", "text", lineWords = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_lines") == 4)
+    assert(r.getAs[Long]("n_dup_lines") == 2)
+    assert(r.getAs[Double]("dup_line_frac") == 0.5)
+    // "aa bb" occurs 3× among lines → 3*5 = 15 dup chars of 20 line chars
+    assert(r.getAs[Double]("dup_line_char_frac") == 0.75)
+    assert(r.getAs[String]("top_bigram") == "aa bb")
+    assert(r.getAs[Long]("top_bigram_count") == 3)
+    // 3 * 5 chars / 23 text chars
+    assert(r.getAs[Double]("top_bigram_char_frac") == 0.6522)
+  }
 }
