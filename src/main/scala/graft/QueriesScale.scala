@@ -221,6 +221,14 @@ object QueriesScale {
           lineWords = 5)
         .orderBy(col("doc_id"))),
 
+    // CCNet-style LM fluency scoring: corpus-trained unigram LM (pruned
+    // vocab broadcast), per-doc average negative log-prob. vocabSize=20
+    // leaves real OOV mass on this corpus so both paths are exercised.
+    "lm1_lm_score" -> ((s, d) =>
+      TextOps.lmScore(fanOut(documents(s, d)), "doc_id", "text",
+          vocabSize = 20)
+        .orderBy(col("doc_id"))),
+
     // winnowing-style rolling-hash fingerprint (xxhash64-seeded → no oracle)
     "ts5_rolling_fp" -> ((s, d) =>
       fanOut(documents(s, d))
@@ -706,6 +714,22 @@ object QueriesScale {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.05
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "lm1_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+        |    AS term
+        |  FROM documents),
+        |vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+        |          ORDER BY cnt DESC, term LIMIT 20),
+        |tot AS (SELECT (SELECT COUNT(*) FROM toks) AS t_total,
+        |               (SELECT COUNT(*) FROM vocab) AS v_size)
+        |SELECT t.doc_id,
+        |  ROUND(AVG(-ln((COALESCE(v.cnt, 0) + 1) * 1.0
+        |    / (tot.t_total + tot.v_size + 1))), 4) AS avg_nll,
+        |  COUNT(*) AS n_tokens
+        |FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "ts7_repetition" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,

@@ -194,6 +194,39 @@ object TextOps {
         .cast("double") / col("n_chars"), 4).as("top_bigram_char_frac"))
   }
 
+  /** CCNet-style language-model document scoring: train a unigram LM on
+    * the corpus (top-`vocabSize` terms by frequency, add-one smoothing over
+    * the pruned vocabulary, everything else scored as out-of-vocabulary),
+    * then score each document by the average negative log-probability of
+    * its tokens — low scores ≈ fluent/in-domain, high ≈ noise. The pruned
+    * LM is SMALL BY DESIGN (real pipelines ship a fixed-vocab KenLM the
+    * same way) → broadcast, so the token relation is scored map-side; the
+    * only shuffles are the vocabulary count aggregate and the per-doc
+    * average — both map-side combined and key-balanced.
+    *
+    * p(known term) = (count + 1) / (T + V + 1); p(OOV) = 1 / (T + V + 1),
+    * where T = total corpus tokens and V = pruned vocabulary size — the
+    * +1 mass is what keeps OOV finite. Top-K ties break lexicographically.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), "\\s+")).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+    val totals = toks.agg(count(lit(1)).as("t_total"))
+      .crossJoin(vocab.agg(count(lit(1)).as("v_size")))
+    toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        (-log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("t_total") + col("v_size") + 1))).as("nll"))
+      .groupBy(col(idCol))
+      .agg(round(avg(col("nll")), 4).as("avg_nll"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Content fingerprint: md5 (cross-engine checkable). */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 

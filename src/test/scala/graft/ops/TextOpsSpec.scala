@@ -45,6 +45,20 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0).getLong(1) == r(2).getLong(1)) // same text → same fingerprint
   }
 
+  test("lm score: frequent-token docs score lower, OOV raises the score") {
+    // corpus: "aa" 4×, "bb" 2×, "zz" 1× — vocabSize=2 keeps {aa, bb},
+    // "zz" goes OOV. T=7, V=2 → p(aa)=5/10, p(bb)=3/10, p(oov)=1/10
+    val df = Seq(
+      (1L, "aa aa aa aa"), (2L, "bb bb"), (3L, "zz")
+    ).toDF("doc_id", "text")
+    val got = TextOps.lmScore(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == math.floor(-math.log(0.5) * 1e4 + 0.5) / 1e4, got)
+    assert(got(2L) == math.floor(-math.log(0.3) * 1e4 + 0.5) / 1e4, got)
+    assert(got(3L) == math.floor(-math.log(0.1) * 1e4 + 0.5) / 1e4, got)
+    assert(got(1L) < got(2L) && got(2L) < got(3L))
+  }
+
   test("repetition signals: dup lines and top bigram counted exactly") {
     // 2-word lines: "aa bb" appears 3×, "cc dd" once → 2 dup lines of 4;
     // top bigram is "aa bb" ... wait — bigrams overlap: "bb aa" too.

@@ -44,6 +44,8 @@ class PlansSpec extends SparkSpec {
   private val allowedQuadratic = Set(
     "a8_counts", "dd3_lsh_stats", "o2b_sample_seeded", "e1_movie_pipeline",
     "ts6_tfidf", "tp2_corpus_report", "sim1_cosine_topk", "sim3_ivf_topk",
+    // 1-row broadcast LM totals (T, V) attached to every token
+    "lm1_lm_score",
     "j6_range_join",
     // in-entry brute-force recall baseline × broadcast IVF/PQ probes
     "sim6_kmeans_ivf", "sim7_pq_topk", "sim8_ivfpq_topk",
