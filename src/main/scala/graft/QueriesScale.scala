@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, TextOps, Similarity, Multimodal}
+import graft.ops.{Dedup, TextOps, Similarity, Multimodal, Sampling}
 import graft.streaming.StreamingOps
 
 /** Training-data-pipeline operator catalog: deduplication, similarity
@@ -228,6 +228,17 @@ object QueriesScale {
       TextOps.lmScore(fanOut(documents(s, d)), "doc_id", "text",
           vocabSize = 20)
         .orderBy(col("doc_id"))),
+
+    // domain rebalancing: every lang deterministically downsampled to the
+    // smallest lang's size (integer-exact mod sampling → full oracle)
+    "tp3_domain_rebalance" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val kept = Sampling.rebalanceToMin(docs, "lang", "doc_id")
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+        .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_after")),
+          Seq("lang"))
+        .orderBy(col("lang"))
+    }),
 
     // winnowing-style rolling-hash fingerprint (xxhash64-seeded → no oracle)
     "ts5_rolling_fp" -> ((s, d) =>
@@ -714,6 +725,20 @@ object QueriesScale {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.05
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "tp3_domain_rebalance" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS grp_n FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(grp_n) AS min_n FROM counts),
+        |kept AS (
+        |  SELECT d.lang FROM documents d JOIN counts c USING (lang)
+        |  CROSS JOIN m
+        |  WHERE (d.doc_id % 10000) * c.grp_n < m.min_n * 10000)
+        |SELECT c.lang, c.grp_n AS n_before, k.n_after
+        |FROM counts c
+        |JOIN (SELECT lang, COUNT(*) AS n_after FROM kept GROUP BY lang) k
+        |  USING (lang)
+        |ORDER BY c.lang""".stripMargin,
 
     "lm1_lm_score" ->
       """WITH toks AS (

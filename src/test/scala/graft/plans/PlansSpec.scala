@@ -46,6 +46,8 @@ class PlansSpec extends SparkSpec {
     "ts6_tfidf", "tp2_corpus_report", "sim1_cosine_topk", "sim3_ivf_topk",
     // 1-row broadcast LM totals (T, V) attached to every token
     "lm1_lm_score",
+    // 1-row broadcast min group size attached to every row
+    "tp3_domain_rebalance",
     "j6_range_join",
     // in-entry brute-force recall baseline × broadcast IVF/PQ probes
     "sim6_kmeans_ivf", "sim7_pq_topk", "sim8_ivfpq_topk",
