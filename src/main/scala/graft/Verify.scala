@@ -4,6 +4,11 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,9 +27,35 @@ object Verify {
     val selected = only.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.view.filterKeys(s).toMap)
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val path = s"$outDir/$name"
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(path)
+        // Self-check enforcement: entries without a DuckDB oracle carry
+        // their own verdict as a boolean `equal`/`recall_ok` column
+        // (streaming equivalence, ANN recall floors). A false verdict must
+        // surface as a driver-visible err, not a silent rows-only green —
+        // so the dump is read back (one evaluation of the entry, no
+        // re-run of streaming side effects) and deleted on failure, which
+        // makes the driver record a missing-result err for the entry.
+        val written = spark.read.parquet(path)
+        val verdictCols = written.schema.fields.collect {
+          case f if (f.name == "equal" || f.name == "recall_ok") &&
+            f.dataType == org.apache.spark.sql.types.BooleanType => f.name
+        }
+        if (verdictCols.nonEmpty) {
+          import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+          val nBad = written.filter(verdictCols
+              .map(c => not(coalesce(col(c), lit(false))))
+              .reduce(_ || _))
+            .count()
+          if (nBad > 0) {
+            deleteRecursively(new java.io.File(path))
+            System.err.println(
+              s"[verify] $name SELF-CHECK FAILED ($nBad row(s) with a " +
+                s"false ${verdictCols.mkString("/")}) — result withheld")
+          }
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

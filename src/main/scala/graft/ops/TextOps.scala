@@ -103,22 +103,56 @@ object TextOps {
       markerCount(text, stopwords))
 
   /** Exact corpus TF-IDF: per-(doc, term) score = tf × ln(N/df).
-    * SINGLE tokenize pass, single lineage: term frequency aggregates the
-    * exploded token relation by (doc, term); document frequency is then a
-    * plain `count` window partitioned by term over the tf result — tf has
-    * exactly one row per (doc, term), so the window count ≡
-    * `countDistinct(doc)`. One scan, two exchanges ((doc,term) agg, term
-    * window), one in-partition sort. The tf-join-df alternative re-derives
-    * the token relation on the df side (ReuseExchange does NOT dedup it:
-    * column pruning rewrites the df branch's aggregate, so the exchange
-    * subtrees differ) — a second full scan+regex+explode of the corpus,
-    * measured slower already at sf0.1 (0.79 s vs 0.61 s). Hot-term skew
-    * (every doc hits "the") bounds a term partition at N_docs rows — the
-    * same bound the join's term shuffle has; salt the window key if a
-    * vocabulary is truly degenerate. Corpus size N broadcasts as a 1-row
-    * relation.
+    * SINGLE tokenize pass: term frequency aggregates the exploded token
+    * relation by (doc, term); document frequency is derived FROM tf
+    * (`tf.groupBy(term).count()` — tf has exactly one row per (doc, term),
+    * so the count ≡ `countDistinct(doc)`) and joined back on term.
+    *
+    * The df-side aggregate is partial-aggregated (map-side combined), so a
+    * hot term ("the" ≈ every doc) collapses to one row per map task before
+    * its shuffle, and the join-back on term sits where AQE's skew-join
+    * splitting applies — unlike the `count().over(Window.partitionBy
+    * (term))` formulation (kept as [[tfidfWindowed]]), which must land
+    * EVERY (doc, hot-term) row in one window task with no AQE relief: a
+    * ~10¹⁰-row single-task straggler at web scale. The df relation is
+    * vocabulary-sized and unbounded (no broadcast hint — the planner/AQE
+    * sizes it).
+    *
+    * `cacheTf` (default true) persists the tf relation (MEMORY_AND_DISK,
+    * spillable) so the tokenize+aggregate pass runs once — without it the
+    * df branch re-derives the token relation (ReuseExchange does NOT dedup
+    * it: column pruning rewrites the df branch's aggregate, so the
+    * exchange subtrees differ) for a second full scan+regex+explode of
+    * the corpus. Both are linear and partition-local; pass false where
+    * cache memory is scarcer than a re-scan. Corpus size N broadcasts as
+    * a 1-row relation.
     */
-  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+      cacheTf: Boolean = true): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), "\\s+")).as("term"))
+    val tf0 = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tf = if (cacheTf)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4)
+          .as("tfidf"))
+  }
+
+  /** The window-df formulation of [[tfidf]]: one lineage, no cache, one
+    * in-partition sort — fine for SMALL corpora where no term's posting
+    * list strains a single task, but the hot-term window partition makes
+    * it a straggler at corpus scale (see [[tfidf]]'s scaladoc). Kept as
+    * the documented small-corpus variant; results are identical.
+    */
+  def tfidfWindowed(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
     val toks = docs.select(col(idCol),
       explode(split(lower(col(textCol)), "\\s+")).as("term"))
     val tf = toks.groupBy(col(idCol), col("term"))
