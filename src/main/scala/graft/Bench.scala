@@ -4,8 +4,6 @@ import java.lang.management.ManagementFactory
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Results are forced with a noop-format write (full
   * plan execution incl. projected columns — `count()` would let Spark prune
@@ -20,8 +18,29 @@ import org.apache.spark.sql.SparkSession
   * JVM per query makes every reported number reproducible in isolation by
   * construction; min-of-3 after a warmup run damps the host's CPU-steal
   * spikes. `SPARK_GRAFT_FORK=0` forces the old in-process mode.
+  *
+  * The JSON carries the measurement protocol alongside the headline
+  * numbers: a `protocol` object (runs per query, warmup runs, isolation
+  * mode) and a per-query `runs` map with the warmup time and every timed
+  * run. This host shows up to 5× CPU-steal variance between identical
+  * runs — the raw spread is what lets a reader separate host noise from a
+  * real regression without re-deriving it from git history; `queries`
+  * stays the plain name→min-seconds map.
   */
 object Bench {
+
+  private val nRuns = 3
+
+  /** One query's measurement: warmup seconds + the `nRuns` timed runs.
+    * `value` (the reported number) is the min; a failed query reports
+    * -1 with empty runs.
+    */
+  private case class Detail(warmup: Double, times: Seq[Double]) {
+    def value: Double = if (times.isEmpty) -1.0 else times.min
+    def json: String =
+      f"""{"warmup":$warmup%.3f,"times":[${times.map(t => f"$t%.3f")
+        .mkString(",")}]}"""
+  }
 
   private val headline = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
@@ -53,22 +72,30 @@ object Bench {
       if (inProcess) runInProcess(selected, sfDir, cpus)
       else selected.map(name => name -> forkOne(name, sfDir))
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, d) => "\"" + k + f"\":${d.value}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val runs = results.map { case (k, d) => "\"" + k + "\":" + d.json }
+      .mkString("{", ",", "}")
+    val isolation = if (inProcess) "fresh-session-per-query"
+    else "fork-per-query"
+    val total = results.map(_._2.value).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        s""""protocol":{"n_runs":$nRuns,"warmup_runs":1,"report":"min",""" +
+        s""""isolation":"$isolation"},"runs":$runs,"sf":"$sfDir"}""")
   }
 
   /** Child-JVM path (and `SPARK_GRAFT_FORK=0` fallback): time each query
-    * in a fresh SparkSession on one shared context.
+    * in a fresh SparkSession on one shared context. Each query also prints
+    * a `{"query":...}` detail line — the parent parses it back out of the
+    * child's stdout.
     */
   private def runInProcess(selected: Seq[String], sfDir: String,
-      cpus: String): Seq[(String, Double)] = {
-    def freshSession(): SparkSession = {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      val s = SparkSession.builder()
+      cpus: String): Seq[(String, Detail)] = {
+    def freshSession(): org.apache.spark.sql.SparkSession = {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val s = org.apache.spark.sql.SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
@@ -94,15 +121,16 @@ object Bench {
           .mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val t = try { once(); Seq(once(), once(), once()).min } catch {
+      val d = try Detail(once(), Seq.fill(nRuns)(once())) catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+          Detail(-1.0, Nil)
       }
+      println(s"""{"query":"$name",${d.json.tail}""")
       // give the next query a clean runway: the dropped session's codegen
       // classes and shuffle buffers are only reclaimed on GC
       System.gc()
-      name -> t
+      name -> d
     }
     freshSession().stop()
     results
@@ -110,9 +138,9 @@ object Bench {
 
   /** Parent path: re-launch this main in a child JVM (same JVM args — the
     * sbt fork already carries the JDK-17 --add-opens set and -Xmx — same
-    * classpath) scoped to one query, and parse its JSON line.
+    * classpath) scoped to one query, and parse its detail line.
     */
-  private def forkOne(name: String, sfDir: String): Double = {
+  private def forkOne(name: String, sfDir: String): Detail = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
       .asScala.toSeq
@@ -127,13 +155,15 @@ object Bench {
     val out = scala.io.Source.fromInputStream(p.getInputStream)
       .getLines().toList
     p.waitFor()
-    val pat = ("\"" + java.util.regex.Pattern.quote(name) +
-      "\":(-?\\d+\\.\\d+)").r
+    val pat = ("\\{\"query\":\"" + java.util.regex.Pattern.quote(name) +
+      "\",\"warmup\":(-?\\d+\\.\\d+),\"times\":\\[([0-9.,]*)\\]").r
     out.reverseIterator
-      .flatMap(l => pat.findFirstMatchIn(l).map(_.group(1).toDouble))
+      .flatMap(l => pat.findFirstMatchIn(l).map(m => Detail(
+        m.group(1).toDouble,
+        m.group(2).split(",").filter(_.nonEmpty).map(_.toDouble).toSeq)))
       .nextOption().getOrElse {
         System.err.println(s"[bench] $name: no result from child JVM")
-        -1.0
+        Detail(-1.0, Nil)
       }
   }
 }

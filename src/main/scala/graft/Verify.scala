@@ -9,6 +9,40 @@ object Verify {
     f.delete(): Unit
   }
 
+  /** Self-check enforcement: entries without a DuckDB oracle carry their
+    * own verdict as a boolean `equal`/`recall_ok` column (streaming
+    * equivalence, ANN recall floors). A false verdict must surface as a
+    * driver-visible err, not a silent rows-only green — the written dump is
+    * read back (one evaluation of the entry, no re-run of streaming side
+    * effects) and DELETED on failure, which makes the driver record a
+    * missing-result err for the entry. Returns false iff the dump was
+    * withheld. Factored out of [[main]] so the withholding logic is
+    * testable on its own (VerifySpec).
+    */
+  def enforceSelfCheck(spark: SparkSession, name: String, path: String)
+  : Boolean = {
+    val written = spark.read.parquet(path)
+    val verdictCols = written.schema.fields.collect {
+      case f if (f.name == "equal" || f.name == "recall_ok") &&
+        f.dataType == org.apache.spark.sql.types.BooleanType => f.name
+    }
+    if (verdictCols.isEmpty) true
+    else {
+      import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+      val nBad = written.filter(verdictCols
+          .map(c => not(coalesce(col(c), lit(false))))
+          .reduce(_ || _))
+        .count()
+      if (nBad > 0) {
+        deleteRecursively(new java.io.File(path))
+        System.err.println(
+          s"[verify] $name SELF-CHECK FAILED ($nBad row(s) with a " +
+            s"false ${verdictCols.mkString("/")}) — result withheld")
+      }
+      nBad == 0
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,31 +64,7 @@ object Verify {
       try {
         val path = s"$outDir/$name"
         fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(path)
-        // Self-check enforcement: entries without a DuckDB oracle carry
-        // their own verdict as a boolean `equal`/`recall_ok` column
-        // (streaming equivalence, ANN recall floors). A false verdict must
-        // surface as a driver-visible err, not a silent rows-only green —
-        // so the dump is read back (one evaluation of the entry, no
-        // re-run of streaming side effects) and deleted on failure, which
-        // makes the driver record a missing-result err for the entry.
-        val written = spark.read.parquet(path)
-        val verdictCols = written.schema.fields.collect {
-          case f if (f.name == "equal" || f.name == "recall_ok") &&
-            f.dataType == org.apache.spark.sql.types.BooleanType => f.name
-        }
-        if (verdictCols.nonEmpty) {
-          import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-          val nBad = written.filter(verdictCols
-              .map(c => not(coalesce(col(c), lit(false))))
-              .reduce(_ || _))
-            .count()
-          if (nBad > 0) {
-            deleteRecursively(new java.io.File(path))
-            System.err.println(
-              s"[verify] $name SELF-CHECK FAILED ($nBad row(s) with a " +
-                s"false ${verdictCols.mkString("/")}) — result withheld")
-          }
-        }
+        enforceSelfCheck(spark, name, path): Unit
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

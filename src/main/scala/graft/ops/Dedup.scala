@@ -282,23 +282,6 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** C4/RefinedWeb-style line-level dedup: drop every line whose
-    * corpus-wide occurrence count exceeds `maxOccurrences`, then reassemble
-    * each document from its surviving lines in original order. Real corpora
-    * split lines on '\n'; this corpus has none, so a "line" is a fixed
-    * non-overlapping chunk of `lineWords` whitespace tokens — the machinery
-    * (explode with position, corpus-frequency blacklist, anti join, ordered
-    * reassembly) is the production shape either way.
-    *
-    * Scale: the blacklist is small BY CONSTRUCTION — every hot line
-    * collapses to one row in the count aggregate (map-side combined before
-    * its shuffle), and only lines breaching the cap survive the filter, so
-    * the anti join broadcasts and the full line relation never shuffles on
-    * the (skewed) line value. Two linear passes over the corpus (count,
-    * filter+reassemble) plus one doc-keyed shuffle — the classic two-pass
-    * C4 layout. Documents whose every line is banned disappear from the
-    * output (dropping now-empty docs is the curation intent).
-    */
   /** Non-overlapping chunks of `w` whitespace words as an array column —
     * the "line" unit for line-level ops on newline-free corpora.
     */
@@ -310,17 +293,47 @@ object Dedup {
       i => array_join(slice(ws, i * w + 1, lit(w)), " "))
   }
 
+  /** C4/RefinedWeb-style line-level dedup: drop every line whose
+    * corpus-wide occurrence count exceeds `maxOccurrences`, then reassemble
+    * each document from its surviving lines in original order. Real corpora
+    * split lines on '\n'; this corpus has none, so a "line" is a fixed
+    * non-overlapping chunk of `lineWords` whitespace tokens — the machinery
+    * (explode with position, corpus-frequency blacklist, anti join, ordered
+    * reassembly) is the production shape either way.
+    *
+    * Scale: the exploded line relation feeds BOTH the blacklist build and
+    * the anti-join probe side, so it is persisted (spillable) — the corpus
+    * is tokenized and exploded exactly once (the same reuse pattern as
+    * [[TextOps.tfidf]]'s tf relation). The blacklist itself is NOT small by
+    * construction: it holds every line repeated more than `maxOccurrences`
+    * times, which on a boilerplate-heavy web corpus is billions of rows —
+    * so the anti join is size-GATED, not hint-forced. The blacklist is
+    * counted (one job over the already-persisted lines; the count aggregate
+    * is map-side combined) and broadcast only when it fits
+    * `broadcastMaxLines`; past the gate the anti join runs shuffled on the
+    * line key, where AQE's skew handling covers hot lines. Two linear
+    * passes over the persisted lines (count, anti join) plus one doc-keyed
+    * shuffle — the classic two-pass C4 layout. Documents whose every line
+    * is banned disappear from the output (dropping now-empty docs is the
+    * curation intent).
+    */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-      lineWords: Int = 5, maxOccurrences: Long = 1): DataFrame = {
+      lineWords: Int = 5, maxOccurrences: Long = 1,
+      broadcastMaxLines: Long = 100000L): DataFrame = {
     val w = lineWords
-    def lines(df: DataFrame): DataFrame =
-      df.select(col(idCol),
+    val lines = docs.select(col(idCol),
         posexplode(wordChunks(col(textCol), w)).as(Seq("pos", "line")))
-    val banned = lines(docs).groupBy(col("line"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banned = lines.groupBy(col("line"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > maxOccurrences)
       .select(col("line"))
-    lines(docs).join(broadcast(banned), Seq("line"), "left_anti")
+    // counted gate: under it, the explicit hint skips the planner's (poor)
+    // post-filter cardinality estimate; over it, NO hint — the planner/AQE
+    // size the join and a multi-GB blacklist never lands on the driver
+    val probe = if (banned.count() <= broadcastMaxLines) broadcast(banned)
+    else banned
+    lines.join(probe, Seq("line"), "left_anti")
       .groupBy(col(idCol))
       .agg(
         array_join(
@@ -374,25 +387,37 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit fingerprints banded into four 16-bit
     * chunks; docs sharing any chunk are candidates (pigeonhole: complete for
     * Hamming distance ≤ 3), verified with an exact popcount of the XOR.
-    * Join key is the 16-bit chunk value + chunk index — bucket-sized cost,
-    * never a cross join.
+    * Pairs are emitted in-task from the collected (chunk_idx, chunk)
+    * bucket — one groupBy on the bucket key, the same shape as
+    * [[lshCandidatePairs]], replacing the earlier two-sided self-join
+    * (whose pair emission was quadratic in bucket size with no bound).
+    * `maxBucket` caps degenerate buckets: a near-dup-heavy corpus
+    * concentrates fingerprints into hot 16-bit chunks, and an over-cap
+    * bucket would alone emit |bucket|² pairs — it is dropped instead,
+    * trading recall on mass-duplicated boilerplate (which exact/line dedup
+    * removes first) for a hard cost bound, mirroring [[lshCandidatePairs]]
+    * and [[ngramJaccardPairs]].
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    // the fingerprint feeds a generator and both self-join sides → barrier
-    val fp = barrier(simhash64(df, idCol, textCol), idCol)
-    val chunked = fp.select(col(idCol), col("simhash"),
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    // fingerprints are consumed once (the bucket groupBy) → no barrier;
+    // simhash64 is row-local, so the only shuffle is the bucket key
+    val chunked = simhash64(df, idCol, textCol)
+      .select(col(idCol), col("simhash"),
         posexplode(array((0 until 4).map(j =>
           shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("chunk_idx"), col("chunk"),
-      col(idCol).as("id_a"), col("simhash").as("fp_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"),
-      col(idCol).as("id_b"), col("simhash").as("fp_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+    chunked.groupBy(col("chunk_idx"), col("chunk"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("fp")))
+        .as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
+      .select(explode(expr(
+        "filter(flatten(transform(docs, a -> transform(docs, " +
+          "b -> struct(a.id AS id_a, a.fp AS fp_a, " +
+          "b.id AS id_b, b.fp AS fp_b)))), " +
+          "p -> p.id_a < p.id_b)")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

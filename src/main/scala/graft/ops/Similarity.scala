@@ -275,19 +275,32 @@ object Similarity {
     * Determinism and scale shape:
     *   - init = the vectors of the k smallest ids (no RNG — reproducible
     *     and oracle-replicable), cluster index = rank by id;
-    *   - assignment is a ROW-LOCAL fold over the k centroids embedded as a
-    *     literal array (argmax by cosine, rounded to 6 so ties break the
-    *     same under any summation order; strict `>` + ascending cluster
-    *     order = lowest cluster wins ties). Zero shuffle, no window, no
-    *     join — the corpus is scanned once per iteration;
+    *   - assignment at small k·dim is a ROW-LOCAL fold over the k centroids
+    *     embedded as a literal array (argmax by cosine, rounded to 6 so
+    *     ties break the same under any summation order; strict `>` +
+    *     ascending cluster order = lowest cluster wins ties). Zero shuffle,
+    *     no window, no join — the corpus is scanned once per iteration;
+    *   - past `literalBudget` total literal values (k·dim — codegen and
+    *     analysis degrade with plan size well before the real-IVF
+    *     nlist=4096 × dim=64 ≈ 262k literals), assignment switches to a
+    *     broadcast centroid RELATION + id-keyed argmax aggregate with the
+    *     SAME rounded tie-break (max_by on (sim, −cluster): highest sim,
+    *     then lowest cluster). Plan size is now O(1) in k; the cost is one
+    *     id-keyed shuffle per iteration whose map side partial-aggregates
+    *     the k-way fan-out down to one row per id per partition;
     *   - recompute reuses the [[centroids]] shuffle (posexplode keyed by
     *     (cluster, pos) with map-side combine), then pulls k·dim doubles
-    *     to the driver for the next iteration's literal — the MLlib
-    *     pattern; per-iteration cost is one scan + one tiny shuffle, and
-    *     the final plan stays shallow. Empty clusters simply drop out.
+    *     to the driver for the next iteration — the MLlib pattern; empty
+    *     clusters simply drop out.
+    *
+    * Both paths are assignment-identical (SimilaritySpec forces the
+    * relation path and asserts equality; the sim5 oracle covers the
+    * literal path).
     */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int, literalBudget: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val base = df.select(col(idCol), col(vecCol))
 
     def assignCol(cents: Seq[(Int, Seq[Double])]): Column = {
@@ -304,19 +317,31 @@ object Similarity {
         }).getField("cluster")
     }
 
+    // (id, vec, cluster) under the current centroids, path picked on size
+    def assigned(cents: Seq[(Int, Seq[Double])]): DataFrame =
+      if (cents.iterator.map(_._2.size).sum <= literalBudget)
+        base.withColumn("cluster", assignCol(cents))
+      else {
+        val centsDf = broadcast(cents.toDF("cluster", "centroid"))
+        base.crossJoin(centsDf)
+          .withColumn("sim", round(cosine(col(vecCol), col("centroid")), 6))
+          .groupBy(col(idCol))
+          .agg(first(col(vecCol)).as(vecCol),
+            max_by(col("cluster"),
+              struct(col("sim"), (-col("cluster")).as("nc"))).as("cluster"))
+      }
+
     var cents: Seq[(Int, Seq[Double])] = base
       .orderBy(col(idCol)).limit(k)
       .select(transform(col(vecCol), x => x.cast("double")))
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
     for (_ <- 1 to iters) {
-      val assigned = base.withColumn("cluster", assignCol(cents))
-      cents = centroids(assigned, "cluster", vecCol)
+      cents = centroids(assigned(cents), "cluster", vecCol)
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
     }
-    base.withColumn("cluster", assignCol(cents))
-      .select(col(idCol), col("cluster"))
+    assigned(cents).select(col(idCol), col("cluster"))
   }
 
   // ---- Product quantization (ADC) — the compressed-ANN path --------------

@@ -212,6 +212,43 @@ class DedupSpec extends SparkSpec {
     assert(clean == Set(2L), clean)
   }
 
+  test("line dedup shuffled-fallback path (gate=0) matches broadcast path") {
+    // a "hot" corpus: every doc contributes the same boilerplate line plus
+    // unique content; with broadcastMaxLines = 0 the blacklist gate always
+    // falls back to the shuffled left_anti. With auto-broadcast disabled
+    // the plan must contain NO broadcast join — the 100 TB regime where a
+    // billions-row blacklist can neither hint-broadcast nor OOM the driver
+    val hot = (1 to 12).map(i =>
+      (i.toLong, s"copy right footer uniq$i body$i"))
+      .toDF("doc_id", "text")
+    def res(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val viaBroadcast = res(Dedup.lineDedup(hot, "doc_id", "text",
+      lineWords = 2, maxOccurrences = 1))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val gated = Dedup.lineDedup(hot, "doc_id", "text",
+        lineWords = 2, maxOccurrences = 1, broadcastMaxLines = 0L)
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(!plan.contains("Broadcast"), plan.take(2000))
+      assert(res(gated) == viaBroadcast)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("simhash near-dup maxBucket drops hot-chunk buckets (cost bound)") {
+    // constant corpus: identical fingerprints put all 20 docs in the same
+    // bucket of all four chunks — uncapped that is 190 hamming-0 pairs;
+    // the cap drops the over-cap buckets entirely (sub-quadratic bound)
+    val const = (1 to 20).map(i => (i.toLong, "same text in every doc here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashNearDupPairs(const, "doc_id", "text", 3)
+      .count() == 190L)
+    assert(Dedup.simhashNearDupPairs(const, "doc_id", "text", 3,
+      maxBucket = 10).count() == 0L)
+  }
+
   test("line dedup drops corpus-repeated lines, keeps doc order") {
     // 2-word lines: docs 1 and 2 share "dup dup"; doc 3 is untouched;
     // doc 4 is ALL repeated lines and must disappear from the output

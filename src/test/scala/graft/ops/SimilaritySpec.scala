@@ -181,6 +181,25 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("kmeansAssign relation path (literalBudget=0) equals literal path") {
+    // past the literal budget the argmax fold becomes a broadcast centroid
+    // relation + id-keyed max_by aggregate — same init, same rounded
+    // tie-break (highest sim, then lowest cluster), so the two paths must
+    // be assignment-identical on any input, including exact duplicates
+    // (identical sims → the tie-break decides)
+    val rnd = new scala.util.Random(7L)
+    val pts = (0 until 60).map { i =>
+      (i.toLong, Array.fill(6)(rnd.nextGaussian().toFloat))
+    } ++ Seq((60L, Array.fill(6)(0.5f)), (61L, Array.fill(6)(0.5f)))
+    val df = pts.toDF("id", "vec")
+    def assign(budget: Int) =
+      Similarity.kmeansAssign(df, "id", "vec", 5, 2, literalBudget = budget)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val literal = assign(Int.MaxValue)
+    val relation = assign(0)
+    assert(relation == literal)
+  }
+
   test("PQ ADC with full-corpus shortlist equals exact brute force") {
     // with the shortlist covering the whole corpus the ADC stage only
     // orders candidates and the exact rerank decides — results must equal
