@@ -369,6 +369,55 @@ object QueriesScale {
           (col("n_hit") / col("n_bf") >= 0.7).as("recall_ok"))
     }),
 
+    // the 100 TB ANN SERVING path: the trained index is not rebuilt per
+    // query — clusters, PQ codes, centroids and full vectors round-trip
+    // through a lake layout (codes partitioned BY CLUSTER, the
+    // Load.partitionedParquet shape), and the probe joins the read-back
+    // index on the partition column so unprobed clusters are dynamically
+    // pruned (zero bytes read — SimilaritySpec locks the pruned plan).
+    // Same probe params as sim8 → same recall floor self-check.
+    "sim9_persisted_ann" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ann_index_").toString
+      val emb = embeddings(s, d)
+      val nrm = sqrt(aggregate(col("embedding"),
+        lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+      val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / nrm)
+          .as("embedding"))
+      val clusters = Similarity.kmeansAssign(base, "vec_id", "embedding",
+        k = 10, iters = 2)
+      val books = Similarity.pqTrain(base, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 2)
+      graft.etl.Load.partitionedParquet(
+        Similarity.pqEncode(base, "vec_id", "embedding", books)
+          .join(clusters, "vec_id")
+          .select(col("cluster"), col("vec_id").as("neighbor_id"),
+            col("codes")),
+        s"$tmp/index", Seq("cluster"))
+      graft.etl.Load.parquet(
+        Similarity.centroids(base.join(clusters, "vec_id"), "cluster",
+          "embedding"), s"$tmp/centroids")
+      graft.etl.Load.parquet(
+        base.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("c_vec")), s"$tmp/vectors")
+      val ann = Similarity.ivfPqProbe(
+        s.read.parquet(s"$tmp/index"), s.read.parquet(s"$tmp/centroids"),
+        s.read.parquet(s"$tmp/vectors"),
+        base.filter(col("vec_id") < 10), "vec_id", "embedding", books,
+        5, nprobe = 4, shortlist = 100)
+      val bf = Similarity.bruteForceTopK(base,
+        base.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      val hits = bf.select(col("query_id"), col("neighbor_id"))
+        .join(ann.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      bf.agg(count(lit(1)).as("n_bf"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_bf"), col("n_hit"),
+          round(col("n_hit") / col("n_bf"), 4).as("recall"),
+          (col("n_hit") / col("n_bf") >= 0.7).as("recall_ok"))
+    }),
+
     // IVF-style ANN probe — approximate vs brute force, but deterministic
     // (clusters = label column, no RNG) → fully oracle-checked
     "sim3_ivf_topk" -> ((s, d) => {
@@ -432,6 +481,66 @@ object QueriesScale {
           date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
           col("r_value").as("view_value"))
         .orderBy(col("click_id"), col("view_id"))
+    }),
+
+    // st4's driver-visible streaming proof (the st2b pattern applied to
+    // the interval join): clicks and views land in TWO zones written in
+    // event-time order, both sides stream with watermarks, and the
+    // watermarked stream-stream join must emit EXACTLY the batch st4
+    // result — no DuckDB oracle can run a stream-stream join, so the
+    // entry carries its own `equal` verdict (enforced by Verify).
+    "st4b_interval_join_stream_equiv" -> ((s, d) => {
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ssjoin_").toString
+      val (clicksDir, viewsDir) = (s"$root/clicks", s"$root/views")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      // one global event-time sextiling drives BOTH zones so the two
+      // sources advance through event time together (the join's watermark
+      // is the min across inputs)
+      val withB = raw.withColumn("_b",
+        ntile(6).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"))))
+      for (i <- 1 to 6) {
+        val b = withB.filter(col("_b") === i).drop("_b")
+        b.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .coalesce(1).write.mode("append").parquet(clicksDir)
+        b.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .coalesce(1).write.mode("append").parquet(viewsDir)
+        Thread.sleep(20)  // distinct mtimes → deterministic file order
+      }
+      val shaped = StreamingOps.streamIntervalJoin(s, clicksDir, viewsDir,
+          "user_id", "ts", "10 minutes", "2 hours", s"st4b_$tag")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("r_event_id").as("view_id"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          col("r_value").as("view_value"))
+      val ev = events(s, d)
+      val batch = StreamingOps.intervalJoin(
+          ev.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id"), col("ts"),
+              col("value")),
+          "user_id", "ts", "10 minutes")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("r_event_id").as("view_id"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          col("r_value").as("view_value"))
+      shaped.exceptAll(batch).agg(count(lit(1)).as("only_stream"))
+        .crossJoin(batch.exceptAll(shaped)
+          .agg(count(lit(1)).as("only_batch")))
+        .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+        .crossJoin(shaped.agg(count(lit(1)).as("n_stream")))
+        .select(col("n_batch"), col("n_stream"), col("only_stream"),
+          col("only_batch"),
+          (col("only_stream") === 0 && col("only_batch") === 0)
+            .as("equal"))
     }),
 
     // S4/S6 driver-visible proof: run the TRUE streaming paths (file

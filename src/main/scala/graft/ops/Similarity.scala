@@ -476,14 +476,48 @@ object Similarity {
     * shortlist fetched by id. Queries probe their `nprobe` nearest
     * centroids (broadcast), ADC runs only over the probed clusters'
     * CODES, and full vectors are touched only for the shortlist join.
+    * Builds the three index relations in-plan and delegates to
+    * [[ivfPqProbe]] — a deployment persists those relations instead (the
+    * `sim9` catalog entry round-trips them through a cluster-partitioned
+    * lake table).
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, clusterCol: String, books: Seq[Seq[Seq[Double]]],
       k: Int, nprobe: Int = 2, shortlist: Int = 50): DataFrame = {
+    val cents = centroids(corpus, clusterCol, vecCol)
+    val index = pqEncode(corpus, idCol, vecCol, books)
+      .join(corpus.select(col(idCol), col(clusterCol).as("cluster")),
+        Seq(idCol))
+      .select(col("cluster"), col(idCol).as("neighbor_id"), col("codes"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"))
+    ivfPqProbe(index, cents, vecs, queries, idCol, vecCol, books, k,
+      nprobe, shortlist)
+  }
+
+  /** IVF-ADC probe against MATERIALIZED index relations — the serving
+    * path of a persisted ANN index:
+    *
+    *   - `index`: (cluster, neighbor_id, codes) — at scale a parquet
+    *     table PARTITIONED BY cluster, so the broadcast join on the
+    *     assigned clusters dynamically prunes unprobed partitions (zero
+    *     bytes read for them — the [[graft.etl.Load.partitionedParquet]]
+    *     layout, locked by SimilaritySpec's pruning assert);
+    *   - `cents`: (cluster, centroid) — nlist rows, broadcast;
+    *   - `vecs`: (neighbor_id, c_vec) — full vectors, touched ONLY by the
+    *     shortlist id join for exact rerank.
+    *
+    * Probe = assign queries to their `nprobe` nearest centroids
+    * (broadcast), ADC-score the probed clusters' codes row-locally
+    * (codebooks are literals), keep a per-query shortlist, exact-rerank it.
+    */
+  def ivfPqProbe(index: DataFrame, cents: DataFrame, vecs: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      books: Seq[Seq[Seq[Double]]], k: Int, nprobe: Int = 2,
+      shortlist: Int = 50): DataFrame = {
     val m = books.size
     val dsub = books.head.head.size
     val cb = typedlit(books)
-    val cents = centroids(corpus, clusterCol, vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("cluster"))
@@ -492,10 +526,6 @@ object Similarity {
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("q_vec"), col("cluster"))
-    val enc = pqEncode(corpus, idCol, vecCol, books)
-      .join(corpus.select(col(idCol), col(clusterCol).as("cluster")),
-        Seq(idCol))
-      .select(col("cluster"), col(idCol).as("neighbor_id"), col("codes"))
     val adist = (0 until m).map { mi =>
       subDist(col("q_vec"), mi * dsub, dsub,
         element_at(element_at(cb, mi + 1),
@@ -503,17 +533,15 @@ object Similarity {
     }.reduce(_ + _)
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
-    val short = enc.join(broadcast(assigned), Seq("cluster"))
+    val short = index.join(broadcast(assigned), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adist", adist)
       .withColumn("srank", row_number().over(ws))
       .filter(col("srank") <= shortlist)
       .select(col("query_id"), col("q_vec"), col("neighbor_id"))
-    val vecsById = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("c_vec"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    short.join(vecsById, Seq("neighbor_id"))
+    short.join(vecs, Seq("neighbor_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 4))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)

@@ -192,6 +192,32 @@ object StreamingOps {
         col(s"r_$tsCol") <= col(tsCol))
   }
 
+  /** Drive [[intervalJoin]] as a TRUE watermarked stream-stream join over
+    * two parquet landing zones (AvailableNow, memory sink): both sides get
+    * an event-time watermark, and the bounded time condition lets Spark
+    * expire buffered per-key state once the watermark passes
+    * `ts + lookback` — the production shape where join state is
+    * proportional to the lookback window, not the stream length. Returns
+    * the joined rows; the driver-visible batch-equivalence proof is the
+    * `st4b_interval_join_stream_equiv` catalog entry.
+    */
+  def streamIntervalJoin(spark: SparkSession, leftDir: String,
+      rightDir: String, keyCol: String, tsCol: String, lookback: String,
+      watermark: String, queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src(dir: String): DataFrame =
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+        .withWatermark(tsCol, watermark)
+    val q = intervalJoin(src(leftDir), src(rightDir), keyCol, tsCol,
+        lookback)
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Drive [[statefulSessionize]] over a parquet landing zone with
     * `AvailableNow` and return the CLOSED sessions it emitted (memory
     * sink). The driver-visible batch-equivalence proof for S4/S6 lives in

@@ -224,6 +224,54 @@ class SimilaritySpec extends SparkSpec {
     assert(pq == bf)
   }
 
+  test("persisted index probe prunes unprobed cluster partitions (DPP)") {
+    // the sim9 layout: codes partitioned by cluster; probing nprobe=1 of
+    // three well-separated clusters must (a) dynamically prune the index
+    // scan to the probed cluster's partition and (b) return that cluster's
+    // true neighbors (equal to brute force restricted to it)
+    val rnd = new scala.util.Random(3L)
+    val pts = (0 until 30).map { i =>
+      val c = i % 3
+      val v = Array.fill(6)(0.02f * rnd.nextGaussian().toFloat)
+      v(c) = 1.0f
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat))
+    }.toDF("vec_id", "embedding")
+    val clusters = Similarity.kmeansAssign(pts, "vec_id", "embedding", 3, 2)
+    val books = Similarity.pqTrain(pts, "vec_id", "embedding", 3, 4, 2)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_spec_ann_").toString
+    graft.etl.Load.partitionedParquet(
+      Similarity.pqEncode(pts, "vec_id", "embedding", books)
+        .join(clusters, "vec_id")
+        .select(col("cluster"), col("vec_id").as("neighbor_id"),
+          col("codes")),
+      s"$tmp/index", Seq("cluster"))
+    graft.etl.Load.parquet(Similarity.centroids(
+      pts.join(clusters, "vec_id"), "cluster", "embedding"),
+      s"$tmp/centroids")
+    graft.etl.Load.parquet(pts.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_vec")), s"$tmp/vectors")
+    val probe = Similarity.ivfPqProbe(
+      spark.read.parquet(s"$tmp/index"),
+      spark.read.parquet(s"$tmp/centroids"),
+      spark.read.parquet(s"$tmp/vectors"),
+      pts.filter(col("vec_id") === 0L), "vec_id", "embedding", books,
+      3, nprobe = 1, shortlist = 30)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(3000))
+    val got = probe.collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    val sameCluster = clusters.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val c0 = sameCluster(0L)
+    val bf = Similarity.bruteForceTopK(
+        pts.join(clusters, "vec_id").filter(col("cluster") === c0),
+        pts.filter(col("vec_id") === 0L), "vec_id", "embedding", 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(got == bf,
+      s"pruned probe must equal in-cluster brute force: $got vs $bf")
+  }
+
   test("thresholdPairs plan has no cartesian/nested-loop join") {
     val plan = Similarity.thresholdPairs(
         many, "vec_id", "embedding", 0.5, dim = 8)

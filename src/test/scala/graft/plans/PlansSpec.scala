@@ -51,9 +51,10 @@ class PlansSpec extends SparkSpec {
     "j6_range_join",
     // in-entry brute-force recall baseline × broadcast IVF/PQ probes
     "sim6_kmeans_ivf", "sim7_pq_topk", "sim8_ivfpq_topk",
+    "sim9_persisted_ann",
     // 1-row × 1-row accounting combinations over streamed-vs-batch counts
-    "st2b_stream_batch_equiv", "st6_stream_dedup", "st7_per_source_quota",
-    "st8_chunked_load")
+    "st2b_stream_batch_equiv", "st4b_interval_join_stream_equiv",
+    "st6_stream_dedup", "st7_per_source_quota", "st8_chunked_load")
 
   test("no cartesian/nested-loop join outside documented ops") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
