@@ -77,6 +77,40 @@ class FunctionsSpec extends SparkSpec {
     assert(m("heavy") >= 200 - 80 && m("heavy") <= 200)
   }
 
+  test("every native function resolves through the extensions injection") {
+    // the cluster-wide deployment path (spark.sql.extensions) must expose
+    // the SAME function surface as the runtime register() — a function
+    // present in one and not the other silently vanishes on a configured
+    // cluster (the round-6 ADVICE finding for minhash_sigs)
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val row = s2.sql(
+        "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+          "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cs, " +
+          "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp, " +
+          "simhash64(transform(split('a b c', ' '), t -> xxhash64(t))) " +
+          "AS sh, " +
+          "minhash_sigs(transform(split('a b c', ' '), t -> xxhash64(t)), " +
+          "4) AS mh").collect().head
+      assert(row.getDouble(0) == 1.0)
+      assert(row.getDouble(1) == 11.0)
+      assert(row.getSeq[Long](3).size == 4)
+      val hh = s2.sql("SELECT heavy_hitters(v, 2) AS hh FROM " +
+        "(SELECT explode(array('x','x','x','y')) AS v)")
+        .collect().head.getMap[String, Long](0)
+      assert(hh.contains("x"))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("heavy_hitters merges across partitions (grouped + SQL form)") {
     GraftFunctions.register(spark)
     val df = (Seq.fill(40)("x") ++ Seq.fill(10)("y")).toDF("v")
