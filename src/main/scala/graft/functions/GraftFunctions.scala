@@ -34,6 +34,12 @@ object GraftFunctions {
         exprs(1).eval(null).asInstanceOf[Number].intValue())
         .toAggregateExpression(),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "bounded_collect",
+      exprs => BoundedCollect(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())
+        .toAggregateExpression(),
+      "built-in")
   }
 }
 
@@ -67,6 +73,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HeavyHitters(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())
+          .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_collect"),
+      new ExpressionInfo(classOf[BoundedCollect].getName, "bounded_collect"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BoundedCollect(exprs.head,
           exprs(1).eval(null).asInstanceOf[Number].intValue())
           .toAggregateExpression()))
     ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)

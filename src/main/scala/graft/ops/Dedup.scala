@@ -152,10 +152,13 @@ object Dedup {
     // one groupBy on the bucket key, pairs emitted in-task from the
     // collected bucket (the same shape as [[ngramJaccardPairs]]) — the
     // window-count alternative pays a sort inside the band exchange for
-    // nothing; a collected bucket is idCol-only, so even a degenerate
-    // bucket is bounded memory before the size filter drops it
+    // nothing. The collection is the native [[graft.functions
+    // .BoundedCollect]] aggregate: its buffer stops at maxBucket+1
+    // elements, so a degenerate bucket (constant text at web scale) costs
+    // bounded memory IN the aggregate, not just after the size filter —
+    // the filter then reads the overflow off `size > maxBucket` as before
     bandsDf.groupBy(col("band"), col("band_hash"))
-      .agg(collect_list(col(idCol)).as("docs"))
+      .agg(graft.functions.BoundedCollect(col(idCol), maxBucket).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
       .select(explode(expr(
         "filter(flatten(transform(docs, a -> transform(docs, " +
@@ -260,7 +263,7 @@ object Dedup {
     // a two-sided hash join, same exact counts
     val buckets = grams
       .groupBy((blockCols.map(col) :+ col("gram")): _*)
-      .agg(collect_list(col(idCol)).as("docs"))
+      .agg(graft.functions.BoundedCollect(col(idCol), maxDocFreq).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDocFreq)
     val inter = buckets
       .select(explode(expr(
@@ -408,7 +411,8 @@ object Dedup {
           shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("chunk_idx", "chunk")))
     chunked.groupBy(col("chunk_idx"), col("chunk"))
-      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("fp")))
+      .agg(graft.functions.BoundedCollect(
+          struct(col(idCol).as("id"), col("simhash").as("fp")), maxBucket)
         .as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
       .select(explode(expr(

@@ -77,6 +77,38 @@ class FunctionsSpec extends SparkSpec {
     assert(m("heavy") >= 200 - 80 && m("heavy") <= 200)
   }
 
+  test("bounded_collect equals collect_list under the cap, stops past it") {
+    // 3 groups: tiny (2), exactly-at-cap (5), over-cap (40). Repartition so
+    // partials merge — the cap must hold through update AND merge, and
+    // under-cap groups must match collect_list element-for-element (as
+    // sets; arrival order is nondeterministic across partitions)
+    val rows = (1 to 2).map(i => ("a", i.toLong)) ++
+      (1 to 5).map(i => ("b", i.toLong)) ++
+      (1 to 40).map(i => ("c", i.toLong))
+    val df = rows.toDF("g", "v").repartition(8)
+    val got = df.groupBy("g")
+      .agg(BoundedCollect(col("v"), 5).as("bc"),
+        collect_list(col("v")).as("cl"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[Long](1).toSet, r.getSeq[Long](2).toSet, r.getSeq[Long](1).size))
+      .toMap
+    assert(got("a")._1 == got("a")._2 && got("a")._3 == 2)
+    assert(got("b")._1 == got("b")._2 && got("b")._3 == 5)
+    assert(got("c")._3 == 6, "over-cap group must stop at limit+1")
+    assert(got("c")._1.subsetOf(got("c")._2))
+  }
+
+  test("bounded_collect carries struct elements through partial merge") {
+    val df = (1 to 10).map(i => (i.toLong, i * 100L)).toDF("id", "fp")
+      .repartition(4)
+    val got = df.agg(BoundedCollect(struct(col("id"), col("fp")), 20)
+        .as("docs"))
+      .selectExpr("transform(docs, d -> d.id * 1000 + d.fp) AS packed")
+      .collect().head.getSeq[Long](0).toSet
+    assert(got == (1 to 10).map(i => i * 1000L + i * 100L).toSet)
+  }
+
   test("every native function resolves through the extensions injection") {
     // the cluster-wide deployment path (spark.sql.extensions) must expose
     // the SAME function surface as the runtime register() — a function
@@ -105,6 +137,10 @@ class FunctionsSpec extends SparkSpec {
         "(SELECT explode(array('x','x','x','y')) AS v)")
         .collect().head.getMap[String, Long](0)
       assert(hh.contains("x"))
+      val bc = s2.sql("SELECT bounded_collect(v, 2) AS bc FROM " +
+        "(SELECT explode(array(1L, 2L, 3L, 4L)) AS v)")
+        .collect().head.getSeq[Long](0)
+      assert(bc.size == 3, s"cap at limit+1: $bc")
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
