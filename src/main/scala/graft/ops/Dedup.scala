@@ -72,13 +72,16 @@ object Dedup {
 
   /** (doc_id, shingle) pairs, distinct — the inverted-index base relation
     * (for exact intersection counting; signature building uses the
-    * shuffle-free [[shingleArray]] instead).
+    * shuffle-free [[shingleArray]] instead). Distinctness holds BY
+    * CONSTRUCTION: [[shingleArray]] array_distincts per doc before the
+    * explode, so no global DISTINCT (which would shuffle the whole
+    * exploded gram relation on the skew-prone gram value) is ever run —
+    * the relation is row-local all the way.
     */
   def docShingles(df: DataFrame, idCol: String, textCol: String, k: Int)
   : DataFrame =
     shingleArray(df, idCol, textCol, k)
       .select(col(idCol), explode(col("shingles")).as("shingle"))
-      .distinct()
 
   /** MinHash signatures: one row per doc, columns h0..h{n-1}, where
     * h_i = min over shingles of xxhash64(base_hash(shingle), i).
@@ -322,11 +325,18 @@ object Dedup {
     */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
       lineWords: Int = 5, maxOccurrences: Long = 1,
-      broadcastMaxLines: Long = 100000L): DataFrame = {
+      broadcastMaxLines: Long = 100000L,
+      cacheLines: Boolean = true): DataFrame = {
     val w = lineWords
-    val lines = docs.select(col(idCol),
-        posexplode(wordChunks(col(textCol), w)).as(Seq("pos", "line")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lines0 = docs.select(col(idCol),
+      posexplode(wordChunks(col(textCol), w)).as(Seq("pos", "line")))
+    // same trade as TextOps.tfidf's cacheTf: persist (spillable) so the
+    // corpus is tokenized+exploded once across the blacklist build, the
+    // gate count and the anti join; pass false where cache memory is
+    // scarcer than a re-scan
+    val lines = if (cacheLines)
+      lines0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else lines0
     val banned = lines.groupBy(col("line"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > maxOccurrences)

@@ -364,6 +364,14 @@ object Similarity {
   /** Row-local PQ encoding: per subspace, argmin-L2 over the literal
     * sub-codebook (a fold, like [[kmeansAssign]]'s assignment — zero
     * shuffles); ties break to the lowest code.
+    *
+    * Literal size is BOUNDED by construction, unlike the k-means argmax it
+    * resembles: the full codebook is m·ksub·dsub = dim·ksub values, and
+    * PQ's design point is small sub-codebooks (ksub ≤ 256 → ≤ 16k doubles
+    * at dim 64 — inside the same plan-size budget [[kmeansAssign]] gates
+    * on, and independent of corpus size or nlist). Large-nlist growth
+    * lives entirely in the COARSE quantizer, which is exactly the path
+    * [[kmeansAssign]]'s broadcast-relation mode covers.
     */
   private def codesExpr(books: Seq[Seq[Seq[Double]]], vecCol: String,
       dsub: Int): Column =
