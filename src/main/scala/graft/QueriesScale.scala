@@ -240,6 +240,19 @@ object QueriesScale {
         .orderBy(col("lang"))
     }),
 
+    // temperature-flattened mixture (α = 0.5): per-lang before/after —
+    // keep-slot arithmetic is one pow on two broadcast integers, rounded
+    // once → cross-engine exact, full oracle
+    "tp4_temperature_mix" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val kept = Sampling.temperatureRebalance(docs, "lang", "doc_id",
+        alpha = 0.5)
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+        .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_after")),
+          Seq("lang"))
+        .orderBy(col("lang"))
+    }),
+
     // winnowing-style rolling-hash fingerprint (xxhash64-seeded → no oracle)
     "ts5_rolling_fp" -> ((s, d) =>
       fanOut(documents(s, d))
@@ -843,6 +856,22 @@ object QueriesScale {
         |  SELECT d.lang FROM documents d JOIN counts c USING (lang)
         |  CROSS JOIN m
         |  WHERE (d.doc_id % 10000) * c.grp_n < m.min_n * 10000)
+        |SELECT c.lang, c.grp_n AS n_before, k.n_after
+        |FROM counts c
+        |JOIN (SELECT lang, COUNT(*) AS n_after FROM kept GROUP BY lang) k
+        |  USING (lang)
+        |ORDER BY c.lang""".stripMargin,
+
+    "tp4_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS grp_n FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(grp_n) AS min_n FROM counts),
+        |kept AS (
+        |  SELECT d.lang FROM documents d JOIN counts c USING (lang)
+        |  CROSS JOIN m
+        |  WHERE (d.doc_id % 10000) <
+        |    CAST(ROUND(POW(m.min_n * 1.0 / c.grp_n, 0.5) * 10000)
+        |         AS BIGINT))
         |SELECT c.lang, c.grp_n AS n_before, k.n_after
         |FROM counts c
         |JOIN (SELECT lang, COUNT(*) AS n_after FROM kept GROUP BY lang) k

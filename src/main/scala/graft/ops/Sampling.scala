@@ -27,4 +27,31 @@ object Sampling {
         col("min_n") * granularity)
       .drop("grp_n", "min_n")
   }
+
+  /** Temperature-flattened domain mixture (the multilingual sampling rule
+    * from XLM-R / mT5: target share ∝ (n_g/N)^α): each group keeps a
+    * deterministic slot fraction r_g = (min_n / n_g)^(1−α), which realizes
+    * the α-tempered proportions WITHOUT upsampling — the smallest group
+    * keeps everything, larger groups are flattened toward it. α = 0
+    * degenerates to [[rebalanceToMin]] (uniform mixture), α = 1 keeps the
+    * natural mixture unchanged. The keep decision is the same
+    * mod-`granularity` slot test as [[rebalanceToMin]] (reproducible, no
+    * RNG; the slot count per group is rounded once, so the only float op
+    * is one `pow` on two broadcast integers). Group counts are a tiny
+    * broadcast; the filter is row-local — no shuffle beyond the one count
+    * aggregate, map-side composable at 100 TB.
+    */
+  def temperatureRebalance(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, granularity: Int = 10000): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0, 1], got $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("grp_n"))
+    val minc = counts.agg(min(col("grp_n")).as("min_n"))
+    val slots = round(
+      pow(col("min_n").cast("double") / col("grp_n"), 1.0 - alpha) *
+        granularity).cast("long")
+    df.join(broadcast(counts), Seq(groupCol))
+      .crossJoin(broadcast(minc))
+      .filter(col(idCol) % granularity < slots)
+      .drop("grp_n", "min_n")
+  }
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three groups with 1:4:16 natural proportions; the group pattern
+  // repeats every 21 ids, so sequential ids are uniform modulo a
+  // granularity that is a multiple of 21 and spans the id range (the
+  // operators' documented precondition: ids uniform mod granularity)
+  private lazy val docs = (0 until 2100).map { i =>
+    val g = if (i % 21 < 1) "small" else if (i % 21 < 5) "mid" else "big"
+    (i.toLong, g)
+  }.toDF("doc_id", "lang")
+  private val gran = 2100
+
+  private def sizes(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("rebalanceToMin flattens every group to ~the smallest") {
+    val got = sizes(Sampling.rebalanceToMin(docs, "lang", "doc_id", gran))
+    val minN = sizes(docs).values.min
+    got.values.foreach(n => assert(math.abs(n - minN) <= minN / 5, got))
+  }
+
+  test("temperature alpha=0 equals rebalanceToMin, alpha=1 is identity") {
+    val flat = Sampling.rebalanceToMin(docs, "lang", "doc_id", gran)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val t0 = Sampling.temperatureRebalance(docs, "lang", "doc_id", 0.0, gran)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // same slot arithmetic up to the one rounding: keep sets agree
+    assert((t0 diff flat).size + (flat diff t0).size <= docs.count() / 100,
+      s"alpha=0 must match the uniform rebalance: ${t0.size} vs ${flat.size}")
+    val t1 = Sampling.temperatureRebalance(docs, "lang", "doc_id", 1.0, gran)
+    assert(t1.count() == docs.count(), "alpha=1 must keep everything")
+  }
+
+  test("temperature interpolates: shares flatten monotonically in alpha") {
+    val natural = sizes(docs)
+    val a25 = sizes(Sampling.temperatureRebalance(docs, "lang", "doc_id",
+      0.25, gran))
+    val a75 = sizes(Sampling.temperatureRebalance(docs, "lang", "doc_id",
+      0.75, gran))
+    // the smallest group is never cut
+    assert(a25("small") == natural("small"))
+    assert(a75("small") == natural("small"))
+    // larger alpha keeps more of the big group (closer to natural)
+    assert(a25("big") < a75("big"))
+    assert(a75("big") < natural("big"))
+    // expected keep fraction for the big group at alpha: (min/n)^(1-a)
+    def expected(a: Double) =
+      math.pow(natural("small").toDouble / natural("big"), 1 - a) *
+        natural("big")
+    assert(math.abs(a25("big") - expected(0.25)) < natural("big") * 0.05)
+    assert(math.abs(a75("big") - expected(0.75)) < natural("big") * 0.05)
+  }
+}

@@ -47,7 +47,7 @@ class PlansSpec extends SparkSpec {
     // 1-row broadcast LM totals (T, V) attached to every token
     "lm1_lm_score",
     // 1-row broadcast min group size attached to every row
-    "tp3_domain_rebalance",
+    "tp3_domain_rebalance", "tp4_temperature_mix",
     "j6_range_join",
     // in-entry brute-force recall baseline × broadcast IVF/PQ probes
     "sim6_kmeans_ivf", "sim7_pq_topk", "sim8_ivfpq_topk",
