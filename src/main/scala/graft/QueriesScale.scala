@@ -240,6 +240,14 @@ object QueriesScale {
         .orderBy(col("lang"))
     }),
 
+    // LM training-sequence chunking: 32-token windows every 24 tokens
+    // (8-token overlap), tails truncated — deterministic starts → the
+    // full (doc, seq) relation is oracle-compared
+    "ts8_sequence_chunks" -> ((s, d) =>
+      TextOps.sequenceChunks(fanOut(documents(s, d)), "doc_id", "text",
+          seqLen = 32, stride = 24)
+        .orderBy(col("doc_id"), col("seq_no"))),
+
     // temperature-flattened mixture (α = 0.5): per-lang before/after —
     // keep-slot arithmetic is one pow on two broadcast integers, rounded
     // once → cross-engine exact, full oracle
@@ -861,6 +869,17 @@ object QueriesScale {
         |JOIN (SELECT lang, COUNT(*) AS n_after FROM kept GROUP BY lang) k
         |  USING (lang)
         |ORDER BY c.lang""".stripMargin,
+
+    "ts8_sequence_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |seqs AS (
+        |  SELECT doc_id, i AS seq_no, ws[(i*24+1):(i*24+32)] AS toks
+        |  FROM t, idx WHERE i*24 < len(ws))
+        |SELECT doc_id, seq_no, len(toks) AS n_tokens,
+        |       array_to_string(toks, ' ') AS seq_text
+        |FROM seqs ORDER BY doc_id, seq_no""".stripMargin,
 
     "tp4_temperature_mix" ->
       """WITH counts AS (

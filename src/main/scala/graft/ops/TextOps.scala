@@ -264,6 +264,33 @@ object TextOps {
   /** Content fingerprint: md5 (cross-engine checkable). */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 
+  /** Fixed-length training-sequence chunking with stride overlap — the
+    * tokenize-and-chunk step every LM pretraining pipeline runs between
+    * curation and batching: each document yields windows of `seqLen`
+    * whitespace tokens starting every `stride` tokens (overlap =
+    * seqLen − stride; tail windows are truncated, their true length is in
+    * `n_tokens`). Entirely ROW-LOCAL — a per-doc window array exploded to
+    * (doc, seq_no) rows, no shuffle — so it composes map-side after any
+    * curation pass; at 100 TB the output partitioning is inherited from
+    * the corpus scan. Sequence starts are deterministic (`i·stride`), so
+    * the relation is exactly reproducible cross-engine (full oracle).
+    */
+  def sequenceChunks(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, stride: Int): DataFrame = {
+    require(seqLen > 0 && stride > 0 && stride <= seqLen,
+      s"need 0 < stride <= seqLen, got stride=$stride seqLen=$seqLen")
+    val ws = split(col(textCol), " ")
+    val nSeq = greatest(
+      ceil(size(ws).cast("double") / stride).cast("int"), lit(1))
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nSeq - 1),
+          i => slice(ws, i * stride + 1, lit(seqLen))))
+          .as(Seq("seq_no", "toks")))
+      .select(col(idCol), col("seq_no").cast("long").as("seq_no"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        array_join(col("toks"), " ").as("seq_text"))
+  }
+
   /** Rolling-hash fingerprint: min xxhash64 over char 8-gram windows —
     * a winnowing-style content signature robust to small edits.
     */

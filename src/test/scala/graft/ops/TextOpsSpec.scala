@@ -79,4 +79,27 @@ class TextOpsSpec extends SparkSpec {
     // 3 * 5 chars / 23 text chars
     assert(r.getAs[Double]("top_bigram_char_frac") == 0.6522)
   }
+
+  test("sequenceChunks: strided windows with truncated tails") {
+    import spark.implicits._
+    // 5 tokens, seqLen 3, stride 2 → starts 0,2,4: [a b c][c d e][e]
+    val df = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextOps.sequenceChunks(df, "doc_id", "text", 3, 2)
+      .orderBy("doc_id", "seq_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 0L, 3L, "a b c"),
+      (1L, 1L, 3L, "c d e"),
+      (1L, 2L, 1L, "e"),
+      (2L, 0L, 1L, "x")))
+    // overlap accounting: consecutive windows share seqLen - stride tokens
+    val full = TextOps.sequenceChunks(
+        Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")))
+          .toDF("doc_id", "text"), "doc_id", "text", 32, 24)
+      .orderBy("seq_no").collect()
+    assert(full.length == 5)           // ceil(100 / 24)
+    assert(full.take(3).forall(_.getLong(2) == 32))
+    assert(full(4).getLong(2) == 100 - 4 * 24)  // truncated tail
+  }
 }
