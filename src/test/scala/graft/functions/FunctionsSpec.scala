@@ -99,6 +99,34 @@ class FunctionsSpec extends SparkSpec {
     assert(got("c")._1.subsetOf(got("c")._2))
   }
 
+  test("bounded_collect matches collect_list semantics on random inputs") {
+    // randomized: group sizes 0..3·cap, random caps, random partitioning —
+    // under-cap groups must equal collect_list as multisets, over-cap
+    // groups must report size cap+1 with elements drawn from the group
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val cap = 1 + rnd.nextInt(7)
+      val rows = (0 until 40).flatMap { g =>
+        (0 until rnd.nextInt(3 * cap + 1)).map(i =>
+          (g.toLong, g * 1000L + i))
+      }
+      val df = rows.toDF("g", "v").repartition(1 + rnd.nextInt(8))
+      df.groupBy("g")
+        .agg(BoundedCollect(col("v"), cap).as("bc"),
+          collect_list(col("v")).as("cl"))
+        .collect().foreach { r =>
+          val bc = r.getSeq[Long](1)
+          val cl = r.getSeq[Long](2)
+          if (cl.size <= cap)
+            assert(bc.sorted == cl.sorted, s"trial $trial cap $cap")
+          else {
+            assert(bc.size == cap + 1, s"trial $trial cap $cap: ${bc.size}")
+            assert(bc.toSet.subsetOf(cl.toSet))
+          }
+        }
+    }
+  }
+
   test("bounded_collect carries struct elements through partial merge") {
     val df = (1 to 10).map(i => (i.toLong, i * 100L)).toDF("id", "fp")
       .repartition(4)

@@ -200,6 +200,24 @@ class SimilaritySpec extends SparkSpec {
     assert(relation == literal)
   }
 
+  test("kmeansAssign crosses the literal budget at real nlist scale") {
+    // k=200 × dim=64 = 12.8k values exceeds the default 10k budget, so
+    // the DEFAULT call takes the relation path (no forced parameter) —
+    // the nlist regime the literal fold could not analyze/codegen. Must
+    // assign every row, deterministically, to a valid cluster.
+    val rnd = new scala.util.Random(99L)
+    val pts = (0 until 400).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val a = Similarity.kmeansAssign(pts, "vec_id", "embedding", 200, 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.size == 400)
+    assert(a.values.forall(c => c >= 0 && c < 200))
+    val b = Similarity.kmeansAssign(pts, "vec_id", "embedding", 200, 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, "beyond-budget assignment must be deterministic")
+  }
+
   test("PQ ADC with full-corpus shortlist equals exact brute force") {
     // with the shortlist covering the whole corpus the ADC stage only
     // orders candidates and the exact rerank decides — results must equal
