@@ -48,7 +48,8 @@ object Bench {
     "j1_inner_join", "j2_left_join_fill", "j5_asof_join",
     "a2_pivot", "w1_row_number", "x7_parse_dollars", "x13_date_cascade",
     "dd2_minhash_sig", "dd5_ngram_jaccard", "dd6_embedding_neardup",
-    "dd7_simhash_neardup", "dd8_line_dedup", "tc1_decontam_report",
+    "dd7_simhash_neardup", "dd8_line_dedup", "dd9_span_dedup",
+    "tc1_decontam_report",
     "ts2_quality", "ts6_tfidf", "ts7_repetition", "ts8_sequence_chunks",
     "tp4_temperature_mix",
     "sim1_cosine_topk", "sim2_threshold_pairs", "sim4_clustered_pairs",

@@ -89,6 +89,16 @@ object QueriesScale {
           lineWords = 5, maxOccurrences = 1)
         .orderBy(col("doc_id"))),
 
+    // exact substring-span dedup: 8-token windows repeated corpus-wide
+    // are cut from every doc, docs reassembled from surviving tokens.
+    // Raw-string window keys so DuckDB replays the identical relation
+    // (production default hashes them to 8 bytes — same rows, narrower
+    // shuffle); pure string/window arithmetic → full oracle.
+    "dd9_span_dedup" -> ((s, d) =>
+      Dedup.spanDedup(fanOut(documents(s, d)), "doc_id", "text",
+          spanTokens = 8, maxOccurrences = 1, hashKeys = false)
+        .orderBy(col("doc_id"))),
+
     // benchmark decontamination: docs sharing any word 3-gram with the
     // held-out slice (doc_id % 97 = 0 plays the eval suite), with the
     // count of distinct shared grams. Exact string grams → full oracle.
@@ -1003,6 +1013,27 @@ object QueriesScale {
         |         WHERE line NOT IN (SELECT line FROM banned))
         |SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
         |       COUNT(*) AS n_lines_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dd9_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |idx AS (SELECT unnest(generate_series(0, 400)) AS i),
+        |win AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(ws[(i+1):(i+8)], ' ') AS gram
+        |  FROM t, idx WHERE i + 8 <= len(ws)),
+        |dup AS (SELECT gram FROM win GROUP BY gram HAVING COUNT(*) > 1),
+        |marked AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, pos + j.j AS i
+        |        FROM marked, (SELECT unnest(generate_series(0, 7)) AS j) j),
+        |tok AS (SELECT doc_id, i, ws[i+1] AS tok FROM t, idx
+        |        WHERE i < len(ws)),
+        |kept AS (SELECT k.doc_id, k.i, k.tok FROM tok k
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |           WHERE c.doc_id = k.doc_id AND c.i = k.i))
+        |SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+        |       COUNT(*) AS n_tokens_kept
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "tp1_curation" ->

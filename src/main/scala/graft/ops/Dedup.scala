@@ -355,6 +355,64 @@ object Dedup {
         count(lit(1)).as("n_lines_kept"))
   }
 
+  /** Exact substring-span dedup (the "Deduplicating Training Data Makes
+    * Language Models Better" method, re-expressed relationally): every
+    * `spanTokens`-token window occurring more than `maxOccurrences` times
+    * corpus-wide is removed from EVERY document (all covered tokens cut,
+    * C4-style — including the first occurrence), and documents are
+    * reassembled from their surviving tokens in order. Docs shorter than
+    * `spanTokens` generate no windows and pass through untouched; docs
+    * whose every token is covered drop out (the curation intent, as in
+    * [[lineDedup]]).
+    *
+    * The suffix-array formulation is a single-machine algorithm; this is
+    * the shuffle-conscious equivalent built from keyed relations only:
+    *   - rolling windows come from [[wordGrams]] (one O(n·L) row-local
+    *     pass, no self-join chain), persisted once for both consumers;
+    *   - the duplicated-window key set is size-GATED exactly like
+    *     [[lineDedup]]'s blacklist (counted broadcast vs shuffled
+    *     left_semi — it is corpus-frequency-derived and NOT bounded);
+    *   - covered token indices explode marked spans (|marks|·L rows) and
+    *     anti-join the token relation on (doc, index) — no distinct
+    *     needed: anti join semantics absorb overlap duplication;
+    *   - reassembly is one doc-keyed groupBy (sorted in-task).
+    * Every join is equi-keyed; nothing is quadratic at any corpus shape.
+    * `hashKeys` (default true) shuffles 8-byte xxhash64 window keys
+    * instead of L-token strings — the 100 TB setting; the raw-string form
+    * is what the DuckDB oracle replays (identical relation, wider key).
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, maxOccurrences: Long = 1,
+      broadcastMaxSpans: Long = 100000L, hashKeys: Boolean = true)
+  : DataFrame = {
+    val L = spanTokens
+    val ws = split(col(textCol), " ")
+    val gramArr = when(size(ws) >= L, wordGrams(ws, L))
+      .otherwise(array().cast("array<string>"))
+    val keyed = if (hashKeys) xxhash64(col("gram")) else col("gram")
+    val windows = docs
+      .select(col(idCol), posexplode(gramArr).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), keyed.as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupKeys = windows.groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxOccurrences)
+      .select(col("key"))
+    val probe = if (dupKeys.count() <= broadcastMaxSpans) broadcast(dupKeys)
+    else dupKeys
+    val covered = windows.join(probe, Seq("key"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (L - 1))).as("i"))
+    docs.select(col(idCol), posexplode(ws).as(Seq("i", "tok")))
+      .join(covered, Seq(idCol, "i"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+            p => p("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_tokens_kept"))
+  }
+
   /** Benchmark decontamination report: for each training doc sharing at
     * least one word n-gram with the held-out benchmark set, the count of
     * distinct shared grams. The benchmark gram set is SMALL by nature (eval

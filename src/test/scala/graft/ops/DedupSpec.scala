@@ -192,6 +192,31 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
   }
 
+  test("span dedup cuts repeated windows from every doc, keeps the rest") {
+    // L=2: "b c" occurs in docs 1, 2 and twice in 4 → cut everywhere
+    // (covered indices: 1-2 in docs 1/2; all of doc 4 via overlap);
+    // doc 3 untouched; doc 5 is shorter than a window → passes through
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "x b c y z"),
+      (3L, "p q r s t"),
+      (4L, "b c b c"),
+      (5L, "q")
+    ).toDF("doc_id", "text")
+    def run(hash: Boolean) =
+      Dedup.spanDedup(df, "doc_id", "text", spanTokens = 2,
+          maxOccurrences = 1, hashKeys = hash)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+    val got = run(hash = false)
+    assert(got(1L) == ("a d e", 3L), got)
+    assert(got(2L) == ("x y z", 3L), got)
+    assert(got(3L) == ("p q r s t", 5L), got)
+    assert(!got.contains(4L), "fully-covered doc must drop out")
+    assert(got(5L) == ("q", 1L), "short docs pass through untouched")
+    assert(run(hash = true) == got, "hashed keys = identical relation")
+  }
+
   test("decontamination: overlapping docs reported and removed, rest kept") {
     val bench = Seq((100L, "held out eval question about spark engines"))
       .toDF("doc_id", "text")
