@@ -99,6 +99,34 @@ object QueriesScale {
           spanTokens = 8, maxOccurrences = 1, hashKeys = false)
         .orderBy(col("doc_id"))),
 
+    // duplicate clusters: transitive closure over the gram-sharing pair
+    // graph (the dd5 relation at threshold 0 — 3-gram buckets blocked by
+    // (lang, source), df cap 64) via iterative min-label propagation.
+    // The fixpoint (per-component min doc_id) is unique → deterministic
+    // → full oracle (DuckDB recursive CTE over the same edge set).
+    "dd10_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(fanOut(documents(s, d)), "doc_id",
+          "text", Seq("lang", "source"), 3, 0.0, maxDocFreq = 64)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .orderBy(col("id"))
+    }),
+
+    // incremental ingestion dedup: the doc_id%10==0 slice plays the new
+    // crawl snapshot, the rest the accumulated corpus. The Bloom
+    // pre-filter routes definitely-new rows around the anti-join shuffle;
+    // the raw-key anti join restores exactness for the might-contain
+    // residue → full oracle.
+    "dd11_incremental" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "text", expectedItems = 100000L, fpp = 0.01)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: docs sharing any word 3-gram with the
     // held-out slice (doc_id % 97 = 0 plays the eval suite), with the
     // count of distinct shared grams. Exact string grams → full oracle.
@@ -258,6 +286,29 @@ object QueriesScale {
           seqLen = 32, stride = 24)
         .orderBy(col("doc_id"), col("seq_no"))),
 
+    // PII scrubbing: the corpus carries no organic PII, so a
+    // deterministic synthetic tail (email every doc, phone every 3rd,
+    // IPv4 every 5th) is appended before the scrub — the oracle replays
+    // the same augmentation, so counts and redacted text compare exactly
+    "ts9_redact_pii" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val augmented = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" or 555-867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10.0."),
+              (col("doc_id") % 256).cast("string"), lit("."),
+              (col("doc_id") % 250).cast("string")))
+            .otherwise(lit(""))).as("text"))
+      TextOps.redactPii(augmented, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature-flattened mixture (α = 0.5): per-lang before/after —
     // keep-slot arithmetic is one pow on two broadcast integers, rounded
     // once → cross-engine exact, full oracle
@@ -268,6 +319,49 @@ object QueriesScale {
       docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
         .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_after")),
           Seq("lang"))
+        .orderBy(col("lang"))
+    }),
+
+    // per-source quality quota: keep the 20 best-quality docs per source
+    // (deterministic doc_id tie-break) — the batch form of st7's ingest
+    // quota, ranked by the corpus quality score. Executes as a rank
+    // window that Spark 3.5+ runs with WindowGroupLimit: per-partition
+    // partial top-k BELOW the shuffle, so the corpus is never globally
+    // sorted (PlansSpec locks the plan).
+    "tp5_source_topk" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val counts = TextOps.rawCounts(col("text")).map { case (n, c) =>
+        c.as(n)
+      }
+      val scored = docs
+        .select(col("doc_id") +: col("source") +: counts: _*)
+        .withColumn("quality", TextOps.qualityScoreFromCounts(
+          col("n_chars"), col("n_words"), col("n_punct"), col("n_stops")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("quality"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
+    // token-budget mixture: each lang downsampled so its token mass
+    // lands at an equal share of 40% of the corpus tokens — the static
+    // data-mixing step before chunking. Keep-slots are one rounded
+    // double per group from two broadcast scalars → cross-engine exact,
+    // full oracle on per-lang before/after token mass.
+    "tp6_token_budget_mix" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val nToks = size(split(col("text"), "\\s+")).cast("long")
+      val withToks = docs.withColumn("n_toks", nToks)
+      val kept = Sampling.tokenBudgetSample(withToks, "lang", "doc_id",
+        col("n_toks"), budgetFrac = 0.4)
+      withToks.groupBy(col("lang"))
+        .agg(sum(col("n_toks")).as("tokens_before"))
+        .join(kept.groupBy(col("lang"))
+          .agg(sum(col("n_toks")).as("tokens_after")), Seq("lang"))
         .orderBy(col("lang"))
     }),
 
@@ -447,6 +541,33 @@ object QueriesScale {
         .select(col("n_bf"), col("n_hit"),
           round(col("n_hit") / col("n_bf"), 4).as("recall"),
           (col("n_hit") / col("n_bf") >= 0.7).as("recall_ok"))
+    }),
+
+    // filtered vector search: an attribute gate (label = 3 plays the
+    // metadata predicate) applied BEFORE index build and probe —
+    // PRE-filtering, the strategy that holds up under selective
+    // predicates: at 100 TB the gate prunes the scan and the ANN scores
+    // only survivors, where post-filtering over-fetches from the full
+    // index and starves recall. Recall floor checked against brute force
+    // over the SAME filtered corpus (float-tie-sensitive → self-check).
+    "sim10_filtered_ann" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("label") === 3)
+      val clusters = Similarity.kmeansAssign(corpus, "vec_id", "embedding",
+        k = 5, iters = 2)
+      val queries = emb.filter(col("vec_id") < 10)
+      val ann = Similarity.ivfTopK(corpus.join(clusters, "vec_id"),
+        queries, "vec_id", "embedding", "cluster", 5, 3)
+      val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+        "embedding", 5)
+      val hits = bf.select(col("query_id"), col("neighbor_id"))
+        .join(ann.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      bf.agg(count(lit(1)).as("n_bf"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_bf"), col("n_hit"),
+          round(col("n_hit") / col("n_bf"), 4).as("recall"),
+          (col("n_hit") / col("n_bf") >= 0.8).as("recall_ok"))
     }),
 
     // IVF-style ANN probe — approximate vs brute force, but deterministic
@@ -891,6 +1012,35 @@ object QueriesScale {
         |       array_to_string(toks, ' ') AS seq_text
         |FROM seqs ORDER BY doc_id, seq_no""".stripMargin,
 
+    "ts9_redact_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' reach user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com'
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' or 555-867-' ||
+        |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' ||
+        |           CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |           CAST(doc_id % 250 AS VARCHAR)
+        |         ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS n_email,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |    AS redacted_text
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
     "tp4_temperature_mix" ->
       """WITH counts AS (
         |  SELECT lang, COUNT(*) AS grp_n FROM documents GROUP BY lang),
@@ -906,6 +1056,53 @@ object QueriesScale {
         |JOIN (SELECT lang, COUNT(*) AS n_after FROM kept GROUP BY lang) k
         |  USING (lang)
         |ORDER BY c.lang""".stripMargin,
+
+    "tp5_source_topk" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_words,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(the|a|of|and|is|to|in)\b')) AS n_stops,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |  FROM documents),
+        |q AS (SELECT doc_id, source,
+        |  ROUND((LEAST(n_words / 50.0, 1.0)
+        |       + LEAST((n_stops * 1.0 / n_words) * 5.0, 1.0)
+        |       + GREATEST(1.0 - (n_punct * 1.0 / n_chars) * 10.0, 0.0))
+        |       / 3.0, 4) AS quality
+        |  FROM f),
+        |r AS (SELECT source, doc_id, quality,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id) AS rk
+        |  FROM q)
+        |SELECT source, rk, doc_id, quality FROM r WHERE rk <= 20
+        |ORDER BY source, rk""".stripMargin,
+
+    "tp6_token_budget_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         len(string_split_regex(text, '\s+')) AS n_toks
+        |  FROM documents),
+        |g AS (SELECT lang, SUM(n_toks) AS grp_toks FROM t GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n_toks) AS DOUBLE) AS total,
+        |               (SELECT COUNT(*) FROM g) AS n_groups
+        |        FROM t),
+        |slots AS (
+        |  SELECT g.lang,
+        |    CAST(ROUND(LEAST(1.0,
+        |      (0.4 * tot.total / tot.n_groups) / g.grp_toks) * 10000)
+        |      AS BIGINT) AS s
+        |  FROM g CROSS JOIN tot),
+        |kept AS (
+        |  SELECT t.lang, t.n_toks FROM t JOIN slots USING (lang)
+        |  WHERE (t.doc_id % 10000) < slots.s)
+        |SELECT g.lang, CAST(g.grp_toks AS BIGINT) AS tokens_before,
+        |       k.tokens_after
+        |FROM g
+        |JOIN (SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS tokens_after
+        |      FROM kept GROUP BY lang) k USING (lang)
+        |ORDER BY g.lang""".stripMargin,
 
     "lm1_lm_score" ->
       """WITH toks AS (
@@ -1035,6 +1232,45 @@ object QueriesScale {
         |SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
         |       COUNT(*) AS n_tokens_kept
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dd10_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |hot AS (
+        |  SELECT lang, source, gram FROM grams
+        |  GROUP BY lang, source, gram HAVING COUNT(*) > 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM grams a JOIN grams b
+        |    ON a.gram = b.gram AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |    WHERE h.lang = a.lang AND h.source = a.source
+        |      AND h.gram = a.gram)),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION ALL SELECT dst, src FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS m FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, r.m AS m
+        |  FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id, MIN(m) AS component
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "dd11_incremental" ->
+      """SELECT b.doc_id, b.n_chars
+        |FROM documents b
+        |WHERE b.doc_id % 10 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents e
+        |    WHERE e.doc_id % 10 <> 0 AND e.text = b.text)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "tp1_curation" ->
       """WITH dedup AS (

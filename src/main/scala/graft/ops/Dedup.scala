@@ -413,6 +413,110 @@ object Dedup {
         count(lit(1)).as("n_tokens_kept"))
   }
 
+  /** Incremental corpus dedup: rows of `batch` whose `keyCol` does not
+    * already occur in `existing` — the every-crawl-snapshot ingestion pass
+    * (new batch vs the accumulated corpus). Semantically a plain left anti
+    * join; the scale problem is that the anti join shuffles the ENTIRE
+    * batch even though, on a typical snapshot, most rows are new and match
+    * nothing. A Bloom filter of the existing keys fixes that: rows the
+    * filter rejects are DEFINITELY new (Bloom has no false negatives) and
+    * skip the shuffle entirely, row-local; only the might-contain residue
+    * (true dupes + the fpp% false positives) goes through the exact
+    * shuffled anti join. The result is exact regardless of fpp or of
+    * xxhash64 collisions — the final anti join compares the raw key.
+    *
+    * The filter is built by one aggregate job (map-side merged sketches,
+    * like the HLL/GK twins) and lands on the driver as one binary scalar —
+    * `optimalNumOfBits(expectedItems, fpp)/8` bytes, e.g. ~1.2 GB for 10⁹
+    * keys at 1% — so it is size-GATED like [[lineDedup]]'s blacklist: past
+    * `maxBloomBytes` the pre-filter is skipped and the plain shuffled anti
+    * join runs (AQE-sized). Reuse across snapshots would persist the
+    * sketch; here it is rebuilt per call.
+    */
+  def incrementalDedup(batch: DataFrame, existing: DataFrame,
+      keyCol: String, expectedItems: Long = 1000000L, fpp: Double = 0.01,
+      maxBloomBytes: Long = 256L << 20): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val existingKeys = existing.select(col(keyCol))
+    if (numBits / 8 > maxBloomBytes)
+      batch.join(existingKeys, Seq(keyCol), "left_anti")
+    else {
+      val bloom = existingKeys
+        .select(Bridge.column(new BloomFilterAggregate(
+            Bridge.expression(xxhash64(col(keyCol))),
+            Literal(expectedItems), Literal(numBits))
+          .toAggregateExpression()).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      val mightContain = Bridge.column(BloomFilterMightContain(
+        Bridge.expression(lit(bloom)),
+        Bridge.expression(xxhash64(col(keyCol)))))
+      batch.filter(!mightContain)
+        .unionByName(
+          batch.filter(mightContain)
+            .join(existingKeys, Seq(keyCol), "left_anti"))
+    }
+  }
+
+  /** Connected components over an undirected pair relation — the step that
+    * turns near-dup PAIRS into duplicate CLUSTERS (transitive closure), so
+    * one representative per cluster can be kept. Iterative min-label
+    * propagation: every node starts as its own label; each round, a node
+    * adopts the minimum label among itself and its neighbors; fixpoint =
+    * per-component minimum node id. The fixpoint is unique, so the result
+    * is deterministic regardless of execution order.
+    *
+    * Scale shape: per round, ONE keyed join (edges × labels on src) + one
+    * dst-keyed min aggregate (map-side combined) + the label join-back —
+    * all equi-keyed; nothing quadratic. Rounds are bounded by component
+    * diameter, and near-dup graphs are shallow (cliques and short chains
+    * from banding), so convergence is a handful of rounds; `maxIters` is a
+    * hard stop. Each round's labels are persisted and `localCheckpoint`ed
+    * (truncating lineage so the plan does not grow by one join per round —
+    * the standard iterative-algorithm pattern, same reason GraphX
+    * checkpoints Pregel state); the previous round is unpersisted once the
+    * convergence count materializes the new one. Only nodes appearing in
+    * `pairs` are emitted — singletons are not duplicates by definition.
+    *
+    * Output: (id, component) where component = min reachable id.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges0 = fwd.union(fwd.select(col("dst").as("src"),
+      col("src").as("dst")))
+    // edges are re-joined every round → materialize once (spillable)
+    val edges = edges0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("label"),
+          (coalesce(col("nbr"), col("label")) < col("label"))
+            .as("changed"))
+        .localCheckpoint(true) // materializes eagerly, truncates lineage
+      val nChanged = next.filter(col("changed")).count()
+      labels = next.drop("changed")
+      converged = nChanged == 0
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   /** Benchmark decontamination report: for each training doc sharing at
     * least one word n-gram with the held-out benchmark set, the count of
     * distinct shared grams. The benchmark gram set is SMALL by nature (eval

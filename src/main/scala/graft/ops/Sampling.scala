@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-mixture sampling for training-data pipelines. */
@@ -53,5 +53,40 @@ object Sampling {
       .crossJoin(broadcast(minc))
       .filter(col(idCol) % granularity < slots)
       .drop("grp_n", "min_n")
+  }
+
+  /** Token-budget mixture: downsample each group so its TOKEN mass (not
+    * its doc count — docs vary wildly in length, and the training budget
+    * is counted in tokens) lands at an equal share of
+    * `budgetFrac · total_tokens`. The final static data-mixing step
+    * before sequence chunking: "train on 40% of the corpus, spread evenly
+    * across domains". Per group, keep-rate
+    * r_g = min(1, (budgetFrac · T / n_groups) / T_g); the keep decision
+    * is the same deterministic mod-`granularity` slot test as
+    * [[rebalanceToMin]] (no RNG, reproducible cross-engine; the slot
+    * count is rounded once per group). Selection is document-level, so a
+    * group's realized mass tracks its target in expectation — exact
+    * token-level packing belongs to [[TextOps.sequenceChunks]] downstream.
+    * Two scalar-sized aggregates broadcast back; the filter is row-local —
+    * no shuffle of the corpus itself, map-side composable at 100 TB.
+    */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, idCol: String,
+      tokens: Column, budgetFrac: Double, granularity: Int = 10000)
+  : DataFrame = {
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0,
+      s"budgetFrac in (0, 1], got $budgetFrac")
+    val toks = df.withColumn("__toks", tokens)
+    val grp = toks.groupBy(col(groupCol))
+      .agg(sum(col("__toks")).as("grp_toks"))
+    val tot = grp.agg(sum(col("grp_toks")).as("total"),
+      count(lit(1)).as("n_groups"))
+    val slots = round(
+      least(lit(1.0),
+        (lit(budgetFrac) * col("total") / col("n_groups")) /
+          col("grp_toks")) * granularity).cast("long")
+    toks.join(broadcast(grp), Seq(groupCol))
+      .crossJoin(broadcast(tot))
+      .filter(col(idCol) % granularity < slots)
+      .drop("grp_toks", "total", "n_groups", "__toks")
   }
 }

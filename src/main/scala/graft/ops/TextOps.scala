@@ -298,4 +298,37 @@ object TextOps {
     array_min(transform(
       sequence(lit(0), greatest(length(text) - window, lit(0))),
       i => xxhash64(text.substr(i + lit(1), lit(window)))))
+
+  /** PII patterns shared by counting and redaction. Kept to the
+    * RE2-compatible subset (no backreferences/lookaround) so the same
+    * pattern strings run identically under Java regex (Spark) and RE2
+    * (DuckDB oracle, most production scrubbers).
+    */
+  private[graft] val piiPatterns: Seq[(String, String, String)] = Seq(
+    // order matters: emails first (their dotted domains would otherwise
+    // partially match nothing here, but keeping one canonical order makes
+    // the replacement cascade deterministic and oracle-replayable)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** C4/CCNet-style PII scrubbing: emails, phone numbers and IPv4
+    * addresses replaced with typed placeholder tokens, with per-doc match
+    * counts (the redaction audit columns a compliance pass publishes).
+    * Entirely ROW-LOCAL — a fixed cascade of codegen'd regexp_replace /
+    * regexp_count over each document, zero shuffles, partitioning
+    * inherited from the corpus scan. Counts are taken BEFORE any
+    * replacement so an email's digits can never be double-counted by the
+    * phone pattern's scan of the rewritten text.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")
+    }
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, token)) => regexp_replace(c, pat, token)
+    }
+    df.select(col(idCol) +: counts :+ redacted.as("redacted_text"): _*)
+  }
 }

@@ -292,4 +292,69 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ("gg hh ii jj", 2L), got)
     assert(!got.contains(4L), "fully-banned doc must drop out")
   }
+
+  test("connected components: chains close transitively, islands stay apart") {
+    // component {1..6} is a 5-hop chain (forces multiple propagation
+    // rounds), {10,11} a single edge, {20,21,22} a triangle
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(got(_) == 1L), got)
+    assert(got(10L) == 10L && got(11L) == 10L, got)
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L), got)
+    assert(got.size == 11, "only nodes appearing in pairs are emitted")
+  }
+
+  test("connected components converge regardless of edge direction") {
+    // same chain with reversed/mixed orientations — min label must still
+    // reach every node through the symmetrized edges
+    val pairs = Seq((6L, 5L), (4L, 5L), (3L, 4L), (3L, 2L), (2L, 1L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(got(_) == 1L), got)
+  }
+
+  test("incremental dedup: bloom path equals the plain anti join") {
+    val existing = Seq(
+      (1L, "alpha content"), (2L, "beta content"), (3L, "gamma content"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha content"),   // dup of existing
+      (11L, "delta content"),   // new
+      (12L, "beta content"),    // dup of existing
+      (13L, "epsilon content")) // new
+      .toDF("doc_id", "text")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaBloom = ids(Dedup.incrementalDedup(batch, existing, "text"))
+    val plain = ids(batch.join(existing.select(col("text")),
+      Seq("text"), "left_anti"))
+    assert(viaBloom == Set(11L, 13L))
+    assert(viaBloom == plain)
+    // size gate: past maxBloomBytes the pre-filter is skipped entirely,
+    // same exact result through the plain shuffled anti join
+    assert(ids(Dedup.incrementalDedup(batch, existing, "text",
+      maxBloomBytes = 0L)) == Set(11L, 13L))
+  }
+
+  test("incremental dedup stays exact under a saturated bloom (fpp→1)") {
+    // a filter sized for ONE item at fpp 0.5 (a couple of bits) takes 50
+    // inserts → effectively every probe reports might-contain, so all
+    // rows route through the exact anti join — false positives must never
+    // drop a genuinely new row
+    val existing = (1L to 50L).map(i => (i, s"existing doc $i"))
+      .toDF("doc_id", "text")
+    val batch = (1L to 50L).map(i =>
+      (100L + i, if (i % 2 == 0) s"existing doc $i" else s"new doc $i"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, existing, "text",
+        expectedItems = 1L, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 50L).filter(_ % 2 == 1).map(100L + _).toSet)
+  }
 }

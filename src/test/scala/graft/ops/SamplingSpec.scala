@@ -57,4 +57,24 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(a25("big") - expected(0.25)) < natural("big") * 0.05)
     assert(math.abs(a75("big") - expected(0.75)) < natural("big") * 0.05)
   }
+
+  test("tokenBudgetSample: groups land near an equal token share of the " +
+      "budget; short-of-target groups are kept whole") {
+    // long docs in "big", short docs elsewhere — token mass is what must
+    // equalize, not doc counts
+    val withToks = docs.withColumn("n_toks",
+      when(col("lang") === "big", 100L).otherwise(10L))
+    val kept = Sampling.tokenBudgetSample(withToks, "lang", "doc_id",
+      col("n_toks"), budgetFrac = 0.5, granularity = gran)
+    val mass = kept.groupBy("lang").agg(sum("n_toks").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = 2100 / 21 * (1 * 10 + 4 * 10 + 16 * 100)
+    val target = 0.5 * total / 3
+    // "big" (160k tokens natural) is cut to ~target
+    assert(math.abs(mass("big") - target) < target * 0.1,
+      s"big=${mass("big")} target=$target")
+    // "small" (1k) and "mid" (4k) are below target → kept in full
+    assert(mass("small") == 100 * 10L, mass)
+    assert(mass("mid") == 400 * 10L, mass)
+  }
 }

@@ -102,4 +102,26 @@ class TextOpsSpec extends SparkSpec {
     assert(full.take(3).forall(_.getLong(2) == 32))
     assert(full(4).getLong(2) == 100 - 4 * 24)  // truncated tail
   }
+
+  test("redactPii: typed placeholders, counts taken before replacement") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or call 555-123-4567 now"),
+      (2L, "server at 192.168.0.1 and 10.0.0.2 responded"),
+      (3L, "no personal data in this row at all"),
+      (4L, "a@b.io b@c.io 555-000-1111 1.2.3.4")
+    ).toDF("doc_id", "text")
+    val got = TextOps.redactPii(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4)))
+      .toMap
+    assert(got(1L) == ((1L, 1L, 0L),
+      "mail <EMAIL> or call <PHONE> now"))
+    assert(got(2L) == ((0L, 0L, 2L),
+      "server at <IP> and <IP> responded"))
+    assert(got(3L) == ((0L, 0L, 0L),
+      "no personal data in this row at all"))
+    assert(got(4L) == ((2L, 1L, 1L), "<EMAIL> <EMAIL> <PHONE> <IP>"))
+  }
 }

@@ -48,10 +48,12 @@ class PlansSpec extends SparkSpec {
     "lm1_lm_score",
     // 1-row broadcast min group size attached to every row
     "tp3_domain_rebalance", "tp4_temperature_mix",
+    // 1-row broadcast (total, n_groups) budget scalars attached per row
+    "tp6_token_budget_mix",
     "j6_range_join",
     // in-entry brute-force recall baseline × broadcast IVF/PQ probes
     "sim6_kmeans_ivf", "sim7_pq_topk", "sim8_ivfpq_topk",
-    "sim9_persisted_ann",
+    "sim9_persisted_ann", "sim10_filtered_ann",
     // 1-row × 1-row accounting combinations over streamed-vs-batch counts
     "st2b_stream_batch_equiv", "st4b_interval_join_stream_equiv",
     "st6_stream_dedup", "st7_per_source_quota", "st8_chunked_load")
@@ -96,5 +98,21 @@ class PlansSpec extends SparkSpec {
     val plan = planOf("q1_pricing_summary")
     assert(plan.contains("HashAggregate"),
       "expected hash aggregation with map-side partials")
+  }
+
+  test("tp5: rank quota runs as WindowGroupLimit (partial top-k below " +
+      "the shuffle)") {
+    val plan = planOf("tp5_source_topk")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
+  test("dd11: bloom pre-filter is row-local, one anti join on the residue") {
+    val plan = planOf("dd11_incremental")
+    // the definitely-new branch carries the might_contain filter with no
+    // join; exactly one anti join resolves the residue
+    assert(plan.contains("might_contain"), plan.take(3000))
+    def occurrences(needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    assert(occurrences("LeftAnti") == 1, plan.take(3000))
   }
 }
