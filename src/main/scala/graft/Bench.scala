@@ -49,10 +49,10 @@ object Bench {
     "a2_pivot", "w1_row_number", "x7_parse_dollars", "x13_date_cascade",
     "dd2_minhash_sig", "dd5_ngram_jaccard", "dd6_embedding_neardup",
     "dd7_simhash_neardup", "dd8_line_dedup", "dd9_span_dedup",
-    "dd10_dup_clusters", "dd11_incremental",
+    "dd10_dup_clusters", "dd11_incremental", "dd12_neardup_dedup",
     "tc1_decontam_report",
     "ts2_quality", "ts6_tfidf", "ts7_repetition", "ts8_sequence_chunks",
-    "ts9_redact_pii",
+    "ts9_redact_pii", "ts10_nb_quality",
     "tp4_temperature_mix", "tp5_source_topk", "tp6_token_budget_mix",
     "sim1_cosine_topk", "sim2_threshold_pairs", "sim4_clustered_pairs",
     "st1_hourly_window", "st2_sessionize", "st4_interval_join",

@@ -112,6 +112,23 @@ object QueriesScale {
         .orderBy(col("id"))
     }),
 
+    // the composed near-dup dedup a curation run actually executes:
+    // deterministic similar pairs (3-gram jaccard ≥ 0.5) → transitive
+    // clusters → drop everything but each cluster's min-id
+    // representative → corpus accounting. Full oracle end to end.
+    "dd12_neardup_dedup" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          Seq("lang", "source"), 3, 0.5, maxDocFreq = 64)
+        .select(col("doc_a"), col("doc_b"))
+      val dropIds = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      docs.join(dropIds, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
     // incremental ingestion dedup: the doc_id%10==0 slice plays the new
     // crawl snapshot, the rest the accumulated corpus. The Bloom
     // pre-filter routes definitely-new rows around the anti-join shuffle;
@@ -285,6 +302,24 @@ object QueriesScale {
       TextOps.sequenceChunks(fanOut(documents(s, d)), "doc_id", "text",
           seqLen = 32, stride = 24)
         .orderBy(col("doc_id"), col("seq_no"))),
+
+    // corpus-trained Naive-Bayes quality scorer: weak labels from the
+    // heuristic quality gate (≥ 0.5), vocab-restricted log-likelihood-
+    // ratio scoring — the fasttext-style classifier pass after the
+    // heuristics. Deterministic vocab (count desc, term) → full oracle.
+    "ts10_nb_quality" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val counts = TextOps.rawCounts(col("text")).map { case (n, c) =>
+        c.as(n)
+      }
+      val labeled = docs
+        .select(col("doc_id") +: col("text") +: counts: _*)
+        .withColumn("quality", TextOps.qualityScoreFromCounts(
+          col("n_chars"), col("n_words"), col("n_punct"), col("n_stops")))
+      TextOps.nbQualityScore(labeled, "doc_id", "text",
+          col("quality") >= 0.5, vocabSize = 1000)
+        .orderBy(col("doc_id"))
+    }),
 
     // PII scrubbing: the corpus carries no organic PII, so a
     // deterministic synthetic tail (email every doc, phone every 3rd,
@@ -1012,6 +1047,49 @@ object QueriesScale {
         |       array_to_string(toks, ' ') AS seq_text
         |FROM seqs ORDER BY doc_id, seq_no""".stripMargin,
 
+    "ts10_nb_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_words,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(the|a|of|and|is|to|in)\b')) AS n_stops,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |  FROM documents),
+        |lab AS (SELECT doc_id, text,
+        |  (ROUND((LEAST(n_words / 50.0, 1.0)
+        |       + LEAST((n_stops * 1.0 / n_words) * 5.0, 1.0)
+        |       + GREATEST(1.0 - (n_punct * 1.0 / n_chars) * 10.0, 0.0))
+        |       / 3.0, 4) >= 0.5) AS pos
+        |  FROM f),
+        |toks AS (
+        |  SELECT doc_id, pos,
+        |         unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM lab),
+        |vocab AS (
+        |  SELECT term, COUNT(*) AS cnt,
+        |         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_cnt
+        |  FROM toks GROUP BY term
+        |  ORDER BY cnt DESC, term LIMIT 1000),
+        |v2 AS (SELECT term, pos_cnt, cnt - pos_cnt AS neg_cnt FROM vocab),
+        |tot AS (SELECT CAST(SUM(pos_cnt) AS DOUBLE) AS pos_toks,
+        |               CAST(SUM(neg_cnt) AS DOUBLE) AS neg_toks,
+        |               COUNT(*) AS v
+        |        FROM v2),
+        |d AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_docs,
+        |             COUNT(*) AS n_docs FROM lab),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    ln((v2.pos_cnt + 1) / (tot.pos_toks + tot.v + 1))
+        |      - ln((v2.neg_cnt + 1) / (tot.neg_toks + tot.v + 1)) AS llr
+        |  FROM toks t JOIN v2 USING (term) CROSS JOIN tot)
+        |SELECT s.doc_id, COUNT(*) AS n_vocab_tokens,
+        |  ROUND(ln(d.pos_docs * 1.0 / (d.n_docs - d.pos_docs))
+        |        + SUM(s.llr), 4) AS score
+        |FROM s CROSS JOIN d
+        |GROUP BY s.doc_id, d.pos_docs, d.n_docs
+        |ORDER BY s.doc_id""".stripMargin,
+
     "ts9_redact_pii" ->
       """WITH aug AS (
         |  SELECT doc_id,
@@ -1271,6 +1349,49 @@ object QueriesScale {
         |  AND NOT EXISTS (SELECT 1 FROM documents e
         |    WHERE e.doc_id % 10 <> 0 AND e.text = b.text)
         |ORDER BY b.doc_id""".stripMargin,
+
+    "dd12_neardup_dedup" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams
+        |          GROUP BY doc_id),
+        |hot AS (
+        |  SELECT lang, source, gram FROM grams
+        |  GROUP BY lang, source, gram HAVING COUNT(*) > 64),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ix
+        |  FROM grams a JOIN grams b
+        |    ON a.gram = b.gram AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |    WHERE h.lang = a.lang AND h.source = a.source
+        |      AND h.gram = a.gram)
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.5),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION ALL SELECT dst, src FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS m FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, r.m AS m
+        |  FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+        |drops AS (SELECT id FROM comp WHERE id <> component)
+        |SELECT COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin,
 
     "tp1_curation" ->
       """WITH dedup AS (

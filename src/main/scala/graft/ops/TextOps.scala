@@ -299,6 +299,54 @@ object TextOps {
       sequence(lit(0), greatest(length(text) - window, lit(0))),
       i => xxhash64(text.substr(i + lit(1), lit(window)))))
 
+  /** Corpus-trained Naive-Bayes quality classifier — the linear
+    * fasttext-style scorer every curation stack runs after the heuristic
+    * gates (train on weak labels, score everything). `labelCol` is the
+    * boolean weak label (e.g. heuristic quality ≥ threshold; BOTH classes
+    * must be non-empty). Training: token counts per (term, class) over
+    * the `vocabSize` most frequent terms (ties lexicographic), add-one
+    * smoothing over the vocab mass. Scoring: per-doc sum of per-term
+    * log-likelihood ratios + the class-prior log-odds, rounded once.
+    * Only docs with ≥ 1 in-vocab token appear in the output (OOV terms
+    * carry no signal under a vocab-restricted model).
+    *
+    * Shape at scale: one token explode feeding a term-keyed count
+    * aggregate (map-side combined), the model lands as a broadcast vocab
+    * relation + one scalar row; scoring is a map-side join + one
+    * doc-keyed aggregate. Same layout as [[lmScore]] — nothing keyed on
+    * a skew-prone value except the capped vocab count itself.
+    */
+  def nbQualityScore(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: Column, vocabSize: Int = 1000): DataFrame = {
+    val base = docs.select(col(idCol), lower(col(textCol)).as("t"),
+      labelCol.as("pos"))
+    val toks = base.select(col(idCol), col("pos"),
+      explode(split(col("t"), "\\s+")).as("term"))
+    val vocab = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("pos_cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+      .withColumn("neg_cnt", col("cnt") - col("pos_cnt"))
+    val totals = vocab
+      .agg(sum(col("pos_cnt")).as("pos_toks"),
+        sum(col("neg_cnt")).as("neg_toks"), count(lit(1)).as("v"))
+      .crossJoin(base.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("pos_docs"),
+        count(lit(1)).as("n_docs")))
+    toks.join(broadcast(vocab), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        (log((col("pos_cnt") + 1).cast("double") /
+            (col("pos_toks") + col("v") + 1)) -
+          log((col("neg_cnt") + 1).cast("double") /
+            (col("neg_toks") + col("v") + 1))).as("llr"),
+        log(col("pos_docs").cast("double") /
+          (col("n_docs") - col("pos_docs"))).as("prior_lr"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_vocab_tokens"),
+        round(first(col("prior_lr")) + sum(col("llr")), 4).as("score"))
+  }
+
   /** PII patterns shared by counting and redaction. Kept to the
     * RE2-compatible subset (no backreferences/lookaround) so the same
     * pattern strings run identically under Java regex (Spark) and RE2

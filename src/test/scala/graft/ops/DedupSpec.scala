@@ -309,6 +309,18 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 11, "only nodes appearing in pairs are emitted")
   }
 
+  test("connected components: pointer-jumping variant reaches the same " +
+      "fixpoint") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (10L, 11L), (20L, 21L), (21L, 22L)
+    ).toDF("id_a", "id_b")
+    def comp(jump: Boolean) =
+      Dedup.connectedComponents(pairs, "id_a", "id_b", jump = jump)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(jump = true) == comp(jump = false))
+  }
+
   test("connected components converge regardless of edge direction") {
     // same chain with reversed/mixed orientations — min label must still
     // reach every node through the symmetrized edges

@@ -103,6 +103,29 @@ class TextOpsSpec extends SparkSpec {
     assert(full(4).getLong(2) == 100 - 4 * 24)  // truncated tail
   }
 
+  test("nbQualityScore: tokens of the positive class raise the score") {
+    import spark.implicits._
+    // class-pure vocabularies: "good"/"fine" appear only in pos docs,
+    // "spam"/"junk" only in neg docs
+    val df = Seq(
+      (1L, "good fine good fine", true),
+      (2L, "good good fine fine", true),
+      (3L, "spam junk spam junk", false),
+      (4L, "spam spam junk junk", false),
+      (5L, "good fine spam junk", true) // mixed content
+    ).toDF("doc_id", "text", "pos")
+    val got = TextOps.nbQualityScore(df, "doc_id", "text", col("pos"),
+        vocabSize = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(1L)._1 == 4L, "all tokens in vocab")
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0, s"pos docs score > 0: $got")
+    assert(got(3L)._2 < 0 && got(4L)._2 < 0, s"neg docs score < 0: $got")
+    // the mixed doc sits between the pure classes
+    assert(got(5L)._2 > got(3L)._2 && got(5L)._2 < got(1L)._2, got)
+  }
+
   test("redactPii: typed placeholders, counts taken before replacement") {
     import spark.implicits._
     val df = Seq(

@@ -46,6 +46,8 @@ class PlansSpec extends SparkSpec {
     "ts6_tfidf", "tp2_corpus_report", "sim1_cosine_topk", "sim3_ivf_topk",
     // 1-row broadcast LM totals (T, V) attached to every token
     "lm1_lm_score",
+    // 1-row broadcast NB model totals attached to every token
+    "ts10_nb_quality",
     // 1-row broadcast min group size attached to every row
     "tp3_domain_rebalance", "tp4_temperature_mix",
     // 1-row broadcast (total, n_groups) budget scalars attached per row
