@@ -303,6 +303,18 @@ object QueriesScale {
           seqLen = 32, stride = 24)
         .orderBy(col("doc_id"), col("seq_no"))),
 
+    // GPT-style sequence packing: ts8's chunks laid end to end per shard
+    // and cut into 512-token bins (concatenate-then-cut). The window
+    // partitions by shard — no global sort task; deterministic offsets →
+    // full oracle on per-(shard, bin) fill accounting.
+    "tp7_sequence_packing" -> ((s, d) => {
+      val chunks = TextOps.sequenceChunks(fanOut(documents(s, d)),
+        "doc_id", "text", seqLen = 32, stride = 24)
+      TextOps.packSequences(chunks, "doc_id", "seq_no", "n_tokens",
+          binTokens = 512, nShards = 8)
+        .orderBy(col("shard"), col("bin"))
+    }),
+
     // corpus-trained Naive-Bayes quality scorer: weak labels from the
     // heuristic quality gate (≥ 0.5), vocab-restricted log-likelihood-
     // ratio scoring — the fasttext-style classifier pass after the
@@ -676,6 +688,43 @@ object QueriesScale {
     // watermarked stream-stream join must emit EXACTLY the batch st4
     // result — no DuckDB oracle can run a stream-stream join, so the
     // entry carries its own `equal` verdict (enforced by Verify).
+    // stream-static enrichment proof: the event stream broadcast-joins a
+    // static user-tier dimension per micro-batch, aggregated Complete —
+    // must equal the batch join + aggregate exactly (doubles rounded
+    // once on both sides; no watermark state → landing-zone order is
+    // irrelevant). Self-checking `equal` verdict.
+    "st9_stream_static_enrich" -> ((s, d) => {
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_enrich_").toString
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      for (i <- 0 until 3) {
+        raw.filter(col("event_id") % 3 === i)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/events")
+      }
+      val dim = raw.select(col("user_id")).distinct()
+        .withColumn("tier", (col("user_id") % 5).cast("long"))
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("tier"), col("event_type"), col("n"),
+          round(col("total_value"), 4).as("total_value"))
+      val streamed = shape(StreamingOps.streamStaticEnrich(
+        s, s"$tmp/events", dim, "user_id", "tier", s"st9_$tag"))
+      val ev = events(s, d)
+      val batch = shape(ev.join(broadcast(dim), Seq("user_id"), "left")
+        .groupBy(col("tier"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value")))
+      streamed.exceptAll(batch).agg(count(lit(1)).as("only_stream"))
+        .crossJoin(batch.exceptAll(streamed)
+          .agg(count(lit(1)).as("only_batch")))
+        .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+        .crossJoin(streamed.agg(count(lit(1)).as("n_stream")))
+        .select(col("n_batch"), col("n_stream"), col("only_stream"),
+          col("only_batch"),
+          (col("only_stream") === 0 && col("only_batch") === 0 &&
+            col("n_batch") > 0).as("equal"))
+    }),
+
     "st4b_interval_join_stream_equiv" -> ((s, d) => {
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val root = java.nio.file.Files
@@ -1046,6 +1095,24 @@ object QueriesScale {
         |SELECT doc_id, seq_no, len(toks) AS n_tokens,
         |       array_to_string(toks, ' ') AS seq_text
         |FROM seqs ORDER BY doc_id, seq_no""".stripMargin,
+
+    "tp7_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |seqs AS (
+        |  SELECT doc_id, i AS seq_no,
+        |         len(ws[(i*24+1):(i*24+32)]) AS n_tokens
+        |  FROM t, idx WHERE i*24 < len(ws)),
+        |off AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, seq_no, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY doc_id % 8
+        |      ORDER BY doc_id, seq_no) - n_tokens AS start_off
+        |  FROM seqs)
+        |SELECT shard, CAST(FLOOR(start_off / 512) AS BIGINT) AS bin,
+        |       COUNT(*) AS n_seqs, CAST(SUM(n_tokens) AS BIGINT)
+        |         AS n_tokens
+        |FROM off GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
 
     "ts10_nb_quality" ->
       """WITH f AS (

@@ -291,6 +291,33 @@ object TextOps {
         array_join(col("toks"), " ").as("seq_text"))
   }
 
+  /** GPT-style sequence packing: training chunks are laid end to end in
+    * deterministic (doc, seq) order and cut into `binTokens`-token bins —
+    * each chunk lands in the bin where its start offset falls (the
+    * concatenate-then-cut layout pretraining batches actually use; a
+    * greedy no-straddle packer is a sequential recurrence and does not
+    * parallelize). Packing runs PER SHARD (`idCol % nShards`): the
+    * running-offset window partitions by shard, so the corpus is never
+    * funneled through one global sort task — shards are the output files
+    * a real batch writer produces anyway. Output: one row per
+    * (shard, bin) with its sequence count and token fill.
+    */
+  def packSequences(chunks: DataFrame, idCol: String, seqNoCol: String,
+      nToksCol: String, binTokens: Int, nShards: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col(idCol), col(seqNoCol))
+    chunks
+      .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("long"))
+      .withColumn("start_off",
+        sum(col(nToksCol)).over(w) - col(nToksCol))
+      .withColumn("bin", floor(col("start_off") / binTokens))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col(nToksCol)).as("n_tokens"))
+      .select(col("shard"), col("bin"), col("n_seqs"), col("n_tokens"))
+  }
+
   /** Rolling-hash fingerprint: min xxhash64 over char 8-gram windows —
     * a winnowing-style content signature robust to small edits.
     */

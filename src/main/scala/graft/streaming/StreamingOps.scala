@@ -218,6 +218,31 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment: every micro-batch of the event stream
+    * broadcast-joins a STATIC dimension — the Structured Streaming shape
+    * for slowly-changing lookups (catalog attributes, per-domain
+    * metadata). The static side is a plain batch relation re-planned per
+    * batch: no state, no watermark, and at cluster scale the broadcast
+    * means no stream-side shuffle either. Aggregated per
+    * (`attrCol`, event_type) in Complete mode; the `st9` entry proves
+    * the result equals the batch join + aggregate exactly.
+    */
+  def streamStaticEnrich(spark: SparkSession, eventsDir: String,
+      dim: DataFrame, keyCol: String, attrCol: String, queryName: String)
+  : DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(eventsDir)
+    val q = src.join(broadcast(dim), Seq(keyCol), "left")
+      .groupBy(col(attrCol), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .writeStream.outputMode(OutputMode.Complete).format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Drive [[statefulSessionize]] over a parquet landing zone with
     * `AvailableNow` and return the CLOSED sessions it emitted (memory
     * sink). The driver-visible batch-equivalence proof for S4/S6 lives in

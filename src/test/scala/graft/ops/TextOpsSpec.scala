@@ -103,6 +103,26 @@ class TextOpsSpec extends SparkSpec {
     assert(full(4).getLong(2) == 100 - 4 * 24)  // truncated tail
   }
 
+  test("packSequences: chunks bin at their start offset, per shard") {
+    import spark.implicits._
+    // shard 0 gets docs 0 and 2, shard 1 gets docs 1 and 3 (mod 2)
+    val chunks = Seq(
+      (0L, 0L, 3L), (0L, 1L, 3L), (2L, 0L, 4L),
+      (1L, 0L, 2L), (3L, 0L, 4L)
+    ).toDF("doc_id", "seq_no", "n_tokens")
+    val got = TextOps.packSequences(chunks, "doc_id", "seq_no",
+        "n_tokens", binTokens = 5, nShards = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // shard 0 offsets: 0, 3, 6 → bins 0, 0, 1
+    assert(got((0L, 0L)) == ((2L, 6L)), got)
+    assert(got((0L, 1L)) == ((1L, 4L)), got)
+    // shard 1 offsets: 0, 2 → both bin 0
+    assert(got((1L, 0L)) == ((2L, 6L)), got)
+    assert(got.size == 3)
+  }
+
   test("nbQualityScore: tokens of the positive class raise the score") {
     import spark.implicits._
     // class-pure vocabularies: "good"/"fine" appear only in pos docs,
