@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, TextOps, Similarity, Multimodal, Sampling}
+import graft.ops.{Bpe, Dedup, TextOps, Similarity, Multimodal, Sampling}
 import graft.streaming.StreamingOps
 
 /** Training-data-pipeline operator catalog: deduplication, similarity
@@ -302,6 +302,41 @@ object QueriesScale {
       TextOps.sequenceChunks(fanOut(documents(s, d)), "doc_id", "text",
           seqLen = 32, stride = 24)
         .orderBy(col("doc_id"), col("seq_no"))),
+
+    // BPE tokenizer training: 16 merge rounds over the corpus
+    // word-frequency relation (rounds run on the VOCABULARY, not the
+    // corpus — one corpus scan total). Deterministic argmax (count desc,
+    // then lexicographic) → the merge table is exactly reproducible, but
+    // no single SQL statement can replay an iterative train → rows-only
+    // here; BpeSpec pins exact merges on known corpora.
+    "ts11_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      Bpe.train(fanOut(documents(s, d)), "text", numMerges = 16)
+        .toDF("rank", "left", "right", "pair_count")
+        .select(col("rank").cast("long").as("rank"), col("left"),
+          col("right"), col("pair_count"))
+        .orderBy(col("rank"))
+    }),
+
+    // BPE application self-check: segmenting the corpus with the trained
+    // merges must preserve every word's concatenation (the merge
+    // invariant) while strictly compressing the symbol stream — a false
+    // verdict means merge application corrupted a word.
+    "ts12_bpe_segment" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val merges = Bpe.train(docs, "text", numMerges = 16)
+      Bpe.segment(docs, "text", merges)
+        .agg(
+          sum(col("cnt") * size(col("syms"))).as("n_tokens"),
+          sum(col("cnt") * length(col("w"))).as("n_chars"),
+          sum(when(array_join(col("syms"), "") =!= col("w"), col("cnt"))
+            .otherwise(0L)).as("n_broken"))
+        .select(col("n_tokens"), col("n_chars"), col("n_broken"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 4)
+            .as("chars_per_token"),
+          (col("n_broken") === 0 && col("n_tokens") < col("n_chars"))
+            .as("equal"))
+    }),
 
     // GPT-style sequence packing: ts8's chunks laid end to end per shard
     // and cut into 512-token bins (concatenate-then-cut). The window
