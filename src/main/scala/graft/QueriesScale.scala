@@ -129,6 +129,25 @@ object QueriesScale {
           sum(col("n_chars")).as("total_chars"))
     }),
 
+    // corpus snapshot diff: v2 deletes every 7th doc, edits every 11th
+    // surviving doc, and adds a re-keyed copy of every 13th — the diff
+    // classifies all of it in one id-keyed full outer join. Raw-text
+    // comparison so the oracle replays exactly (production default
+    // hashes content to 8 bytes; same rows).
+    "dd13_snapshot_diff" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val base = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val added = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      Dedup.snapshotDiff(docs, base.unionByName(added), "doc_id", "text",
+          hashContent = false)
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
     // incremental ingestion dedup: the doc_id%10==0 slice plays the new
     // crawl snapshot, the rest the accumulated corpus. The Bloom
     // pre-filter routes definitely-new rows around the anti-join shuffle;
@@ -1451,6 +1470,26 @@ object QueriesScale {
         |  AND NOT EXISTS (SELECT 1 FROM documents e
         |    WHERE e.doc_id % 10 <> 0 AND e.text = b.text)
         |ORDER BY b.doc_id""".stripMargin,
+
+    "dd13_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |added AS (
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |now_t AS (SELECT * FROM base UNION ALL SELECT * FROM added),
+        |d AS (
+        |  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+        |              WHEN n.doc_id IS NULL THEN 'removed'
+        |              WHEN o.text <> n.text THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM documents o FULL OUTER JOIN now_t n
+        |    ON o.doc_id = n.doc_id)
+        |SELECT status, COUNT(*) AS n FROM d
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     "dd12_neardup_dedup" ->
       """WITH RECURSIVE toks AS (

@@ -461,6 +461,31 @@ object Dedup {
     }
   }
 
+  /** Corpus snapshot diff: classify every doc id across two corpus
+    * versions as added / removed / changed / unchanged — the accounting
+    * every dataset release publishes next to its version bump. One full
+    * outer join on the id key with content compared by xxhash64 (changed
+    * = both sides present, hashes differ); at 100 TB both sides shuffle
+    * once on the id — with `hashContent` (the default) no content
+    * strings cross the wire, only 8-byte hashes ride along the join.
+    * `hashContent = false` compares the raw content column — the form
+    * the DuckDB oracle replays exactly (same rows, wider shuffle), as
+    * with [[spanDedup]]'s `hashKeys`.
+    */
+  def snapshotDiff(old: DataFrame, now: DataFrame, idCol: String,
+      contentCol: String, hashContent: Boolean = true): DataFrame = {
+    val key: Column => Column =
+      if (hashContent) xxhash64(_) else identity
+    val o = old.select(col(idCol), key(col(contentCol)).as("o_hash"))
+    val n = now.select(col(idCol), key(col(contentCol)).as("n_hash"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("o_hash").isNull, "added")
+          .when(col("n_hash").isNull, "removed")
+          .when(col("o_hash") =!= col("n_hash"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Connected components over an undirected pair relation — the step that
     * turns near-dup PAIRS into duplicate CLUSTERS (transitive closure), so
     * one representative per cluster can be kept. Iterative min-label

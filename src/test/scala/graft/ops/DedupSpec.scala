@@ -293,6 +293,21 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(4L), "fully-banned doc must drop out")
   }
 
+  test("snapshot diff classifies added/removed/changed/unchanged; " +
+      "hash and raw content paths agree") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val now = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    def statuses(hash: Boolean) =
+      Dedup.snapshotDiff(old, now, "doc_id", "text", hashContent = hash)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = statuses(hash = true)
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), got)
+    assert(statuses(hash = false) == got)
+  }
+
   test("connected components: chains close transitively, islands stay apart") {
     // component {1..6} is a 5-hop chain (forces multiple propagation
     // rounds), {10,11} a single edge, {20,21,22} a triangle

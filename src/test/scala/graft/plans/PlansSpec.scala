@@ -109,6 +109,17 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
+  test("tp7: the packing window partitions by shard (no global sort)") {
+    val plan = planOf("tp7_sequence_packing")
+    assert(plan.contains("windowspecdefinition(shard"), plan.take(3000))
+  }
+
+  test("ts10: the token-model join broadcasts (no shuffled fact join)") {
+    val plan = planOf("ts10_nb_quality")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("dd11: bloom pre-filter is row-local, one anti join on the residue") {
     val plan = planOf("dd11_incremental")
     // the definitely-new branch carries the might_contain filter with no
