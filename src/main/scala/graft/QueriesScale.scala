@@ -100,14 +100,14 @@ object QueriesScale {
         .orderBy(col("doc_id"))),
 
     // duplicate clusters: transitive closure over the gram-sharing pair
-    // graph (the dd5 relation at threshold 0 — 3-gram buckets blocked by
-    // (lang, source), df cap 64) via iterative min-label propagation.
-    // The fixpoint (per-component min doc_id) is unique → deterministic
-    // → full oracle (DuckDB recursive CTE over the same edge set).
+    // graph (3-gram buckets blocked by (lang, source), df cap 64 — the
+    // dd5 candidate relation, emitted by gramCandidatePairs without the
+    // jaccard arithmetic) via iterative min-label propagation. The
+    // fixpoint (per-component min doc_id) is unique → deterministic →
+    // full oracle (DuckDB recursive CTE over the same edge set).
     "dd10_dup_clusters" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccardPairs(fanOut(documents(s, d)), "doc_id",
-          "text", Seq("lang", "source"), 3, 0.0, maxDocFreq = 64)
-        .select(col("doc_a"), col("doc_b"))
+      val pairs = Dedup.gramCandidatePairs(fanOut(documents(s, d)),
+        "doc_id", "text", Seq("lang", "source"), 3, maxDocFreq = 64)
       Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .orderBy(col("id"))
     }),

@@ -288,6 +288,37 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Candidate doc pairs sharing at least one non-hot gram — the
+    * inverted-index bucket pairs of [[ngramJaccardPairs]] WITHOUT the
+    * similarity arithmetic, for consumers that only need the edge
+    * relation (duplicate-cluster resolution). Single-consumer gram
+    * arrays → no barrier, no per-doc size branch, no join-back: one
+    * bucket-keyed shuffle and the in-task upper-triangle emission,
+    * `maxDocFreq`-capped like every bucket op here.
+    */
+  def gramCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int, maxDocFreq: Int = 1000)
+  : DataFrame = {
+    val grams = df
+      .select((col(idCol) +: blockCols.map(col) :+
+        tokens(col(textCol)).as("toks")): _*)
+      .select((col(idCol) +: blockCols.map(col) :+
+        explode(array_distinct(
+          transform(wordGrams(col("toks"), n), g => xxhash64(g))))
+          .as("gram")): _*)
+    grams
+      .groupBy((blockCols.map(col) :+ col("gram")): _*)
+      .agg(graft.functions.BoundedCollect(col(idCol), maxDocFreq)
+        .as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDocFreq)
+      .select(explode(expr(
+        "filter(flatten(transform(docs, a -> transform(docs, " +
+          "b -> struct(a AS doc_a, b AS doc_b)))), " +
+          "p -> p.doc_a < p.doc_b)")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+  }
+
   /** Non-overlapping chunks of `w` whitespace words as an array column —
     * the "line" unit for line-level ops on newline-free corpora.
     */
@@ -451,13 +482,19 @@ object Dedup {
             Literal(expectedItems), Literal(numBits))
           .toAggregateExpression()).as("bf"))
         .head.getAs[Array[Byte]](0)
-      val mightContain = Bridge.column(BloomFilterMightContain(
-        Bridge.expression(lit(bloom)),
-        Bridge.expression(xxhash64(col(keyCol)))))
-      batch.filter(!mightContain)
-        .unionByName(
-          batch.filter(mightContain)
-            .join(existingKeys, Seq(keyCol), "left_anti"))
+      // BloomFilterAggregate evals to NULL over an EMPTY existing
+      // corpus, and might_contain(NULL, _) is NULL — without this guard
+      // both filter branches would drop every batch row
+      if (bloom == null) batch
+      else {
+        val mightContain = Bridge.column(BloomFilterMightContain(
+          Bridge.expression(lit(bloom)),
+          Bridge.expression(xxhash64(col(keyCol)))))
+        batch.filter(!mightContain)
+          .unionByName(
+            batch.filter(mightContain)
+              .join(existingKeys, Seq(keyCol), "left_anti"))
+      }
     }
   }
 

@@ -293,6 +293,20 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(4L), "fully-banned doc must drop out")
   }
 
+  test("gramCandidatePairs equals the jaccard pipeline's pair set at " +
+      "threshold 0") {
+    val corpus = docs.withColumn("lang", lit("en"))
+      .withColumn("source", lit("s1"))
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = pairSet(Dedup.gramCandidatePairs(corpus, "doc_id",
+      "text", Seq("lang", "source"), 3))
+    val viaJaccard = pairSet(Dedup.ngramJaccardPairs(corpus, "doc_id",
+      "text", Seq("lang", "source"), 3, 0.0))
+    assert(direct == viaJaccard && direct.nonEmpty, (direct, viaJaccard))
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged; " +
       "hash and raw content paths agree") {
     val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
@@ -367,6 +381,17 @@ class DedupSpec extends SparkSpec {
     // same exact result through the plain shuffled anti join
     assert(ids(Dedup.incrementalDedup(batch, existing, "text",
       maxBloomBytes = 0L)) == Set(11L, 13L))
+  }
+
+  test("incremental dedup: empty existing corpus keeps the whole batch") {
+    val existing = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.incrementalDedup(batch, existing, "text").count() == 2L)
+  }
+
+  test("connected components of an empty pair relation are empty") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs, "id_a", "id_b").count() == 0L)
   }
 
   test("incremental dedup stays exact under a saturated bloom (fpp→1)") {
