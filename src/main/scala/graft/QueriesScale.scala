@@ -175,6 +175,20 @@ object QueriesScale {
         .orderBy(col("doc_id"))
     }),
 
+    // span-level decontamination: training docs sharing a VERBATIM
+    // 8-token window with the benchmark slice — the contiguous-overlap
+    // criterion (gram overlap flags idioms; spans flag real leakage).
+    // Raw-string window keys → the oracle replays the identical
+    // relation; production hashes them to 8 bytes.
+    "tc3_span_decontam" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      Dedup.spanContaminationReport(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", spanTokens = 8, hashKeys = false)
+        .orderBy(col("doc_id"))
+    }),
+
     // the cleaned training corpus after decontamination, as accounting
     // totals (proves the anti join preserves full rows)
     "tc2_decontam_clean" -> ((s, d) => {
@@ -355,6 +369,35 @@ object QueriesScale {
             .as("chars_per_token"),
           (col("n_broken") === 0 && col("n_tokens") < col("n_chars"))
             .as("equal"))
+    }),
+
+    // the composed quality gate: heuristic score + trained NB classifier
+    // + unigram-LM fluency voted into one keep decision, accounted
+    // per lang — all three scorers rounded once on both engines → the
+    // whole ensemble carries a full oracle.
+    "tp8_quality_ensemble" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val counts = TextOps.rawCounts(col("text")).map { case (n, c) =>
+        c.as(n)
+      }
+      val scored = docs
+        .select(col("doc_id") +: col("lang") +: col("text") +: counts: _*)
+        .withColumn("quality", TextOps.qualityScoreFromCounts(
+          col("n_chars"), col("n_words"), col("n_punct"), col("n_stops")))
+      val nb = TextOps.nbQualityScore(scored, "doc_id", "text",
+          col("quality") >= 0.5, vocabSize = 1000)
+        .select(col("doc_id"), col("score"))
+      val lm = TextOps.lmScore(docs, "doc_id", "text", vocabSize = 20)
+        .select(col("doc_id"), col("avg_nll"))
+      scored.join(nb, Seq("doc_id"), "left").join(lm, Seq("doc_id"))
+        .withColumn("keep",
+          col("quality") >= 0.5 &&
+            coalesce(col("score"), lit(0.0)) > 0 &&
+            col("avg_nll") <= 5.6)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
     }),
 
     // GPT-style sequence packing: ts8's chunks laid end to end per shard
@@ -1256,6 +1299,72 @@ object QueriesScale {
         |  USING (lang)
         |ORDER BY c.lang""".stripMargin,
 
+    "tp8_quality_ensemble" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_words,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(the|a|of|and|is|to|in)\b')) AS n_stops,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |  FROM documents),
+        |lab AS (SELECT doc_id, lang, text,
+        |  ROUND((LEAST(n_words / 50.0, 1.0)
+        |       + LEAST((n_stops * 1.0 / n_words) * 5.0, 1.0)
+        |       + GREATEST(1.0 - (n_punct * 1.0 / n_chars) * 10.0, 0.0))
+        |       / 3.0, 4) AS quality
+        |  FROM f),
+        |toks AS (
+        |  SELECT doc_id, quality >= 0.5 AS pos,
+        |         unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM lab),
+        |vocab AS (
+        |  SELECT term, COUNT(*) AS cnt,
+        |         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_cnt
+        |  FROM toks GROUP BY term
+        |  ORDER BY cnt DESC, term LIMIT 1000),
+        |v2 AS (SELECT term, pos_cnt, cnt - pos_cnt AS neg_cnt FROM vocab),
+        |vtot AS (SELECT CAST(SUM(pos_cnt) AS DOUBLE) AS pos_toks,
+        |                CAST(SUM(neg_cnt) AS DOUBLE) AS neg_toks,
+        |                COUNT(*) AS v
+        |         FROM v2),
+        |dt AS (SELECT SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)
+        |              AS pos_docs,
+        |              COUNT(*) AS n_docs FROM lab),
+        |llr AS (
+        |  SELECT t.doc_id,
+        |    ln((v2.pos_cnt + 1) / (vtot.pos_toks + vtot.v + 1))
+        |      - ln((v2.neg_cnt + 1)
+        |           / (vtot.neg_toks + vtot.v + 1)) AS llr
+        |  FROM toks t JOIN v2 USING (term) CROSS JOIN vtot),
+        |nb AS (
+        |  SELECT s.doc_id,
+        |    ROUND(ln(dt.pos_docs * 1.0 / (dt.n_docs - dt.pos_docs))
+        |      + SUM(s.llr), 4) AS score
+        |  FROM llr s CROSS JOIN dt
+        |  GROUP BY s.doc_id, dt.pos_docs, dt.n_docs),
+        |lmvocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+        |            ORDER BY cnt DESC, term LIMIT 20),
+        |lmtot AS (SELECT (SELECT COUNT(*) FROM toks) AS t_total,
+        |                 (SELECT COUNT(*) FROM lmvocab) AS v_size),
+        |lm AS (
+        |  SELECT t.doc_id,
+        |    ROUND(AVG(-ln((COALESCE(v.cnt, 0) + 1) * 1.0
+        |      / (lmtot.t_total + lmtot.v_size + 1))), 4) AS avg_nll
+        |  FROM toks t LEFT JOIN lmvocab v USING (term) CROSS JOIN lmtot
+        |  GROUP BY t.doc_id),
+        |joined AS (
+        |  SELECT l.lang,
+        |    (l.quality >= 0.5 AND COALESCE(nb.score, 0) > 0
+        |      AND lm.avg_nll <= 5.6) AS keep
+        |  FROM lab l
+        |  LEFT JOIN nb USING (doc_id)
+        |  JOIN lm USING (doc_id))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM joined GROUP BY lang ORDER BY lang""".stripMargin,
+
     "tp5_source_topk" ->
       """WITH f AS (
         |  SELECT doc_id, source,
@@ -1394,6 +1503,26 @@ object QueriesScale {
         |WHERE doc_id % 97 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
         .stripMargin,
+
+    "tc3_span_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |idx AS (SELECT unnest(generate_series(0, 400)) AS i),
+        |win AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(ws[(i+1):(i+8)], ' ') AS gram
+        |  FROM t, idx WHERE i + 8 <= len(ws)),
+        |bench AS (SELECT DISTINCT gram FROM win WHERE doc_id % 7 = 0),
+        |hits AS (SELECT w.doc_id, w.pos FROM win w JOIN bench USING (gram)
+        |         WHERE w.doc_id % 7 <> 0),
+        |cov AS (SELECT DISTINCT doc_id, pos + j.j AS i
+        |        FROM hits, (SELECT unnest(generate_series(0, 7)) AS j) j),
+        |c AS (SELECT doc_id, COUNT(*) AS n_covered_tokens FROM cov
+        |      GROUP BY doc_id)
+        |SELECT h.doc_id, COUNT(*) AS n_shared_spans, c.n_covered_tokens
+        |FROM hits h JOIN c USING (doc_id)
+        |GROUP BY h.doc_id, c.n_covered_tokens
+        |ORDER BY h.doc_id""".stripMargin,
 
     "dd8_line_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws

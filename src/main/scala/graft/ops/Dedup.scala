@@ -620,6 +620,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Exact-substring decontamination report — the span-level upgrade of
+    * [[contaminationReport]]: instead of ANY shared n-gram (which flags
+    * idiom-level overlap), a training doc is reported only for sharing a
+    * full `spanTokens`-token VERBATIM window with the benchmark set (the
+    * contiguous-overlap criterion modern eval hygiene uses). Output:
+    * (doc, n_shared_spans, n_covered_tokens) where coverage counts the
+    * distinct training-doc token indices under any shared window —
+    * pure window arithmetic, fully oracle-replayable.
+    *
+    * Scale shape mirrors [[spanDedup]]: rolling windows from one
+    * row-local [[wordGrams]] pass per side; the benchmark window-key set
+    * is distinct + size-gated (counted broadcast under
+    * `broadcastMaxSpans`, shuffled left_semi past it — bench suites are
+    * small, but the gate keeps the op safe when "bench" is itself a
+    * corpus); the train side joins map-side in the broadcast regime.
+    * `hashKeys` narrows the key to 8 bytes at scale; raw strings replay
+    * in DuckDB.
+    */
+  def spanContaminationReport(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, spanTokens: Int,
+      broadcastMaxSpans: Long = 100000L, hashKeys: Boolean = true)
+  : DataFrame = {
+    val L = spanTokens
+    def windows(df: DataFrame): DataFrame = {
+      val ws = split(col(textCol), " ")
+      val gramArr = when(size(ws) >= L, wordGrams(ws, L))
+        .otherwise(array().cast("array<string>"))
+      val keyed = if (hashKeys) xxhash64(col("gram")) else col("gram")
+      df.select(col(idCol), posexplode(gramArr).as(Seq("pos", "gram")))
+        .select(col(idCol), col("pos"), keyed.as("key"))
+    }
+    val benchKeys = windows(bench).select(col("key")).distinct()
+    val probe = if (benchKeys.count() <= broadcastMaxSpans)
+      broadcast(benchKeys)
+    else benchKeys
+    // hits feeds BOTH aggregates below → persist (spillable) so the
+    // train side is windowed and joined once, as with lineDedup's lines
+    val hits = windows(train).join(probe, Seq("key"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val covered = hits
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (L - 1))).as("i"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_covered_tokens"))
+    hits.groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_spans"))
+      .join(covered, Seq(idCol))
+  }
+
   /** The cleaned corpus: training docs with NO benchmark n-gram overlap
     * (all columns preserved). Contaminated ids come from
     * [[contaminationReport]]; the removal is a doc-id-keyed left anti join.

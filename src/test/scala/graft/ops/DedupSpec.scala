@@ -293,6 +293,28 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(4L), "fully-banned doc must drop out")
   }
 
+  test("span contamination: verbatim windows counted, coverage distinct") {
+    val bench = Seq((100L, "the secret benchmark answer key"))
+      .toDF("doc_id", "text")
+    // doc 1 embeds a 4-token verbatim run → two overlapping 3-token
+    // windows share with bench, covering 4 distinct token indices
+    val train = Seq(
+      (1L, "intro text the secret benchmark answer outro words"),
+      (2L, "completely unrelated content with no overlap at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanContaminationReport(train, bench, "doc_id",
+        "text", spanTokens = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(1L -> ((2L, 4L))), got)
+    // hashed and raw window keys agree
+    val raw = Dedup.spanContaminationReport(train, bench, "doc_id",
+        "text", spanTokens = 3, hashKeys = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(raw == got)
+  }
+
   test("gramCandidatePairs equals the jaccard pipeline's pair set at " +
       "threshold 0") {
     val corpus = docs.withColumn("lang", lit("en"))

@@ -47,7 +47,7 @@ class PlansSpec extends SparkSpec {
     // 1-row broadcast LM totals (T, V) attached to every token
     "lm1_lm_score",
     // 1-row broadcast NB model totals attached to every token
-    "ts10_nb_quality",
+    "ts10_nb_quality", "tp8_quality_ensemble",
     // 1-row broadcast min group size attached to every row
     "tp3_domain_rebalance", "tp4_temperature_mix",
     // 1-row broadcast (total, n_groups) budget scalars attached per row
