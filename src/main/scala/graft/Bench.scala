@@ -50,13 +50,14 @@ object Bench {
     "dd2_minhash_sig", "dd5_ngram_jaccard", "dd6_embedding_neardup",
     "dd7_simhash_neardup", "dd8_line_dedup", "dd9_span_dedup",
     "dd10_dup_clusters", "dd11_incremental", "dd12_neardup_dedup",
-    "dd13_snapshot_diff",
+    "dd13_snapshot_diff", "dd14_semdedup",
     "tc1_decontam_report", "tc3_span_decontam",
     "ts2_quality", "ts6_tfidf", "ts7_repetition", "ts8_sequence_chunks",
     "ts9_redact_pii", "ts10_nb_quality", "ts11_bpe_train",
+    "ts13_c4_clean",
     "tp7_sequence_packing",
     "tp4_temperature_mix", "tp5_source_topk", "tp6_token_budget_mix",
-    "tp8_quality_ensemble",
+    "tp8_quality_ensemble", "tp9_dsir_weights", "tp10_ppl_buckets",
     "sim1_cosine_topk", "sim2_threshold_pairs", "sim4_clustered_pairs",
     "st1_hourly_window", "st2_sessionize", "st4_interval_join",
     "tp1_curation",

@@ -148,6 +148,15 @@ object QueriesScale {
         .orderBy(col("status"))
     }),
 
+    // SemDeDup: deterministic k-means clusters (the sim5 trainer) as
+    // candidate blocks, exact within-cluster cosine pairs ≥ 0.35, keep
+    // the smallest id per near-dup group. Unrolled Lloyd's + in-cluster
+    // pair join replay exactly in DuckDB → full oracle.
+    "dd14_semdedup" -> ((s, d) =>
+      Dedup.semanticDedup(embeddings(s, d), "vec_id", "embedding",
+          k = 10, iters = 2, threshold = 0.35)
+        .orderBy(col("vec_id"))),
+
     // incremental ingestion dedup: the doc_id%10==0 slice plays the new
     // crawl snapshot, the rest the accumulated corpus. The Bloom
     // pre-filter routes definitely-new rows around the anti-join shuffle;
@@ -400,6 +409,28 @@ object QueriesScale {
         .orderBy(col("lang"))
     }),
 
+    // DSIR importance weights: every doc scored by its per-token average
+    // ln p_target(t) − ln p_raw(t) — target LM trained on the English
+    // slice, raw LM on the whole corpus. Pure count arithmetic → full
+    // oracle.
+    "tp9_dsir_weights" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      TextOps.dsirWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet perplexity bucketing: per-lang head/middle/tail split at the
+    // exact score terciles — percentile CUT POINTS (an aggregate +
+    // broadcast-sized join-back), not a single-task-per-lang ntile
+    // window. vocabSize 20 = the lm1 oracle's pruned LM.
+    "tp10_ppl_buckets" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      TextOps.perplexityBuckets(docs, "doc_id", "text", "lang",
+          vocabSize = 20)
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // GPT-style sequence packing: ts8's chunks laid end to end per shard
     // and cut into 512-token bins (concatenate-then-cut). The window
     // partitions by shard — no global sort task; deterministic offsets →
@@ -452,6 +483,16 @@ object QueriesScale {
       TextOps.redactPii(augmented, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+
+    // C4-style heuristic line cleaning: drop short (< 3-word) lines and
+    // lines containing blocklisted terms, reassemble, drop docs left
+    // with < 2 lines — the rule-based gate ahead of any corpus-frequency
+    // pass. Entirely row-local (zero shuffles) → full oracle.
+    "ts13_c4_clean" -> ((s, d) =>
+      TextOps.heuristicClean(fanOut(documents(s, d)), "doc_id", "text",
+          lineWords = 5, badWords = Seq("slow", "dup"), minLineWords = 3,
+          minLinesKept = 2)
+        .orderBy(col("doc_id"))),
 
     // temperature-flattened mixture (α = 0.5): per-lang before/after —
     // keep-slot arithmetic is one pow on two broadcast integers, rounded
@@ -1364,6 +1405,126 @@ object QueriesScale {
         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_kept
         |FROM joined GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "tp9_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+        |    AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |       GROUP BY doc_id, term),
+        |rawc AS (SELECT term, SUM(tf) AS raw_cnt FROM tf GROUP BY term),
+        |tgtc AS (SELECT t.term, COUNT(*) AS tgt_cnt FROM toks t
+        |         JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+        |         GROUP BY t.term),
+        |tot AS (SELECT (SELECT SUM(raw_cnt) FROM rawc) AS raw_total,
+        |               (SELECT COUNT(*) FROM rawc) AS v,
+        |               (SELECT SUM(tgt_cnt) FROM tgtc) AS tgt_total)
+        |SELECT f.doc_id,
+        |  ROUND(SUM(f.tf *
+        |      (ln((COALESCE(g.tgt_cnt, 0) + 1) * 1.0
+        |          / (tot.tgt_total + tot.v + 1))
+        |       - ln((r.raw_cnt + 1) * 1.0
+        |           / (tot.raw_total + tot.v + 1))))
+        |    / SUM(f.tf), 4) + 0.0 AS dsir_weight,
+        |  CAST(SUM(f.tf) AS BIGINT) AS n_tokens
+        |FROM tf f JOIN rawc r USING (term) LEFT JOIN tgtc g USING (term)
+        |CROSS JOIN tot
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
+    "tp10_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+        |    AS term
+        |  FROM documents),
+        |vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+        |          ORDER BY cnt DESC, term LIMIT 20),
+        |tot AS (SELECT (SELECT COUNT(*) FROM toks) AS t_total,
+        |               (SELECT COUNT(*) FROM vocab) AS v_size),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    ROUND(AVG(-ln((COALESCE(v.cnt, 0) + 1) * 1.0
+        |      / (tot.t_total + tot.v_size + 1))), 4) AS avg_nll,
+        |    COUNT(*) AS n_toks
+        |  FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN tot
+        |  GROUP BY t.doc_id),
+        |sl AS (SELECT s.doc_id, s.avg_nll, s.n_toks, d.lang
+        |       FROM scored s JOIN documents d USING (doc_id)),
+        |cuts AS (SELECT lang,
+        |           ROUND(quantile_cont(avg_nll, 1.0/3), 6) AS c1,
+        |           ROUND(quantile_cont(avg_nll, 2.0/3), 6) AS c2
+        |         FROM sl GROUP BY lang)
+        |SELECT sl.lang,
+        |  CASE WHEN avg_nll <= c1 THEN 'head'
+        |       WHEN avg_nll <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |  ROUND(AVG(avg_nll), 4) AS mean_nll
+        |FROM sl JOIN cuts USING (lang)
+        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    "ts13_c4_clean" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |lines AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS line
+        |  FROM t, idx WHERE i*5 < len(ws)),
+        |k AS (SELECT doc_id, pos, line FROM lines
+        |      WHERE len(string_split(line, ' ')) >= 3
+        |        AND NOT list_has_any(string_split(line, ' '),
+        |                             ['slow', 'dup'])),
+        |n AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines
+        |      GROUP BY doc_id)
+        |SELECT k.doc_id,
+        |       string_agg(k.line, ' ' ORDER BY k.pos) AS clean_text,
+        |       COUNT(*) AS n_lines_kept,
+        |       n.n_lines - COUNT(*) AS n_lines_dropped
+        |FROM k JOIN n USING (doc_id)
+        |GROUP BY k.doc_id, n.n_lines
+        |HAVING COUNT(*) >= 2
+        |ORDER BY k.doc_id""".stripMargin,
+
+    "dd14_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+        |              v AS centroid
+        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 10)),
+        |a1 AS (SELECT vec_id, v, cluster FROM (
+        |         SELECT e.vec_id, e.v, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |             ORDER BY ROUND(list_cosine_similarity(e.v, c.centroid),
+        |                            6) DESC, c.cluster) AS rk
+        |         FROM e, c0 c) WHERE rk = 1),
+        |c1 AS (SELECT cluster, list(cavg ORDER BY i) AS centroid FROM (
+        |         SELECT cluster, i, avg(v[i]) AS cavg FROM (
+        |           SELECT cluster, unnest(generate_series(1, len(v))) AS i, v
+        |           FROM a1) GROUP BY cluster, i) GROUP BY cluster),
+        |a2 AS (SELECT vec_id, v, cluster FROM (
+        |         SELECT e.vec_id, e.v, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |             ORDER BY ROUND(list_cosine_similarity(e.v, c.centroid),
+        |                            6) DESC, c.cluster) AS rk
+        |         FROM e, c1 c) WHERE rk = 1),
+        |c2 AS (SELECT cluster, list(cavg ORDER BY i) AS centroid FROM (
+        |         SELECT cluster, i, avg(v[i]) AS cavg FROM (
+        |           SELECT cluster, unnest(generate_series(1, len(v))) AS i, v
+        |           FROM a2) GROUP BY cluster, i) GROUP BY cluster),
+        |fin AS (SELECT vec_id, v, cluster FROM (
+        |         SELECT e.vec_id, e.v, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |             ORDER BY ROUND(list_cosine_similarity(e.v, c.centroid),
+        |                            6) DESC, c.cluster) AS rk
+        |         FROM e, c2 c) WHERE rk = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id FROM fin a JOIN fin b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+        |SELECT f.vec_id, f.cluster, (d.vec_id IS NULL) AS kept
+        |FROM fin f LEFT JOIN dropped d USING (vec_id)
+        |ORDER BY f.vec_id""".stripMargin,
 
     "tp5_source_topk" ->
       """WITH f AS (

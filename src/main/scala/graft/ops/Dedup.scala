@@ -691,6 +691,38 @@ object Dedup {
       .groupBy(col("id_b").as("doc_id"))
       .agg(min(col("id_a")).as("rep_id"), count(lit(1)).as("n_near_dups"))
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication over an embedding
+    * column — cluster the corpus with deterministic k-means, mine exact
+    * cosine pairs WITHIN each cluster, and keep one representative per
+    * near-dup group (the smallest id; any row with a smaller-id in-cluster
+    * neighbor at ≥ `threshold` is dropped). Output: (id, cluster, kept) for
+    * every input row — the audit relation a curation run persists before
+    * physically filtering.
+    *
+    * Scale shape: clustering is [[Similarity.kmeansAssign]] (row-local
+    * literal argmax at small k·dim, broadcast centroid relation past the
+    * literal budget); pair mining is [[Similarity.clusteredThresholdPairs]]
+    * — an equi-join on the cluster id, cost Σ|cluster|², REUSING the IVF
+    * partitioning instead of hashing fresh LSH signatures (exactly why
+    * SemDeDup clusters first: the cluster IS the candidate block). The
+    * keep-mask join is id-keyed. Nothing is quadratic beyond the
+    * within-cluster term, which nlist controls (k ≈ n/avg_cluster bounds
+    * per-task pair work); cross-cluster near-dups are never examined — the
+    * standard partitioned-ANN recall trade, accepted by the method itself.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    val assigned = Similarity.kmeansAssign(df, idCol, vecCol, k, iters)
+    val withVec = df.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
+    val dropped = Similarity
+      .clusteredThresholdPairs(withVec, idCol, vecCol, "cluster", threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("dropped"), lit(true)).as("kept"))
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints banded into four 16-bit
     * chunks; docs sharing any chunk are candidates (pigeonhole: complete for
     * Hamming distance ≤ 3), verified with an exact popcount of the XOR.

@@ -374,6 +374,125 @@ object TextOps {
         round(first(col("prior_lr")) + sum(col("llr")), 4).as("score"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", re-expressed relationally):
+    * score every raw-corpus document by how much more likely its tokens are
+    * under a unigram model of the TARGET domain than under the raw corpus'
+    * own model — the per-token average log-ratio
+    * `avg_t [ ln p_target(t) − ln p_raw(t) ]`, the quantity DSIR samples
+    * against. Both models use add-one smoothing over the raw vocabulary
+    * (p(t) = (count+1)/(T+V+1), the [[lmScore]] estimator), so
+    * target-unseen terms score as target-OOV rather than −∞.
+    *
+    * Shape at scale (the [[tfidf]] layout): ONE tokenize pass over the raw
+    * corpus into a persisted (doc, term, tf) relation feeding both the
+    * raw count aggregate and the scoring join; raw and target term counts
+    * are map-side combined; the scoring join is term-keyed where AQE's
+    * skew splitting applies (hot stopwords), with NO broadcast hint on the
+    * count relations — they are vocabulary-sized but unbounded, so the
+    * planner/AQE sizes them. Totals cross the plan as one broadcast row.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, cacheTf: Boolean = true): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(idCol),
+      explode(split(lower(col(textCol)), "\\s+")).as("term"))
+    val tf0 = toks(raw).groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tf = if (cacheTf)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
+    val rawCnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("raw_cnt"))
+    val tgtCnt = toks(target).groupBy(col("term"))
+      .agg(count(lit(1)).as("tgt_cnt"))
+    val totals = rawCnt
+      .agg(sum(col("raw_cnt")).as("raw_total"), count(lit(1)).as("v"))
+      .crossJoin(tgtCnt.agg(sum(col("tgt_cnt")).as("tgt_total")))
+    tf.join(rawCnt, Seq("term"))
+      .join(tgtCnt, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("tf"),
+        (col("tf") *
+          (log((coalesce(col("tgt_cnt"), lit(0L)) + 1).cast("double") /
+            (col("tgt_total") + col("v") + 1)) -
+           log((col("raw_cnt") + 1).cast("double") /
+             (col("raw_total") + col("v") + 1)))).as("w"))
+      .groupBy(col(idCol))
+      // + 0.0 normalizes IEEE −0.0 (a near-zero ratio rounded to 4 can
+      // land on either zero depending on the engine's rounding path)
+      .agg((round(sum(col("w")) / sum(col("tf")), 4) + lit(0.0))
+        .as("dsir_weight"),
+        sum(col("tf")).as("n_tokens"))
+  }
+
+  /** C4-style heuristic line cleaning — the rule-based gate C4 runs BEFORE
+    * any corpus-frequency pass: drop every line that is too short
+    * (< `minLineWords` words) or contains a blocklisted term (C4 drops
+    * lines with "javascript", cookie/policy boilerplate, etc.), reassemble
+    * documents from the surviving lines, and drop documents left with
+    * fewer than `minLinesKept` lines. Lines are `lineWords`-word chunks on
+    * this newline-free corpus ([[Dedup.wordChunks]], as in
+    * [[Dedup.lineDedup]]).
+    *
+    * Entirely ROW-LOCAL — the line array is built, filtered (codegen'd
+    * higher-order `filter` over per-line token arrays) and re-joined inside
+    * one projection; zero shuffles, partitioning inherited from the corpus
+    * scan. This is the designed contrast to [[Dedup.lineDedup]]: C4's
+    * HEURISTIC gate needs no corpus statistics, so it composes map-side
+    * ahead of the frequency-based passes and costs one scan at any corpus
+    * size.
+    */
+  def heuristicClean(docs: DataFrame, idCol: String, textCol: String,
+      lineWords: Int = 5, badWords: Seq[String] = Seq("javascript"),
+      minLineWords: Int = 3, minLinesKept: Int = 2): DataFrame = {
+    val bad = typedlit(badWords)
+    // per-line token arrays built once; kept = long enough, no blocklist hit
+    val lineToks = transform(Dedup.wordChunks(col(textCol), lineWords),
+      l => split(l, " "))
+    val keptToks = filter(lineToks,
+      t => size(t) >= minLineWords && !arrays_overlap(t, bad))
+    docs.select(col(idCol), size(lineToks).as("n_lines"),
+        transform(keptToks, t => array_join(t, " ")).as("kept"))
+      .filter(size(col("kept")) >= minLinesKept)
+      .select(col(idCol),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("n_lines_kept"),
+        (col("n_lines") - size(col("kept"))).cast("long")
+          .as("n_lines_dropped"))
+  }
+
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus [[lmScore]] LM, split each language into head / middle / tail
+    * at the per-language score TERCILES, and report per-(lang, bucket)
+    * accounting — the partition CCNet publishes and downstream sampling
+    * draws from (head = most fluent third).
+    *
+    * Buckets come from exact percentile CUT POINTS, not `ntile`: an
+    * `ntile(3) over (partition by lang ...)` must route every document of
+    * a language through ONE window task (the [[tfidfWindowed]] straggler
+    * shape — English would be a single-task sort of most of a 100 TB
+    * corpus), while `percentile` is an aggregate: map-side partial on the
+    * doc relation, one row per lang out, joined back as a broadcast-sized
+    * cut relation. Scores are rounded (4) before the percentile so the
+    * aggregation buffer is value-bucketed and the cuts replay exactly in
+    * the oracle; docs AT a cut fall into the lower bucket (`<=`).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, vocabSize: Int = 1000): DataFrame = {
+    val scored = lmScore(docs, idCol, textCol, vocabSize)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+    val cuts = scored.groupBy(col(groupCol))
+      .agg(round(expr("percentile(avg_nll, 1.0D / 3.0D)"), 6).as("c1"),
+        round(expr("percentile(avg_nll, 2.0D / 3.0D)"), 6).as("c2"))
+    scored.join(cuts, Seq(groupCol))
+      .withColumn("bucket",
+        when(col("avg_nll") <= col("c1"), "head")
+          .when(col("avg_nll") <= col("c2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        round(avg(col("avg_nll")), 4).as("mean_nll"))
+  }
+
   /** PII patterns shared by counting and redaction. Kept to the
     * RE2-compatible subset (no backreferences/lookaround) so the same
     * pattern strings run identically under Java regex (Spark) and RE2

@@ -431,4 +431,32 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == (1L to 50L).filter(_ % 2 == 1).map(100L + _).toSet)
   }
+
+  test("semantic dedup: in-cluster near-dups drop to the min id, " +
+    "cross-cluster twins survive") {
+    import spark.implicits._
+    // two well-separated directions (axis 0 vs axis 1); ids 1,2,3 are
+    // near-identical on axis 0 (cosine ≈ 1), ids 10,11 on axis 1. k=2
+    // with min-id init (id 1 → cluster 0, id 2 → nearest id-1 ⇒ also
+    // cluster 0 at init, one Lloyd's round separates the axes).
+    def v(main: Int, eps: Double): Seq[Float] =
+      (0 until 4).map(i =>
+        (if (i == main) 1.0 else if (i == (main + 2)) eps else 0.0).toFloat)
+    val rows = Seq(
+      (1L, v(0, 0.00)), (2L, v(0, 0.01)), (3L, v(0, 0.02)),
+      (10L, v(1, 0.00)), (11L, v(1, 0.01)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(df, "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    // each axis group keeps exactly its smallest id
+    assert(got(1L)._2 && !got(2L)._2 && !got(3L)._2, got)
+    assert(got(10L)._2 && !got(11L)._2, got)
+    // the two groups land in different clusters
+    assert(got(1L)._1 == got(2L)._1 && got(2L)._1 == got(3L)._1)
+    assert(got(10L)._1 == got(11L)._1)
+    assert(got(1L)._1 != got(10L)._1)
+  }
 }

@@ -167,4 +167,61 @@ class TextOpsSpec extends SparkSpec {
       "no personal data in this row at all"))
     assert(got(4L) == ((2L, 1L, 1L), "<EMAIL> <EMAIL> <PHONE> <IP>"))
   }
+
+  test("dsir weights: target-like docs score higher, raw-only lower") {
+    import spark.implicits._
+    // raw corpus: "aa" is target-flavored, "zz" never appears in target
+    val raw = Seq(
+      (1L, "aa aa aa aa"), (2L, "zz zz zz zz"), (3L, "aa aa zz zz")
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "aa aa aa")).toDF("doc_id", "text")
+    val got = TextOps.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hand-computed: V=2 (raw vocab {aa,zz}), raw T=12, target T=3
+    // w(aa) = ln(4/6) - ln(7/15); w(zz) = ln(1/6) - ln(7/15)
+    val wAa = math.log(4.0 / 6) - math.log(7.0 / 15)
+    val wZz = math.log(1.0 / 6) - math.log(7.0 / 15)
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(got(1L) == r4(wAa), got)
+    assert(got(2L) == r4(wZz), got)
+    assert(got(3L) == r4((wAa + wZz) / 2), got)
+    assert(got(1L) > got(3L) && got(3L) > got(2L))
+  }
+
+  test("heuristic clean: short lines, blocklist lines and thin docs drop") {
+    import spark.implicits._
+    val df = Seq(
+      // 2 full clean lines + short tail → kept, tail dropped
+      (1L, "a b c d e f g h i j kk"),
+      // line 2 contains the blocklisted 'spamword' → dropped
+      (2L, "a b c d e spamword g h i j k l m n o"),
+      // only one line survives → doc dropped (minLinesKept = 2)
+      (3L, "a b c d e spamword w x y z")
+    ).toDF("doc_id", "text")
+    val got = TextOps.heuristicClean(df, "doc_id", "text", lineWords = 5,
+        badWords = Seq("spamword"), minLineWords = 3, minLinesKept = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == (("a b c d e f g h i j", 2L, 1L)))
+    assert(got(2L) == (("a b c d e k l m n o", 2L, 1L)))
+  }
+
+  test("perplexity buckets: terciles partition each group, head <= tail") {
+    import spark.implicits._
+    // 9 docs in one lang with strictly increasing OOV fraction → strictly
+    // increasing avg_nll → terciles of 3/3/3
+    val docs = (1 to 9).map { i =>
+      val toks = Seq.fill(9 - i)("aa") ++ Seq.fill(i)(s"oov$i")
+      (i.toLong, toks.mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val got = TextOps.perplexityBuckets(docs, "doc_id", "text", "lang",
+        vocabSize = 1)
+      .collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(4))).toMap
+    assert(got.keySet == Set("head", "middle", "tail"))
+    assert(got.values.map(_._1).toSeq.sorted == Seq(3L, 3L, 3L))
+    assert(got("head")._2 < got("middle")._2)
+    assert(got("middle")._2 < got("tail")._2)
+  }
 }

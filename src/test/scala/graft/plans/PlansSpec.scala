@@ -46,6 +46,10 @@ class PlansSpec extends SparkSpec {
     "ts6_tfidf", "tp2_corpus_report", "sim1_cosine_topk", "sim3_ivf_topk",
     // 1-row broadcast LM totals (T, V) attached to every token
     "lm1_lm_score",
+    // 1-row broadcast (raw_total, v, tgt_total) smoothing scalars
+    "tp9_dsir_weights",
+    // 1-row broadcast LM totals inside the lmScore stage
+    "tp10_ppl_buckets",
     // 1-row broadcast NB model totals attached to every token
     "ts10_nb_quality", "tp8_quality_ensemble",
     // 1-row broadcast min group size attached to every row
@@ -128,5 +132,25 @@ class PlansSpec extends SparkSpec {
     def occurrences(needle: String): Int =
       plan.sliding(needle.length).count(_ == needle)
     assert(occurrences("LeftAnti") == 1, plan.take(3000))
+  }
+
+  test("ts13: heuristic cleaning is row-local (no exchange in the op plan)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.TextOps.heuristicClean(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
+
+  test("tp10: bucketing is a percentile aggregate + join-back, not a " +
+      "per-lang ntile window") {
+    val plan = planOf("tp10_ppl_buckets")
+    assert(!plan.contains("windowspecdefinition"), plan.take(3000))
+    assert(plan.contains("percentile"), plan.take(3000))
+  }
+
+  test("tp9: one tokenize pass — the tf relation is cached and reused") {
+    val plan = planOf("tp9_dsir_weights")
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("InMemoryRelation"), plan.take(3000))
   }
 }
