@@ -148,6 +148,47 @@ object QueriesScale {
         .orderBy(col("status"))
     }),
 
+    // the composed MinHash→LSH→estimate→clusters→representatives dedup —
+    // the full fuzzy-dedup pass a crawl curation run executes (dd12 is
+    // the deterministic-gram analogue with a full oracle; this one is
+    // hash-seeded → self-checking instead). A re-keyed copy of every
+    // 10th doc injects known exact duplicates; the ENFORCED verdict is
+    // the method's guarantee that exact dupes cannot be missed:
+    // identical text → identical signature → identical bands → est 1.0
+    // → one component. equal=false withholds the dump (Verify).
+    "dd15_minhash_dedup" -> ((s, d) => {
+      val docs = fanOut(documents(s, d)).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      val sig = Dedup.barrier(
+        Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 64), "doc_id")
+      val bands = Dedup.lshBands(sig, "doc_id", 16, 4)
+      val edges = Dedup.estimateJaccard(
+          Dedup.lshCandidatePairs(bands, "doc_id"), sig, "doc_id", 64)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val comps = Dedup.connectedComponents(edges, "id_a", "id_b")
+      val withComp = corpus
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("component",
+          coalesce(col("component"), col("doc_id")))
+      val groups = withComp.groupBy(col("text"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("component")).as("nc"))
+        .filter(col("n") > 1)
+      groups
+        .agg(count(lit(1)).as("n_exact_groups"),
+          sum(when(col("nc") === 1, 1L).otherwise(0L)).as("n_merged"))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_docs")))
+        .crossJoin(withComp.filter(col("doc_id") =!= col("component"))
+          .agg(count(lit(1)).as("n_dropped")))
+        .select(col("n_docs"), col("n_dropped"), col("n_exact_groups"),
+          col("n_merged"),
+          (col("n_exact_groups") === col("n_merged") &&
+            col("n_exact_groups") > 0).as("equal"))
+    }),
+
     // SemDeDup: deterministic k-means clusters (the sim5 trainer) as
     // candidate blocks, exact within-cluster cosine pairs ≥ 0.35, keep
     // the smallest id per near-dup group. Unrolled Lloyd's + in-cluster

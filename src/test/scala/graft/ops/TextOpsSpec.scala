@@ -207,6 +207,55 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == (("a b c d e k l m n o", 2L, 1L)))
   }
 
+  test("dsir weights: target == raw makes every weight exactly zero") {
+    import spark.implicits._
+    val raw = Seq((1L, "aa bb cc"), (2L, "bb cc dd"), (3L, "ee"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dsirWeights(raw, raw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.values.forall(_ == 0.0), got)
+  }
+
+  test("heuristic clean equals an explode-based reference on random docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "badw", "dd")
+    val docs = (1L to 60L).map { i =>
+      val n = 1 + rng.nextInt(23)
+      (i, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextOps.heuristicClean(docs, "doc_id", "text", lineWords = 4,
+      badWords = Seq("badw"), minLineWords = 2, minLinesKept = 1)
+    // reference: explode the same chunks, filter, reassemble
+    val ref = docs
+      .select(col("doc_id"),
+        posexplode(Dedup.wordChunks(col("text"), 4)).as(Seq("pos", "line")))
+      .withColumn("toks", split(col("line"), " "))
+      .withColumn("ok",
+        size(col("toks")) >= 2 && !array_contains(col("toks"), "badw"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(expr("transform(array_sort(filter(" +
+          "collect_list(struct(pos, line, ok)), p -> p.ok)), " +
+          "p -> p.line)"), " ").as("clean_text"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_lines_dropped"))
+      .filter(col("n_lines_kept") >= 1)
+    val g = got.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val r = ref.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(g == r)
+  }
+
+  test("perplexity buckets: uniform scores collapse to a single head row") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, "aa aa aa", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.perplexityBuckets(docs, "doc_id", "text", "lang",
+      vocabSize = 1).collect()
+    assert(got.length == 1 && got.head.getString(1) == "head", got.toSeq)
+    assert(got.head.getLong(2) == 6L)
+  }
+
   test("perplexity buckets: terciles partition each group, head <= tail") {
     import spark.implicits._
     // 9 docs in one lang with strictly increasing OOV fraction → strictly
