@@ -239,6 +239,19 @@ object QueriesScale {
         .orderBy(col("doc_id"))
     }),
 
+    // the span-decontaminated corpus: docs with zero verbatim 8-token
+    // benchmark windows survive — the doc-drop criterion eval hygiene
+    // actually applies. Accounting totals prove the anti join.
+    "tc4_span_decontam_clean" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      Dedup.spanDecontaminate(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", spanTokens = 8, hashKeys = false)
+        .agg(count(lit(1)).as("n_clean"),
+          sum(col("n_chars")).as("clean_chars"))
+    }),
+
     // the cleaned training corpus after decontamination, as accounting
     // totals (proves the anti join preserves full rows)
     "tc2_decontam_clean" -> ((s, d) => {
@@ -1725,6 +1738,23 @@ object QueriesScale {
         |FROM hits h JOIN c USING (doc_id)
         |GROUP BY h.doc_id, c.n_covered_tokens
         |ORDER BY h.doc_id""".stripMargin,
+
+    "tc4_span_decontam_clean" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |idx AS (SELECT unnest(generate_series(0, 400)) AS i),
+        |win AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(ws[(i+1):(i+8)], ' ') AS gram
+        |  FROM t, idx WHERE i + 8 <= len(ws)),
+        |bench AS (SELECT DISTINCT gram FROM win WHERE doc_id % 7 = 0),
+        |hit AS (SELECT DISTINCT w.doc_id FROM win w JOIN bench USING (gram)
+        |        WHERE w.doc_id % 7 <> 0)
+        |SELECT COUNT(*) AS n_clean,
+        |       CAST(SUM(n_chars) AS BIGINT) AS clean_chars
+        |FROM documents
+        |WHERE doc_id % 7 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
 
     "dd8_line_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -678,6 +678,22 @@ object Dedup {
       contaminationReport(train, bench, idCol, textCol, n).select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Span-level decontamination removal — the doc drop that follows
+    * [[spanContaminationReport]]: training docs sharing NO verbatim
+    * `spanTokens`-token window with the benchmark set survive with all
+    * columns. Same id-keyed anti join as [[decontaminate]]; the span
+    * criterion (contiguous leakage, not idiom-level gram overlap) is the
+    * one modern eval hygiene drops documents on.
+    */
+  def spanDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, spanTokens: Int,
+      broadcastMaxSpans: Long = 100000L, hashKeys: Boolean = true)
+  : DataFrame =
+    train.join(
+      spanContaminationReport(train, bench, idCol, textCol, spanTokens,
+        broadcastMaxSpans, hashKeys).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Embedding-cosine near-dup: rows whose embedding cosine ≥ threshold are
     * duplicates; each duplicate maps to its smallest near-duplicate id as
     * representative (one-pass min-neighbor contraction — the id to keep is

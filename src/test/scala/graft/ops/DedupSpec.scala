@@ -432,6 +432,21 @@ class DedupSpec extends SparkSpec {
     assert(got == (1L to 50L).filter(_ % 2 == 1).map(100L + _).toSet)
   }
 
+  test("span decontaminate drops only docs sharing a verbatim window") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "w1 w2 w3 w4 w5 tail one"),   // shares the 5-token window
+      (2L, "w5 w4 w3 w2 w1 tail two"),   // same tokens, different order
+      (3L, "x1 x2 x3 x4 x5 tail three")  // disjoint
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "w1 w2 w3 w4 w5 bench tail"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDecontaminate(train, bench, "doc_id", "text",
+        spanTokens = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L))
+  }
+
   test("semantic dedup: in-cluster near-dups drop to the min id, " +
     "cross-cluster twins survive") {
     import spark.implicits._
