@@ -58,6 +58,7 @@ object Bench {
     "tp7_sequence_packing",
     "tp4_temperature_mix", "tp5_source_topk", "tp6_token_budget_mix",
     "tp8_quality_ensemble", "tp9_dsir_weights", "tp10_ppl_buckets",
+    "tp11_prep_pipeline",
     "sim1_cosine_topk", "sim2_threshold_pairs", "sim4_clustered_pairs",
     "st1_hourly_window", "st2_sessionize", "st4_interval_join",
     "tp1_curation",

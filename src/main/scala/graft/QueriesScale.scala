@@ -538,6 +538,27 @@ object QueriesScale {
         .orderBy(col("doc_id"))
     }),
 
+    // the whole prep pipeline in ONE plan: C4 heuristic line gate →
+    // exact dedup to min-id representatives → strided sequence chunking
+    // → per-shard packing. Proves the stages COMPOSE (each is also
+    // covered alone: ts13/dd1/ts8/tp7); output is per-(shard, bin) fill
+    // accounting — all integers, zero FP risk → full oracle.
+    "tp11_prep_pipeline" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val cleaned = TextOps.heuristicClean(docs, "doc_id", "text",
+          lineWords = 5, badWords = Seq("slow", "dup"), minLineWords = 3,
+          minLinesKept = 2)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val reps = Dedup.exact(cleaned, "text", "doc_id")
+        .select(col("rep_id").as("doc_id"))
+      val corpus = cleaned.join(reps, Seq("doc_id"))
+      val chunks = TextOps.sequenceChunks(corpus, "doc_id", "text",
+        seqLen = 32, stride = 24)
+      TextOps.packSequences(chunks, "doc_id", "seq_no", "n_tokens",
+          binTokens = 512, nShards = 8)
+        .orderBy(col("shard"), col("bin"))
+    }),
+
     // C4-style heuristic line cleaning: drop short (< 3-word) lines and
     // lines containing blocklisted terms, reassemble, drop docs left
     // with < 2 lines — the rule-based gate ahead of any corpus-frequency
@@ -1516,6 +1537,39 @@ object QueriesScale {
         |  ROUND(AVG(avg_nll), 4) AS mean_nll
         |FROM sl JOIN cuts USING (lang)
         |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    "tp11_prep_pipeline" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |            FROM documents),
+        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |lines AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS line
+        |  FROM t0, idx WHERE i*5 < len(ws)),
+        |k AS (SELECT doc_id, pos, line FROM lines
+        |      WHERE len(string_split(line, ' ')) >= 3
+        |        AND NOT list_has_any(string_split(line, ' '),
+        |                             ['slow', 'dup'])),
+        |cleaned AS (
+        |  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text
+        |  FROM k GROUP BY doc_id HAVING COUNT(*) >= 2),
+        |reps AS (SELECT MIN(doc_id) AS doc_id FROM cleaned
+        |         GROUP BY text),
+        |corpus AS (SELECT c.doc_id, string_split(c.text, ' ') AS ws
+        |           FROM cleaned c JOIN reps USING (doc_id)),
+        |seqs AS (
+        |  SELECT doc_id, i AS seq_no,
+        |         len(ws[(i*24+1):(i*24+32)]) AS n_tokens
+        |  FROM corpus, idx WHERE i*24 < len(ws)),
+        |off AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, seq_no, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY doc_id % 8
+        |      ORDER BY doc_id, seq_no) - n_tokens AS start_off
+        |  FROM seqs)
+        |SELECT shard, CAST(FLOOR(start_off / 512) AS BIGINT) AS bin,
+        |       COUNT(*) AS n_seqs, CAST(SUM(n_tokens) AS BIGINT)
+        |         AS n_tokens
+        |FROM off GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
 
     "ts13_c4_clean" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
