@@ -51,6 +51,7 @@ object Bench {
     "dd7_simhash_neardup", "dd8_line_dedup", "dd9_span_dedup",
     "dd10_dup_clusters", "dd11_incremental", "dd12_neardup_dedup",
     "dd13_snapshot_diff", "dd14_semdedup", "dd15_minhash_dedup",
+    "dd16_quality_dedup",
     "tc1_decontam_report", "tc3_span_decontam",
     "ts2_quality", "ts6_tfidf", "ts7_repetition", "ts8_sequence_chunks",
     "ts9_redact_pii", "ts10_nb_quality", "ts11_bpe_train",

@@ -129,6 +129,27 @@ object QueriesScale {
           sum(col("n_chars")).as("total_chars"))
     }),
 
+    // quality-aware cluster resolution: dd10's gram-sharing clusters,
+    // but each cluster keeps its HIGHEST-quality member (tie → smallest
+    // id) instead of the arbitrary min id — what a production dedup
+    // actually keeps. Deterministic (4-dp quality) → full oracle.
+    "dd16_quality_dedup" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val counts = TextOps.rawCounts(col("text")).map { case (n, c) =>
+        c.as(n)
+      }
+      val scored = docs.select(col("doc_id") +: counts: _*)
+        .withColumn("quality", TextOps.qualityScoreFromCounts(
+          col("n_chars"), col("n_words"), col("n_punct"), col("n_stops")))
+        .select(col("doc_id"), col("quality"))
+      val pairs = Dedup.gramCandidatePairs(docs, "doc_id", "text",
+        Seq("lang", "source"), 3, maxDocFreq = 64)
+      Dedup.resolveClustersByScore(pairs, scored, "doc_id", "quality")
+        .select(col("component"), col("keep_id"), col("n_members"),
+          round(col("keep_score"), 4).as("keep_quality"))
+        .orderBy(col("component"))
+    }),
+
     // corpus snapshot diff: v2 deletes every 7th doc, edits every 11th
     // surviving doc, and adds a re-keyed copy of every 13th — the diff
     // classifies all of it in one id-keyed full outer join. Raw-text
@@ -1877,6 +1898,63 @@ object QueriesScale {
         |  FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id, MIN(m) AS component
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "dd16_quality_dedup" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |hot AS (
+        |  SELECT lang, source, gram FROM grams
+        |  GROUP BY lang, source, gram HAVING COUNT(*) > 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM grams a JOIN grams b
+        |    ON a.gram = b.gram AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |    WHERE h.lang = a.lang AND h.source = a.source
+        |      AND h.gram = a.gram)),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION ALL SELECT dst, src FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS m FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, r.m AS m
+        |  FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+        |f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_words,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(the|a|of|and|is|to|in)\b')) AS n_stops,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |  FROM documents),
+        |lab AS (SELECT doc_id,
+        |  ROUND((LEAST(n_words / 50.0, 1.0)
+        |       + LEAST((n_stops * 1.0 / n_words) * 5.0, 1.0)
+        |       + GREATEST(1.0 - (n_punct * 1.0 / n_chars) * 10.0, 0.0))
+        |       / 3.0, 4) AS quality
+        |  FROM f),
+        |j AS (SELECT c.component, c.id, l.quality
+        |      FROM comp c JOIN lab l ON l.doc_id = c.id),
+        |g AS (SELECT component, COUNT(*) AS n_members,
+        |             ROUND(MAX(quality), 4) AS keep_quality
+        |      FROM j GROUP BY component),
+        |k AS (SELECT component, id AS keep_id FROM (
+        |        SELECT component, id,
+        |          ROW_NUMBER() OVER (PARTITION BY component
+        |            ORDER BY quality DESC, id) AS rk
+        |        FROM j) WHERE rk = 1)
+        |SELECT g.component, k.keep_id, g.n_members, g.keep_quality
+        |FROM g JOIN k USING (component)
+        |ORDER BY g.component""".stripMargin,
 
     "dd11_incremental" ->
       """SELECT b.doc_id, b.n_chars

@@ -601,6 +601,31 @@ object Dedup {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** Quality-aware duplicate-cluster resolution: given a near-dup pair
+    * relation and a per-doc score, keep each cluster's HIGHEST-scoring
+    * member (ties → smallest id) — what production curation actually does
+    * (min-id keeps an arbitrary member; a quality-aware pass keeps the
+    * best copy of the boilerplate family). Output: one row per duplicate
+    * cluster (component, keep_id, n_members, keep_score).
+    *
+    * Scale shape: [[connectedComponents]] for the transitive closure, one
+    * id-keyed score join, one component-keyed `max_by` aggregate
+    * (map-side combined). `scoreCol` must be deterministic/rounded for
+    * cross-engine argmax stability.
+    */
+  def resolveClustersByScore(pairs: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+      .join(scores, Seq(idCol))
+      .groupBy(col("component"))
+      .agg(
+        max_by(col(idCol),
+          struct(col(scoreCol), (-col(idCol)).as("nid"))).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        max(col(scoreCol)).as("keep_score"))
+
   /** Benchmark decontamination report: for each training doc sharing at
     * least one word n-gram with the held-out benchmark set, the count of
     * distinct shared grams. The benchmark gram set is SMALL by nature (eval

@@ -432,6 +432,23 @@ class DedupSpec extends SparkSpec {
     assert(got == (1L to 50L).filter(_ % 2 == 1).map(100L + _).toSet)
   }
 
+  test("resolveClustersByScore keeps the best-scoring member per cluster") {
+    import spark.implicits._
+    // two clusters: {1,2,3} (best quality on 2) and {10,11} (tie → min id)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val scores = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.5), (10L, 0.7), (11L, 0.7)
+    ).toDF("doc_id", "quality")
+    val got = Dedup.resolveClustersByScore(pairs, scores, "doc_id",
+        "quality")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 3L, 0.9)),
+      10L -> ((10L, 2L, 0.7))))
+  }
+
   test("span decontaminate drops only docs sharing a verbatim window") {
     import spark.implicits._
     val train = Seq(
