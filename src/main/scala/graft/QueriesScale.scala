@@ -959,6 +959,37 @@ object QueriesScale {
             col("n_batch") > 0).as("equal"))
     }),
 
+    // ingest-time decontamination: the training stream lands in 3 file
+    // batches and docs sharing any 3-gram with the static benchmark set
+    // are dropped in-flight by a stateless row-local gate; the verdict
+    // proves the streamed survivors equal the batch decontaminate pass
+    // (tc2's machinery) exactly. equal=false withholds the dump.
+    "st10_stream_decontam" -> ((s, d) => {
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sdecon_").toString
+      val docs = documents(s, d)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      for (i <- 0 until 3) {
+        train.filter(col("doc_id") % 3 === i)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/docs")
+      }
+      val streamed = StreamingOps.streamDecontaminate(
+        s, s"$tmp/docs", bench, "doc_id", "text", 3, s"st10_$tag")
+      val batch = Dedup.decontaminate(train, bench, "doc_id", "text", 3)
+        .select(col("doc_id"))
+      streamed.exceptAll(batch).agg(count(lit(1)).as("only_stream"))
+        .crossJoin(batch.exceptAll(streamed)
+          .agg(count(lit(1)).as("only_batch")))
+        .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+        .crossJoin(streamed.agg(count(lit(1)).as("n_stream")))
+        .select(col("n_batch"), col("n_stream"), col("only_stream"),
+          col("only_batch"),
+          (col("only_stream") === 0 && col("only_batch") === 0 &&
+            col("n_batch") > 0).as("equal"))
+    }),
+
     "st4b_interval_join_stream_equiv" -> ((s, d) => {
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val root = java.nio.file.Files

@@ -243,6 +243,42 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Ingest-time decontamination: documents stream in and any doc sharing
+    * a word n-gram with the benchmark set is dropped BEFORE landing — the
+    * streaming form of [[graft.ops.Dedup.decontaminate]]. The bench gram
+    * set is bounded by nature (eval suites, not corpora — the same
+    * argument as [[graft.ops.Dedup.contaminationReport]]'s broadcast), so
+    * it ships into the plan as a literal array and the whole gate is ONE
+    * row-local projection filter: per doc, build the distinct gram array
+    * ([[graft.ops.Dedup.wordGrams]]) and `arrays_overlap` it against the
+    * set. Stateless — no watermark, no state store, no shuffle; Append
+    * mode trivially correct. A production feed at larger suite sizes
+    * would swap the literal for a Bloom filter of the gram set (the
+    * [[graft.ops.Dedup.incrementalDedup]] pre-filter pattern), trading
+    * exactness for size; the exact form is what the `st10` entry proves
+    * equal to the batch pass.
+    */
+  def streamDecontaminate(spark: SparkSession, docsDir: String,
+      bench: DataFrame, idCol: String, textCol: String, n: Int,
+      queryName: String): DataFrame = {
+    import graft.ops.Dedup
+    val benchGrams = Dedup
+      .docShingles(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val schema = spark.read.parquet(docsDir).schema
+    val grams = array_distinct(
+      Dedup.wordGrams(Dedup.tokens(col(textCol)), n))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+      .filter(!arrays_overlap(grams, typedlit(benchGrams)))
+      .select(col(idCol))
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Drive [[statefulSessionize]] over a parquet landing zone with
     * `AvailableNow` and return the CLOSED sessions it emitted (memory
     * sink). The driver-visible batch-equivalence proof for S4/S6 lives in

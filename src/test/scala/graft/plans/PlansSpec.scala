@@ -64,7 +64,7 @@ class PlansSpec extends SparkSpec {
     "sim9_persisted_ann", "sim10_filtered_ann",
     // 1-row × 1-row accounting combinations over streamed-vs-batch counts
     "st2b_stream_batch_equiv", "st4b_interval_join_stream_equiv",
-    "st9_stream_static_enrich",
+    "st9_stream_static_enrich", "st10_stream_decontam",
     "st6_stream_dedup", "st7_per_source_quota", "st8_chunked_load")
 
   test("no cartesian/nested-loop join outside documented ops") {
