@@ -1353,7 +1353,8 @@ object QueriesScale {
     "ts8_sequence_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),
-        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |idx AS (SELECT unnest(generate_series(0,
+        |          (SELECT MAX(len(ws)) // 24 FROM t))) AS i),
         |seqs AS (
         |  SELECT doc_id, i AS seq_no, ws[(i*24+1):(i*24+32)] AS toks
         |  FROM t, idx WHERE i*24 < len(ws))
@@ -1364,7 +1365,8 @@ object QueriesScale {
     "tp7_sequence_packing" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),
-        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |idx AS (SELECT unnest(generate_series(0,
+        |          (SELECT MAX(len(ws)) // 24 FROM t))) AS i),
         |seqs AS (
         |  SELECT doc_id, i AS seq_no,
         |         len(ws[(i*24+1):(i*24+32)]) AS n_tokens
@@ -1593,15 +1595,18 @@ object QueriesScale {
     "tp11_prep_pipeline" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS ws
         |            FROM documents),
-        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |idx AS (SELECT unnest(generate_series(0,
+        |          (SELECT CAST(MAX(len(ws)) AS BIGINT) FROM t0))) AS i),
         |lines AS (
         |  SELECT doc_id, i AS pos,
         |         array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS line
         |  FROM t0, idx WHERE i*5 < len(ws)),
         |k AS (SELECT doc_id, pos, line FROM lines
         |      WHERE len(string_split(line, ' ')) >= 3
-        |        AND NOT list_has_any(string_split(line, ' '),
-        |                             ['slow', 'dup'])),
+        |        AND NOT list_has_any(
+        |              list_transform(string_split(line, ' '),
+        |                             w -> lower(w)),
+        |              ['slow', 'dup'])),
         |cleaned AS (
         |  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text
         |  FROM k GROUP BY doc_id HAVING COUNT(*) >= 2),
@@ -1626,15 +1631,18 @@ object QueriesScale {
     "ts13_c4_clean" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),
-        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |idx AS (SELECT unnest(generate_series(0,
+        |          (SELECT MAX(len(ws)) // 5 FROM t))) AS i),
         |lines AS (
         |  SELECT doc_id, i AS pos,
         |         array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS line
         |  FROM t, idx WHERE i*5 < len(ws)),
         |k AS (SELECT doc_id, pos, line FROM lines
         |      WHERE len(string_split(line, ' ')) >= 3
-        |        AND NOT list_has_any(string_split(line, ' '),
-        |                             ['slow', 'dup'])),
+        |        AND NOT list_has_any(
+        |              list_transform(string_split(line, ' '),
+        |                             w -> lower(w)),
+        |              ['slow', 'dup'])),
         |n AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines
         |      GROUP BY doc_id)
         |SELECT k.doc_id,
@@ -1752,7 +1760,8 @@ object QueriesScale {
     "ts7_repetition" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,
         |                  string_split(text, ' ') AS ws FROM documents),
-        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |idx AS (SELECT unnest(generate_series(0,
+        |          (SELECT MAX(len(ws)) // 5 FROM t))) AS i),
         |lines AS (
         |  SELECT doc_id, array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS line
         |  FROM t, idx WHERE i*5 < len(ws)),
@@ -1828,7 +1837,8 @@ object QueriesScale {
     "tc3_span_decontam" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),
-        |idx AS (SELECT unnest(generate_series(0, 400)) AS i),
+        |idx AS (SELECT unnest(generate_series(0,
+        |          (SELECT CAST(MAX(len(ws)) AS BIGINT) FROM t))) AS i),
         |win AS (
         |  SELECT doc_id, i AS pos,
         |         array_to_string(ws[(i+1):(i+8)], ' ') AS gram
@@ -1848,7 +1858,8 @@ object QueriesScale {
     "tc4_span_decontam_clean" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),
-        |idx AS (SELECT unnest(generate_series(0, 400)) AS i),
+        |idx AS (SELECT unnest(generate_series(0,
+        |          (SELECT CAST(MAX(len(ws)) AS BIGINT) FROM t))) AS i),
         |win AS (
         |  SELECT doc_id, i AS pos,
         |         array_to_string(ws[(i+1):(i+8)], ' ') AS gram
@@ -1865,7 +1876,8 @@ object QueriesScale {
     "dd8_line_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),
-        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |idx AS (SELECT unnest(generate_series(0,
+        |          (SELECT MAX(len(ws)) // 5 FROM t))) AS i),
         |lines AS (
         |  SELECT doc_id, i AS pos,
         |         array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS line
@@ -1881,7 +1893,8 @@ object QueriesScale {
     "dd9_span_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),
-        |idx AS (SELECT unnest(generate_series(0, 400)) AS i),
+        |idx AS (SELECT unnest(generate_series(0,
+        |          (SELECT CAST(MAX(len(ws)) AS BIGINT) FROM t))) AS i),
         |win AS (
         |  SELECT doc_id, i AS pos,
         |         array_to_string(ws[(i+1):(i+8)], ' ') AS gram

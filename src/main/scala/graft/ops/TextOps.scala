@@ -427,7 +427,8 @@ object TextOps {
   /** C4-style heuristic line cleaning — the rule-based gate C4 runs BEFORE
     * any corpus-frequency pass: drop every line that is too short
     * (< `minLineWords` words) or contains a blocklisted term (C4 drops
-    * lines with "javascript", cookie/policy boilerplate, etc.), reassemble
+    * lines with "javascript", cookie/policy boilerplate, etc. — matched
+    * CASE-INSENSITIVELY, as C4's badword line filter is), reassemble
     * documents from the surviving lines, and drop documents left with
     * fewer than `minLinesKept` lines. Lines are `lineWords`-word chunks on
     * this newline-free corpus ([[Dedup.wordChunks]], as in
@@ -444,12 +445,15 @@ object TextOps {
   def heuristicClean(docs: DataFrame, idCol: String, textCol: String,
       lineWords: Int = 5, badWords: Seq[String] = Seq("javascript"),
       minLineWords: Int = 3, minLinesKept: Int = 2): DataFrame = {
-    val bad = typedlit(badWords)
-    // per-line token arrays built once; kept = long enough, no blocklist hit
+    val bad = typedlit(badWords.map(_.toLowerCase))
+    // per-line token arrays built once; kept = long enough, no blocklist
+    // hit (tokens lowercased for the MATCH only — surviving lines rebuild
+    // from the original-case tokens)
     val lineToks = transform(Dedup.wordChunks(col(textCol), lineWords),
       l => split(l, " "))
     val keptToks = filter(lineToks,
-      t => size(t) >= minLineWords && !arrays_overlap(t, bad))
+      t => size(t) >= minLineWords &&
+        !arrays_overlap(transform(t, w => lower(w)), bad))
     docs.select(col(idCol), size(lineToks).as("n_lines"),
         transform(keptToks, t => array_join(t, " ")).as("kept"))
       .filter(size(col("kept")) >= minLinesKept)

@@ -252,20 +252,34 @@ object StreamingOps {
     * row-local projection filter: per doc, build the distinct gram array
     * ([[graft.ops.Dedup.wordGrams]]) and `arrays_overlap` it against the
     * set. Stateless — no watermark, no state store, no shuffle; Append
-    * mode trivially correct. A production feed at larger suite sizes
-    * would swap the literal for a Bloom filter of the gram set (the
-    * [[graft.ops.Dedup.incrementalDedup]] pre-filter pattern), trading
-    * exactness for size; the exact form is what the `st10` entry proves
-    * equal to the batch pass.
+    * mode trivially correct.
+    *
+    * The gram set is SIZE-GATED before it ever reaches the driver (the
+    * [[graft.ops.Dedup.spanContaminationReport]] `broadcastMaxSpans`
+    * pattern): a distributed count runs first, and a set above `maxGrams`
+    * fails loudly instead of silently collecting a corpus-sized literal
+    * into the plan (driver OOM / megabyte plans). A production feed past
+    * the cap would swap the literal for a Bloom filter of the gram set
+    * (the [[graft.ops.Dedup.incrementalDedup]] pre-filter pattern),
+    * trading exactness for size; the exact form is what the `st10` entry
+    * proves equal to the batch pass.
     */
   def streamDecontaminate(spark: SparkSession, docsDir: String,
       bench: DataFrame, idCol: String, textCol: String, n: Int,
-      queryName: String): DataFrame = {
+      queryName: String, maxGrams: Long = 1000000L): DataFrame = {
     import graft.ops.Dedup
-    val benchGrams = Dedup
+    val gramSet = Dedup
       .docShingles(bench, idCol, textCol, n)
       .select(col("shingle")).distinct()
-      .collect().map(_.getString(0)).toSeq
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nGrams = gramSet.count()
+    require(nGrams <= maxGrams,
+      s"streamDecontaminate: bench gram set has $nGrams grams > " +
+        s"maxGrams=$maxGrams — too large to ship as a plan literal; " +
+        "swap in a Bloom filter of the gram set (incrementalDedup's " +
+        "pre-filter pattern) or raise the cap deliberately")
+    val benchGrams = gramSet.collect().map(_.getString(0)).toSeq
+    gramSet.unpersist()
     val schema = spark.read.parquet(docsDir).schema
     val grams = array_distinct(
       Dedup.wordGrams(Dedup.tokens(col(textCol)), n))

@@ -207,6 +207,22 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == (("a b c d e k l m n o", 2L, 1L)))
   }
 
+  test("heuristic clean: blocklist match is case-insensitive (C4 style)") {
+    import spark.implicits._
+    val df = Seq(
+      // 'JavaScript' must hit the lowercase 'javascript' blocklist entry
+      (1L, "a b c d e JavaScript g h i j k l m n o"),
+      // blocklist entry given in mixed case must still hit lowercase text
+      (2L, "a b c d e cookienote g h i j k l m n o")
+    ).toDF("doc_id", "text")
+    val got = TextOps.heuristicClean(df, "doc_id", "text", lineWords = 5,
+        badWords = Seq("javascript", "CookieNote"), minLineWords = 3,
+        minLinesKept = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a b c d e k l m n o", got)
+    assert(got(2L) == "a b c d e k l m n o", got)
+  }
+
   test("dsir weights: target == raw makes every weight exactly zero") {
     import spark.implicits._
     val raw = Seq((1L, "aa bb cc"), (2L, "bb cc dd"), (3L, "ee"))

@@ -138,6 +138,19 @@ class StreamingSpec extends SparkSpec {
       s"only the in-window same-user pair should join: $rows")
   }
 
+  test("streamDecontaminate fails loudly past the gram-set size gate") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    val docsDir = java.nio.file.Files
+      .createTempDirectory("sdecon_gate").toString + "/docs"
+    docs.write.parquet(docsDir)
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.streamDecontaminate(spark, docsDir, docs,
+        "doc_id", "text", 3, "sdecon_gate_test", maxGrams = 1L)
+    }
+    assert(e.getMessage.contains("maxGrams"),
+      s"gate should name the cap: ${e.getMessage}")
+  }
+
   test("chunked incremental load lands all rows in the sink") {
     val out = java.nio.file.Files
       .createTempDirectory("chunked").toString + "/events_out"
