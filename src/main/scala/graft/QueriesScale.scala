@@ -134,7 +134,10 @@ object QueriesScale {
     // id) instead of the arbitrary min id — what a production dedup
     // actually keeps. Deterministic (4-dp quality) → full oracle.
     "dd16_quality_dedup" -> ((s, d) => {
+      // both the quality scoring and the gram pair generation scan the
+      // fanned-out corpus — persist so the scan+repartition runs once
       val docs = fanOut(documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = TextOps.rawCounts(col("text")).map { case (n, c) =>
         c.as(n)
       }
@@ -179,9 +182,13 @@ object QueriesScale {
     // → one component. equal=false withholds the dump (Verify).
     "dd15_minhash_dedup" -> ((s, d) => {
       val docs = fanOut(documents(s, d)).select(col("doc_id"), col("text"))
+      // corpus feeds the signature pipeline, the component join, the
+      // exact-group check and two accounting aggregates — persist so the
+      // scan+union runs once, not per reference
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sig = Dedup.barrier(
         Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 64), "doc_id")
       val bands = Dedup.lshBands(sig, "doc_id", 16, 4)
@@ -194,6 +201,7 @@ object QueriesScale {
         .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .withColumn("component",
           coalesce(col("component"), col("doc_id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val groups = withComp.groupBy(col("text"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("component")).as("nc"))
@@ -460,7 +468,11 @@ object QueriesScale {
     // per lang — all three scorers rounded once on both engines → the
     // whole ensemble carries a full oracle.
     "tp8_quality_ensemble" -> ((s, d) => {
+      // docs feeds the heuristic scorer AND the LM scorer; scored feeds
+      // the NB trainer AND the final vote join — persist both so the
+      // corpus scan and the regex counting each run once
       val docs = fanOut(documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = TextOps.rawCounts(col("text")).map { case (n, c) =>
         c.as(n)
       }
@@ -468,6 +480,7 @@ object QueriesScale {
         .select(col("doc_id") +: col("lang") +: col("text") +: counts: _*)
         .withColumn("quality", TextOps.qualityScoreFromCounts(
           col("n_chars"), col("n_words"), col("n_punct"), col("n_stops")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nb = TextOps.nbQualityScore(scored, "doc_id", "text",
           col("quality") >= 0.5, vocabSize = 1000)
         .select(col("doc_id"), col("score"))
