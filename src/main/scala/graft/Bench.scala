@@ -59,11 +59,13 @@ object Bench {
     "tp7_sequence_packing",
     "tp4_temperature_mix", "tp5_source_topk", "tp6_token_budget_mix",
     "tp8_quality_ensemble", "tp9_dsir_weights", "tp10_ppl_buckets",
-    "tp11_prep_pipeline",
+    "tp11_prep_pipeline", "tp12_shard_balance", "tp13_winsorize",
+    "ts14_zipf_fit",
     "sim1_cosine_topk", "sim2_threshold_pairs", "sim4_clustered_pairs",
+    "sim11_knn_classify",
     "st1_hourly_window", "st2_sessionize", "st4_interval_join",
     "tp1_curation",
-    "mm1_binary_meta")
+    "mm1_binary_meta", "mm4_vit_patches")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -519,6 +519,27 @@ object QueriesScale {
         .orderBy(col("lang"), col("bucket"))
     }),
 
+    // balanced shard assignment: snake-deal every doc to one of 8
+    // training shards by token count (distributed rank — no single-task
+    // sort), so shard token masses come out near-equal. Per-shard
+    // accounting; unique (weight, id) order → deterministic → full oracle.
+    "tp12_shard_balance" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      Sampling.snakeShards(docs, "doc_id",
+          size(split(col("text"), "\\s+")).cast("long"), 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("n_tokens"))
+        .orderBy(col("shard"))
+    }),
+
+    // winsorized per-lang length profile: clip token counts at the exact
+    // per-lang [p05, p95] percentile cuts (aggregate + broadcast, never a
+    // per-group window sort) and report the clipped mean + clip counts.
+    // Cuts rounded once, mean summed in integer micro-units → full oracle.
+    "tp13_winsorize" -> ((s, d) =>
+      TextOps.winsorizedLengthStats(fanOut(documents(s, d)), "text", "lang")
+        .orderBy(col("lang"))),
+
     // GPT-style sequence packing: ts8's chunks laid end to end per shard
     // and cut into 512-token bins (concatenate-then-cut). The window
     // partitions by shard — no global sort task; deterministic offsets →
@@ -548,6 +569,13 @@ object QueriesScale {
           col("quality") >= 0.5, vocabSize = 1000)
         .orderBy(col("doc_id"))
     }),
+
+    // Zipf rank-frequency fit over the top-100 terms: distributed top-K
+    // (TakeOrderedAndProject, no vocab-wide sort), integer micro-unit
+    // least squares (order-insensitive exact sums) → full oracle on the
+    // one-row (n_terms, slope, intercept) diagnostic.
+    "ts14_zipf_fit" -> ((s, d) =>
+      TextOps.zipfFit(fanOut(documents(s, d)), "text", topK = 100)),
 
     // PII scrubbing: the corpus carries no organic PII, so a
     // deterministic synthetic tail (email every doc, phone every 3rd,
@@ -874,6 +902,20 @@ object QueriesScale {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // k-NN label propagation: every vec_id%10==7 vector plays the
+    // unlabeled query set, classified by the majority label of its 5
+    // nearest cosine neighbors (the semi-supervised spread of a small
+    // labeled quality/domain set over a corpus). Deterministic vote
+    // (ties → smallest label), integer-only output → full oracle.
+    "sim11_knn_classify" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.knnClassify(emb, emb.filter(col("vec_id") % 10 === 7),
+          "vec_id", "embedding", "label", 5)
+        .select(col("query_id"),
+          col("pred_label").cast("long").as("pred_label"), col("n_votes"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- multimodal plumbing ----------------------------------------------
     "mm1_binary_meta" -> ((s, d) => {
       val media = Multimodal.withBinaryPayload(
@@ -898,6 +940,16 @@ object QueriesScale {
       Multimodal.resizeStub(s, media, 4).toDF()
         .select(col("doc_id"), col("orig_len").cast("long").as("orig_len"),
           col("new_len").cast("long").as("new_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ViT patch-grid plumbing: per-image patch/token accounting from the
+    // (stand-in) decoded dims — the packing planner's budget input.
+    // Row-local integer arithmetic → full oracle.
+    "mm4_vit_patches" -> ((s, d) => {
+      val media = Multimodal.withBinaryPayload(
+        fanOut(documents(s, d)), "doc_id", "text")
+      Multimodal.patchGrid(media, "doc_id", 16)
         .orderBy(col("doc_id"))
     }),
 
@@ -2238,6 +2290,100 @@ object QueriesScale {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.v, b.v) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim11_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 10 = 7),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id, e.label,
+        |        ROUND(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 4)
+        |          AS sim
+        |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, label,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM s),
+        |v AS (SELECT query_id, label, COUNT(*) AS n_votes
+        |      FROM r WHERE rnk <= 5 GROUP BY 1, 2),
+        |p AS (SELECT query_id, label, n_votes,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY n_votes DESC, label) AS pr
+        |      FROM v)
+        |SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+        |       CAST(n_votes AS BIGINT) AS n_votes
+        |FROM p WHERE pr = 1 ORDER BY query_id""".stripMargin,
+
+    "tp12_shard_balance" ->
+      """WITH t AS (SELECT doc_id,
+        |             len(string_split_regex(text, '\s+')) AS w
+        |           FROM documents),
+        |r AS (SELECT doc_id, w,
+        |        ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) - 1 AS rk
+        |      FROM t),
+        |sh AS (SELECT doc_id, w,
+        |         CASE WHEN rk % 16 < 8 THEN rk % 16
+        |              ELSE 15 - (rk % 16) END AS shard
+        |       FROM r)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |       CAST(SUM(w) AS BIGINT) AS n_tokens
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "tp13_winsorize" ->
+      """WITH b AS (SELECT lang,
+        |             len(string_split_regex(text, '\s+')) AS n_words
+        |           FROM documents),
+        |c AS (SELECT lang,
+        |        ROUND(quantile_cont(n_words, 0.05), 6) AS lo_cut,
+        |        ROUND(quantile_cont(n_words, 0.95), 6) AS hi_cut
+        |      FROM b GROUP BY lang)
+        |SELECT b.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_words < lo_cut THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_clipped_low,
+        |  CAST(SUM(CASE WHEN n_words > hi_cut THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_clipped_high,
+        |  MAX(lo_cut) AS lo_cut, MAX(hi_cut) AS hi_cut,
+        |  ROUND(CAST(SUM(CAST(ROUND(LEAST(GREATEST(n_words * 1e6,
+        |                lo_cut * 1e6), hi_cut * 1e6)) AS BIGINT))
+        |          AS DOUBLE) / 1e6 / COUNT(*), 4) AS win_mean_words
+        |FROM b JOIN c USING (lang)
+        |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+
+    "ts14_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT t AS term, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+        |        FROM documents)
+        |  GROUP BY 1),
+        |top AS (SELECT term, freq FROM tf
+        |        ORDER BY freq DESC, term LIMIT 100),
+        |xy AS (
+        |  SELECT CAST(ROUND(ln(ROW_NUMBER() OVER (
+        |           ORDER BY freq DESC, term)) * 1e6) AS BIGINT) AS x,
+        |         CAST(ROUND(ln(freq) * 1e6) AS BIGINT) AS y
+        |  FROM top),
+        |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |      FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 4)
+        |    AS zipf_slope,
+        |  ROUND((sy / 1e6 - ((n * sxy - sx * sy) * 1.0
+        |      / (n * sxx - sx * sx)) * (sx / 1e6)) / n, 4)
+        |    AS zipf_intercept
+        |FROM s""".stripMargin,
+
+    "mm4_vit_patches" ->
+      """WITH b AS (SELECT doc_id,
+        |             octet_length(encode(text)) AS byte_len
+        |           FROM documents),
+        |g AS (SELECT doc_id, byte_len,
+        |        64 + (byte_len % 193) AS width,
+        |        64 + ((byte_len * 31) % 129) AS height
+        |      FROM b)
+        |SELECT doc_id, byte_len, width, height,
+        |       width // 16 AS grid_w, height // 16 AS grid_h,
+        |       (width // 16) * (height // 16) AS n_patches,
+        |       (width // 16) * (height // 16) + 1 AS n_tokens
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "mm1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,

@@ -94,4 +94,27 @@ object Multimodal {
             lit(maxFrames - 1)))))
       .withColumn("byte_offset", col("frame_no") * stride)
       .select(col(idCol), col("frame_no"), col("byte_offset"))
+
+  /** ViT patch-grid plumbing: the tokenizer-side arithmetic a vision
+    * transformer's preprocessor does per image — floor the (width, height)
+    * to whole `patch`-pixel cells, count patches, add the CLS slot. The
+    * image DIMENSIONS are a deterministic stand-in derived from the
+    * payload length (the codec that would read them from the real header
+    * is the container's one missing piece, same stub boundary as
+    * [[decodeFeaturesStub]]); everything downstream of the dims — the
+    * grid/token accounting a packing planner budgets sequence length
+    * with — is the real, fully oracle-replayable shape. Entirely
+    * row-local: zero shuffles, partitioning inherited from the scan.
+    */
+  def patchGrid(media: DataFrame, idCol: String, patch: Int = 16)
+  : DataFrame =
+    media.select(col(idCol),
+        col("media_meta.byte_len").cast("long").as("byte_len"))
+      // stand-in dims: 64..256-ish px, deterministic in the payload bytes
+      .withColumn("width", lit(64L) + pmod(col("byte_len"), lit(193L)))
+      .withColumn("height", lit(64L) + pmod(col("byte_len") * 31L, lit(129L)))
+      .withColumn("grid_w", floor(col("width") / patch).cast("long"))
+      .withColumn("grid_h", floor(col("height") / patch).cast("long"))
+      .withColumn("n_patches", col("grid_w") * col("grid_h"))
+      .withColumn("n_tokens", col("n_patches") + 1L)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-mixture sampling for training-data pipelines. */
@@ -88,5 +89,51 @@ object Sampling {
       .crossJoin(broadcast(tot))
       .filter(col(idCol) % granularity < slots)
       .drop("grp_toks", "total", "n_groups", "__toks")
+  }
+
+  /** Balanced training-shard assignment by SNAKE placement: rank rows by
+    * weight (token count) descending and deal rank r to shard
+    * `r mod 2n < n ? r mod 2n : 2n-1-(r mod 2n)` — the boustrophedon
+    * round-robin that keeps every shard's total weight within one
+    * max-document of the others (plain `r mod n` systematically loads
+    * shard 0 with the heavier row of every cycle). This is the writer-side
+    * step that makes training shards equal-work, so no reader stalls on a
+    * fat shard.
+    *
+    * The global rank is computed WITHOUT a single-task sort: `orderBy`
+    * range-partitions the (id, weight) projection across tasks; each
+    * task's rows get a local `row_number` (per-partition window), and the
+    * global rank is local rank + the broadcast cumulative count of the
+    * preceding partitions — the standard distributed-rank decomposition.
+    * The sorted projection is persisted so the count pass and the rank
+    * pass see the SAME range boundaries (sampling is re-drawn per
+    * evaluation otherwise). The ordering key (weight desc, id) is unique
+    * per row, so ranks — and therefore shard assignments — are
+    * deterministic regardless of where the range boundaries land.
+    */
+  def snakeShards(df: DataFrame, idCol: String, weight: Column,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards >= 1, got $nShards")
+    val sorted = df.select(col(idCol), weight.cast("long").as("__w"))
+      .orderBy(col("__w").desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val lw = Window.partitionBy(col("__pid"))
+      .orderBy(col("__w").desc, col(idCol))
+    val cycle = pmod(col("__off") + col("__lrk"), lit(2L * nShards))
+    sorted
+      .withColumn("__lrk", row_number().over(lw).cast("long") - 1L)
+      .join(broadcast(offsets), Seq("__pid"))
+      .select(col(idCol), col("__w").as("weight"),
+        when(cycle < nShards, cycle)
+          .otherwise(lit(2L * nShards - 1L) - cycle).cast("long")
+          .as("shard"))
   }
 }

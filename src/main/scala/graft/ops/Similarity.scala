@@ -584,4 +584,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"),
         col("cluster"))
   }
+
+  /** k-NN label propagation: classify each query vector by the MAJORITY
+    * label among its k nearest (cosine) labeled neighbors — the standard
+    * semi-supervised way a small hand-labeled quality/domain set is spread
+    * over an unlabeled corpus (fasttext-style label spreading, but purely
+    * geometric). Ties → smallest label, so the vote is deterministic and
+    * fully oracle-replayable; output is integer-only (query_id,
+    * pred_label, n_votes).
+    *
+    * Scale shape: neighbor search is pluggable — this form rides
+    * [[bruteForceTopK]] (broadcast queries × one corpus scan, per-query
+    * distributed top-k) for the exact baseline; at corpus scale swap the
+    * neighbor relation for [[ivfTopK]]'s cluster-pruned probe (same
+    * (query_id, neighbor_id, sim) shape — the vote aggregate is
+    * unchanged). The label join is id-keyed on the k·|queries| neighbor
+    * relation, NOT the corpus; both aggregates are map-side combinable.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nbrs = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("nbr_label")), Seq("neighbor_id"))
+    nbrs
+      .groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .groupBy(col("query_id"))
+      .agg(
+        max_by(col("nbr_label"),
+          struct(col("n_votes"), (-col("nbr_label")).as("nl")))
+          .as("pred_label"),
+        max(col("n_votes")).as("n_votes"))
+  }
 }

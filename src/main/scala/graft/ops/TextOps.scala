@@ -529,4 +529,85 @@ object TextOps {
     }
     df.select(col(idCol) +: counts :+ redacted.as("redacted_text"): _*)
   }
+
+  /** Zipf rank-frequency fit: least-squares slope (and intercept) of
+    * ln(freq) against ln(rank) over the corpus's `topK` most frequent
+    * terms — the one-row corpus-health diagnostic (natural text sits near
+    * slope −1; templated/boilerplate-heavy corpora flatten, spam steepens).
+    *
+    * Scale + determinism shape: term frequencies are one map-side-combined
+    * aggregate; the top-K cut is `orderBy().limit()` — Spark plans
+    * TakeOrderedAndProject, a distributed per-partition top-K + merge,
+    * NEVER a single-task global sort of the vocabulary (the window-rank
+    * formulation would be exactly that). The regression itself runs on
+    * INTEGER micro-units — each ln is rounded once to 1e-6 and cast to
+    * long, so Σx, Σy, Σxy, Σx² are exact integer sums (no
+    * float-accumulation order sensitivity; the tp2 basis-points trick) and
+    * the slope is one deterministic double division at the end. The only
+    * non-distributed step is the K-row window that assigns ranks — K rows
+    * by construction.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int = 100)
+  : DataFrame = {
+    val top = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term"))
+    val xy = top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("freq").cast("double")) * 1e6).cast("long").as("y"))
+    val slope = (col("n_terms") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") /
+      (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double")
+    xy.agg(count(lit(1)).as("n_terms"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_terms"),
+        round(slope, 4).as("zipf_slope"),
+        round((col("sy").cast("double") / 1e6 -
+          slope * (col("sx").cast("double") / 1e6)) / col("n_terms"), 4)
+          .as("zipf_intercept"))
+  }
+
+  /** Winsorized per-group length statistics: clip token counts at the
+    * group's [`lo`, `hi`] percentiles and report the clipped mean with
+    * clip accounting — the outlier-robust length profile a curation run
+    * publishes per language (a handful of pathological megadocs otherwise
+    * dominate the plain mean).
+    *
+    * Scale + determinism shape: cuts come from exact `percentile`
+    * AGGREGATES (map-side partial, one row per group, broadcast back) —
+    * never a per-group window sort, the [[perplexityBuckets]] argument.
+    * Cuts are rounded once (6 dp) so they replay exactly in DuckDB's
+    * `quantile_cont`; the clipped mean is summed in INTEGER micro-units
+    * (each clipped value rounded once to 1e-6 — the same
+    * order-insensitive integer-sum trick as [[zipfFit]]) and divided
+    * once at the end.
+    */
+  def winsorizedLengthStats(docs: DataFrame, textCol: String,
+      groupCol: String, lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val base = docs.select(col(groupCol),
+      size(split(col(textCol), "\\s+")).cast("long").as("n_words"))
+    val cuts = base.groupBy(col(groupCol)).agg(
+      round(expr(s"percentile(n_words, ${lo}D)"), 6).as("lo_cut"),
+      round(expr(s"percentile(n_words, ${hi}D)"), 6).as("hi_cut"))
+    val clippedMicro = round(least(
+      greatest(col("n_words").cast("double") * 1e6, col("lo_cut") * 1e6),
+      col("hi_cut") * 1e6)).cast("long")
+    base.join(broadcast(cuts), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_words") < col("lo_cut"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("n_words") > col("hi_cut"), 1L).otherwise(0L))
+          .as("n_clipped_high"),
+        max(col("lo_cut")).as("lo_cut"),
+        max(col("hi_cut")).as("hi_cut"),
+        round(sum(clippedMicro).cast("double") / 1e6 / count(lit(1)), 4)
+          .as("win_mean_words"))
+  }
 }

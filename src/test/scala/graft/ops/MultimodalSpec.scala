@@ -40,6 +40,18 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(out(1L).payload, "UTF-8") == "horpo")
   }
 
+  test("patch grid: ViT token accounting from stand-in dims") {
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
+    val got = Multimodal.patchGrid(media, "doc_id", 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // doc 1: 19 bytes → w=64+19%193=83, h=64+(19*31)%129=137 → 5×8 grid
+    assert(got(1L) == ((19L, 83L, 137L, 5L, 8L, 40L, 41L)), got)
+    // doc 2: 4 bytes → w=68, h=64+124=188 → 4×11 grid
+    assert(got(2L) == ((4L, 68L, 188L, 4L, 11L, 44L, 45L)), got)
+  }
+
   test("frame sampling: stride offsets bounded by maxFrames") {
     val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(media, "doc_id", 8, 3)

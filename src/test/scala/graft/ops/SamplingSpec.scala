@@ -77,4 +77,22 @@ class SamplingSpec extends SparkSpec {
     assert(mass("small") == 100 * 10L, mass)
     assert(mass("mid") == 400 * 10L, mass)
   }
+
+  test("snakeShards matches the reference snake and balances mass") {
+    val rows = (1L to 40L).map(i => (i, 41L - i))
+    // multi-partition input exercises the distributed-rank path
+    val df = rows.toDF("doc_id", "w").repartition(7)
+    val got = Sampling.snakeShards(df, "doc_id", col("w"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: global rank by (w desc, id), snake-dealt over 2n cycle
+    val exp = rows.sortBy { case (id, w) => (-w, id) }.zipWithIndex.map {
+      case ((id, w), rk) =>
+        val c = rk % 8
+        (id, w, if (c < 4) c.toLong else 7L - c)
+    }.toSet
+    assert(got.toSet == exp)
+    val sums = got.groupBy(_._3).values.map(_.map(_._2).sum)
+    assert(sums.max - sums.min <= rows.map(_._2).max,
+      s"snake must balance within one max weight: $sums")
+  }
 }

@@ -290,6 +290,19 @@ class SimilaritySpec extends SparkSpec {
       s"pruned probe must equal in-cluster brute force: $got vs $bf")
   }
 
+  test("knnClassify takes the majority label; ties go to the smaller") {
+    val q = vecs.filter(col("vec_id") === 0)
+    // k=3: neighbors of 0 are 1 (label 0), then 2, 3 (label 1, sim ties
+    // broken by id) → majority label 1 with 2 votes
+    val k3 = Similarity.knnClassify(vecs, q, "vec_id", "embedding",
+      "label", 3).collect().head
+    assert((k3.getInt(1), k3.getLong(2)) == ((1, 2L)), k3)
+    // k=2: one vote each for labels 0 and 1 → smaller label wins
+    val k2 = Similarity.knnClassify(vecs, q, "vec_id", "embedding",
+      "label", 2).collect().head
+    assert((k2.getInt(1), k2.getLong(2)) == ((0, 1L)), k2)
+  }
+
   test("thresholdPairs plan has no cartesian/nested-loop join") {
     val plan = Similarity.thresholdPairs(
         many, "vec_id", "embedding", 0.5, dim = 8)

@@ -262,6 +262,43 @@ class TextOpsSpec extends SparkSpec {
     assert(g == r)
   }
 
+  test("zipf fit reproduces the closed-form integer least squares") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = TextOps.zipfFit(docs, "text", topK = 100).collect().head
+    // replicate the micro-unit regression: ranks 1..3, freqs 4, 2, 1
+    val pts = Seq((1L, 4L), (2L, 2L), (3L, 1L)).map { case (r, f) =>
+      (math.round(math.log(r.toDouble) * 1e6),
+        math.round(math.log(f.toDouble) * 1e6))
+    }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == 3L)
+    assert(got.getDouble(1) == r4(slope), got)
+    assert(got.getDouble(2) ==
+      r4((sy / 1e6 - slope * (sx / 1e6)) / n), got)
+  }
+
+  test("winsorized length stats clip at the exact percentile cuts") {
+    import spark.implicits._
+    val docs = (1 to 20).map(i => (i.toLong, Seq.fill(i)("w").mkString(" "),
+      "en")).toDF("doc_id", "text", "lang")
+    val got = TextOps.winsorizedLengthStats(docs, "text", "lang")
+      .collect().head
+    // lengths 1..20: p05 = 1.95, p95 = 19.05 (linear interpolation);
+    // winsorized mean = (1.95 + (2+...+19) + 19.05) / 20 = 10.5
+    assert(got.getString(0) == "en")
+    assert(got.getLong(1) == 20L)
+    assert(got.getLong(2) == 1L && got.getLong(3) == 1L, got)
+    assert(got.getDouble(4) == 1.95 && got.getDouble(5) == 19.05, got)
+    assert(got.getDouble(6) == 10.5, got)
+  }
+
   test("perplexity buckets: uniform scores collapse to a single head row") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, "aa aa aa", "en"))
