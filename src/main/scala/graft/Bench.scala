@@ -60,7 +60,8 @@ object Bench {
     "tp4_temperature_mix", "tp5_source_topk", "tp6_token_budget_mix",
     "tp8_quality_ensemble", "tp9_dsir_weights", "tp10_ppl_buckets",
     "tp11_prep_pipeline", "tp12_shard_balance", "tp13_winsorize",
-    "ts14_zipf_fit",
+    "tp14_quality_pareto", "tp15_epoch_schedule",
+    "ts14_zipf_fit", "ts15_lexical_diversity",
     "sim1_cosine_topk", "sim2_threshold_pairs", "sim4_clustered_pairs",
     "sim11_knn_classify",
     "st1_hourly_window", "st2_sessionize", "st4_interval_join",

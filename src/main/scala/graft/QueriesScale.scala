@@ -540,6 +540,32 @@ object QueriesScale {
       TextOps.winsorizedLengthStats(fanOut(documents(s, d)), "text", "lang")
         .orderBy(col("lang"))),
 
+    // quality-vs-quantity survival curve: bucket the rounded heuristic
+    // quality into 20 cells and report the doc/token mass surviving each
+    // keep-≥-threshold cut — the table a curation run picks its quality
+    // cutoff from. Bucket agg is map-side combined; cumsums run on the
+    // ≤20-row bucket relation, never the corpus → full oracle.
+    "tp14_quality_pareto" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val counts = TextOps.rawCounts(col("text")).map { case (n, c) =>
+        c.as(n)
+      }
+      val scored = docs.select(col("doc_id") +: counts: _*)
+        .withColumn("quality", TextOps.qualityScoreFromCounts(
+          col("n_chars"), col("n_words"), col("n_punct"), col("n_stops")))
+      Sampling.qualityPareto(scored, "quality", col("n_words"))
+        .orderBy(col("threshold"))
+    }),
+
+    // data-constrained epoch schedule: 2× the corpus token mass spread
+    // evenly across langs, ≤4 epochs per lang — how many repeats each
+    // domain serves, and the capped groups' deficit. Tiny group relation
+    // arithmetic, epochs rounded once → full oracle.
+    "tp15_epoch_schedule" -> ((s, d) =>
+      Sampling.epochSchedule(fanOut(documents(s, d)), "lang",
+          size(split(col("text"), "\\s+")).cast("long"))
+        .orderBy(col("lang"))),
+
     // GPT-style sequence packing: ts8's chunks laid end to end per shard
     // and cut into 512-token bins (concatenate-then-cut). The window
     // partitions by shard — no global sort task; deterministic offsets →
@@ -576,6 +602,12 @@ object QueriesScale {
     // one-row (n_terms, slope, intercept) diagnostic.
     "ts14_zipf_fit" -> ((s, d) =>
       TextOps.zipfFit(fanOut(documents(s, d)), "text", topK = 100)),
+
+    // type-token ratio: row-local lexical-diversity signal (templated
+    // docs sit near 0) — zero shuffles → full oracle.
+    "ts15_lexical_diversity" -> ((s, d) =>
+      TextOps.lexicalDiversity(fanOut(documents(s, d)), "doc_id", "text")
+        .orderBy(col("doc_id"))),
 
     // PII scrubbing: the corpus carries no organic PII, so a
     // deterministic synthetic tail (email every doc, phone every 3rd,
@@ -2346,6 +2378,60 @@ object QueriesScale {
         |          AS DOUBLE) / 1e6 / COUNT(*), 4) AS win_mean_words
         |FROM b JOIN c USING (lang)
         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+
+    "tp14_quality_pareto" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_words,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(the|a|of|and|is|to|in)\b')) AS n_stops,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |  FROM documents),
+        |q AS (SELECT n_words,
+        |        ROUND((LEAST(n_words / 50.0, 1.0)
+        |             + LEAST((n_stops * 1.0 / n_words) * 5.0, 1.0)
+        |             + GREATEST(1.0 - (n_punct * 1.0 / n_chars) * 10.0,
+        |                        0.0)) / 3.0, 4) AS quality
+        |      FROM f),
+        |b AS (SELECT LEAST(CAST(FLOOR(quality * 20) AS BIGINT), 19)
+        |               AS bucket,
+        |        COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT)
+        |          AS n_tokens
+        |      FROM q GROUP BY 1)
+        |SELECT ROUND(bucket * 1.0 / 20, 4) AS threshold, n_docs, n_tokens,
+        |  CAST(SUM(n_docs) OVER (ORDER BY bucket DESC) AS BIGINT)
+        |    AS surviving_docs,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY bucket DESC) AS BIGINT)
+        |    AS surviving_tokens
+        |FROM b ORDER BY threshold""".stripMargin,
+
+    "tp15_epoch_schedule" ->
+      """WITH t AS (SELECT lang,
+        |             len(string_split_regex(text, '\s+')) AS w
+        |           FROM documents),
+        |g AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS t_tokens
+        |      FROM t GROUP BY lang),
+        |tot AS (SELECT SUM(t_tokens) AS total, COUNT(*) AS n_groups
+        |        FROM g),
+        |e AS (SELECT lang, t_tokens,
+        |        CAST(FLOOR(2.0 * total / n_groups) AS BIGINT)
+        |          AS target_tokens
+        |      FROM g CROSS JOIN tot)
+        |SELECT lang, t_tokens, target_tokens,
+        |  ROUND(LEAST(4.0, target_tokens * 1.0 / t_tokens), 4) AS epochs,
+        |  CAST(ROUND(ROUND(LEAST(4.0, target_tokens * 1.0 / t_tokens), 4)
+        |             * t_tokens) AS BIGINT) AS served_tokens
+        |FROM e ORDER BY lang""".stripMargin,
+
+    "ts15_lexical_diversity" ->
+      """WITH t AS (SELECT doc_id,
+        |             string_split_regex(lower(text), '\s+') AS ws
+        |           FROM documents)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+        |       ROUND(len(list_distinct(ws)) * 1.0 / len(ws), 4) AS ttr
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "ts14_zipf_fit" ->
       """WITH tf AS (

@@ -91,6 +91,63 @@ object Sampling {
       .drop("grp_toks", "total", "n_groups", "__toks")
   }
 
+  /** Quality-threshold survival curve ("pareto" accounting): bucket every
+    * doc by its (already-rounded) quality score and report, per bucket
+    * lower edge, the doc/token mass that survives a keep-everything-
+    * ≥-threshold cut — the table a curation run reads to pick its quality
+    * cutoff (quality-vs-quantity tradeoff). One map-side-combined bucket
+    * aggregate; the cumulative sums run on the ≤`buckets`-row bucket
+    * relation (a single-task window over a constant-size input, the same
+    * shape as [[snakeShards]]' offsets), never on the corpus.
+    */
+  def qualityPareto(df: DataFrame, qualityCol: String, tokens: Column,
+      buckets: Int = 20): DataFrame = {
+    val b = least(floor(col(qualityCol) * buckets), lit(buckets - 1))
+      .cast("long")
+    val perBucket = df.withColumn("__toks", tokens)
+      .groupBy(b.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("n_tokens"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("threshold",
+        round(col("bucket").cast("double") / buckets, 4))
+      .withColumn("surviving_docs", sum(col("n_docs")).over(w))
+      .withColumn("surviving_tokens", sum(col("n_tokens")).over(w))
+      .select(col("threshold"), col("n_docs"), col("n_tokens"),
+        col("surviving_docs"), col("surviving_tokens"))
+  }
+
+  /** Data-constrained epoch schedule (the repetition-planning step when
+    * the token budget exceeds the corpus): aim every group at an EQUAL
+    * share of `budgetFrac · total_tokens` and report how many epochs
+    * (repeats) of each group that takes, capped at `maxEpochs` — past ~4
+    * epochs repeated data stops helping, so the cap models the
+    * data-constrained regime and `served < target` exposes the deficit
+    * the mixture planner must reallocate. Epochs are rounded once (4 dp)
+    * and served mass is derived from the ROUNDED epochs, so the whole
+    * schedule replays exactly cross-engine. One group aggregate + one
+    * scalar total; arithmetic on the tiny group relation.
+    */
+  def epochSchedule(df: DataFrame, groupCol: String, tokens: Column,
+      budgetFrac: Double = 2.0, maxEpochs: Double = 4.0): DataFrame = {
+    val grp = df.withColumn("__toks", tokens)
+      .groupBy(col(groupCol)).agg(sum(col("__toks")).as("t_tokens"))
+    val tot = grp.agg(sum(col("t_tokens")).as("total"),
+      count(lit(1)).as("n_groups"))
+    grp.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        floor(lit(budgetFrac) * col("total") / col("n_groups"))
+          .cast("long"))
+      .withColumn("epochs",
+        round(least(lit(maxEpochs),
+          col("target_tokens").cast("double") / col("t_tokens")), 4))
+      .withColumn("served_tokens",
+        round(col("epochs") * col("t_tokens")).cast("long"))
+      .select(col(groupCol), col("t_tokens"), col("target_tokens"),
+        col("epochs"), col("served_tokens"))
+  }
+
   /** Balanced training-shard assignment by SNAKE placement: rank rows by
     * weight (token count) descending and deal rank r to shard
     * `r mod 2n < n ? r mod 2n : 2n-1-(r mod 2n)` — the boustrophedon

@@ -573,6 +573,23 @@ object TextOps {
           .as("zipf_intercept"))
   }
 
+  /** Lexical diversity (type-token ratio) per document: distinct-token
+    * count over token count — the Gopher-family vocabulary-flatness
+    * signal (templated/keyword-stuffed docs sit near 0, natural prose
+    * higher). Entirely ROW-LOCAL (`array_distinct` over the one tokenize
+    * pass), zero shuffles, partitioning inherited from the scan.
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    docs.select(col(idCol), toks.as("toks"))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens"), 4))
+  }
+
   /** Winsorized per-group length statistics: clip token counts at the
     * group's [`lo`, `hi`] percentiles and report the clipped mean with
     * clip accounting — the outlier-robust length profile a curation run

@@ -78,6 +78,34 @@ class SamplingSpec extends SparkSpec {
     assert(mass("mid") == 400 * 10L, mass)
   }
 
+  test("qualityPareto: survival sums are suffix-cumulative over buckets") {
+    val scored = Seq(
+      (1L, 0.10, 10L), (2L, 0.12, 20L),   // bucket 2
+      (3L, 0.55, 30L),                    // bucket 11
+      (4L, 0.95, 40L), (5L, 1.00, 50L)    // buckets 19, 19 (clamped)
+    ).toDF("doc_id", "quality", "n_toks")
+    val got = Sampling.qualityPareto(scored, "quality", col("n_toks"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSet == Set(
+      (0.1, 2L, 30L, 5L, 150L),     // keep ≥ 0.10 → everything
+      (0.55, 1L, 30L, 3L, 120L),
+      (0.95, 2L, 90L, 2L, 90L)))
+  }
+
+  test("epochSchedule: capped groups serve maxEpochs, others hit target") {
+    // small: 100 tokens, big: 1000 → total 1100; budget 2.0× spread over
+    // 2 groups → target 1100 each; small caps at 4 epochs (400 tokens),
+    // big serves 1.1 epochs = the full target
+    val df = Seq(("small", 100L), ("big", 1000L))
+      .toDF("lang", "n_toks")
+    val got = Sampling.epochSchedule(df, "lang", col("n_toks"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got("small") == ((100L, 1100L, 4.0, 400L)), got)
+    assert(got("big") == ((1000L, 1100L, 1.1, 1100L)), got)
+  }
+
   test("snakeShards matches the reference snake and balances mass") {
     val rows = (1L to 40L).map(i => (i, 41L - i))
     // multi-partition input exercises the distributed-rank path

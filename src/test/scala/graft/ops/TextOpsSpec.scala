@@ -284,6 +284,18 @@ class TextOpsSpec extends SparkSpec {
       r4((sy / 1e6 - slope * (sx / 1e6)) / n), got)
   }
 
+  test("lexical diversity: distinct-over-total token ratio per doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "x y z"), (3L, "w w w w"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lexicalDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 2L, 0.6667)), got)
+    assert(got(2L) == ((3L, 3L, 1.0)), got)
+    assert(got(3L) == ((4L, 1L, 0.25)), got)
+  }
+
   test("winsorized length stats clip at the exact percentile cuts") {
     import spark.implicits._
     val docs = (1 to 20).map(i => (i.toLong, Seq.fill(i)("w").mkString(" "),

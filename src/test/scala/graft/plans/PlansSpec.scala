@@ -46,6 +46,9 @@ class PlansSpec extends SparkSpec {
     // 1-row × 1-row accounting combinations + enforced verdict scalars
     "dd15_minhash_dedup",
     "ts6_tfidf", "tp2_corpus_report", "sim1_cosine_topk", "sim3_ivf_topk",
+    // brute-force neighbor baseline (corpus × broadcast query set), the
+    // documented exact path under the majority-vote classifier
+    "sim11_knn_classify",
     // 1-row broadcast LM totals (T, V) attached to every token
     "lm1_lm_score",
     // 1-row broadcast (raw_total, v, tgt_total) smoothing scalars
@@ -89,6 +92,20 @@ class PlansSpec extends SparkSpec {
   test("j9: join on the partition column triggers dynamic pruning") {
     val plan = planOf("j9_partition_pruned_join")
     assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(3000))
+  }
+
+  test("ts14: vocabulary top-K plans as distributed TakeOrderedAndProject") {
+    val plan = planOf("ts14_zipf_fit")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K cut must not be a global sort: ${plan.take(2000)}")
+  }
+
+  test("tp12: the rank window is per-partition, never one global task") {
+    val plan = planOf("tp12_shard_balance")
+    // the data-relation window must carry the __pid partition spec; the
+    // only permissible single-partition window is the #partitions-row
+    // offsets relation
+    assert(plan.contains("[__pid"), plan.take(3000))
   }
 
   test("ts2: each text regex evaluated once (two-stage projection held)") {
