@@ -51,7 +51,7 @@ object Bench {
     "dd7_simhash_neardup", "dd8_line_dedup", "dd9_span_dedup",
     "dd10_dup_clusters", "dd11_incremental", "dd12_neardup_dedup",
     "dd13_snapshot_diff", "dd14_semdedup", "dd15_minhash_dedup",
-    "dd16_quality_dedup",
+    "dd16_quality_dedup", "dd17_canonical_dedup",
     "tc1_decontam_report", "tc3_span_decontam",
     "ts2_quality", "ts6_tfidf", "ts7_repetition", "ts8_sequence_chunks",
     "ts9_redact_pii", "ts10_nb_quality", "ts11_bpe_train",
@@ -63,7 +63,7 @@ object Bench {
     "tp14_quality_pareto", "tp15_epoch_schedule",
     "ts14_zipf_fit", "ts15_lexical_diversity",
     "sim1_cosine_topk", "sim2_threshold_pairs", "sim4_clustered_pairs",
-    "sim11_knn_classify",
+    "sim11_knn_classify", "sim12_centroid_drift",
     "st1_hourly_window", "st2_sessionize", "st4_interval_join",
     "tp1_curation",
     "mm1_binary_meta", "mm4_vit_patches")

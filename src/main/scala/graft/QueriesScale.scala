@@ -218,6 +218,21 @@ object QueriesScale {
             col("n_exact_groups") > 0).as("equal"))
     }),
 
+    // canonicalization-aware exact dedup: every 10th doc gets an
+    // uppercased, extra-punctuated re-keyed copy injected — raw-byte
+    // dedup misses all of them, the canonical key catches every one.
+    // Pure string normalization → full oracle on the duplicate groups.
+    "dd17_canonical_dedup" -> ((s, d) => {
+      val docs = fanOut(documents(s, d)).select(col("doc_id"), col("text"))
+      val variants = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat(upper(col("text")), lit("!!")).as("text"))
+      Dedup.canonicalDedup(docs.unionByName(variants), "doc_id", "text")
+        .filter(col("n_dupes") > 1)
+        .select(col("rep_id"), col("n_dupes"))
+        .orderBy(col("rep_id"))
+    }),
+
     // SemDeDup: deterministic k-means clusters (the sim5 trainer) as
     // candidate blocks, exact within-cluster cosine pairs ≥ 0.35, keep
     // the smallest id per near-dup group. Unrolled Lloyd's + in-cluster
@@ -932,6 +947,18 @@ object QueriesScale {
           "vec_id", "embedding", "label", 5, 2)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // centroid drift between the even/odd snapshot halves — the
+    // staleness monitor that triggers IVF re-training; integer
+    // micro-unit distance → full oracle.
+    "sim12_centroid_drift" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.centroidDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), "label", "embedding")
+        .select(col("cluster").cast("long").as("cluster"), col("l2_drift"))
+        .orderBy(col("cluster"))
     }),
 
     // k-NN label propagation: every vec_id%10==7 vector plays the
@@ -2322,6 +2349,43 @@ object QueriesScale {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.v, b.v) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd17_canonical_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, upper(text) || '!!'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |keyed AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+        |      AS ckey
+        |  FROM corpus)
+        |SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_dupes
+        |FROM keyed GROUP BY ckey HAVING COUNT(*) > 1
+        |ORDER BY rep_id""".stripMargin,
+
+    "sim12_centroid_drift" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |a AS (SELECT label, i, AVG(v[i]) AS m
+        |      FROM (SELECT label, unnest(generate_series(1, len(v))) AS i,
+        |                   v
+        |            FROM e WHERE vec_id % 2 = 0)
+        |      GROUP BY 1, 2),
+        |b AS (SELECT label, i, AVG(v[i]) AS m
+        |      FROM (SELECT label, unnest(generate_series(1, len(v))) AS i,
+        |                   v
+        |            FROM e WHERE vec_id % 2 = 1)
+        |      GROUP BY 1, 2),
+        |d AS (SELECT a.label,
+        |        CAST(ROUND((ROUND(a.m, 6) - ROUND(b.m, 6)) * 1e6)
+        |             AS BIGINT) AS dm
+        |      FROM a JOIN b USING (label, i))
+        |SELECT CAST(label AS BIGINT) AS cluster,
+        |       ROUND(SQRT(CAST(SUM(dm * dm) AS DOUBLE)) / 1e6, 4)
+        |         AS l2_drift
+        |FROM d GROUP BY label ORDER BY cluster""".stripMargin,
 
     "sim11_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -21,6 +21,27 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dupes"))
 
+  /** CCNet-style canonical text key: lowercase, every non-alphanumeric
+    * run collapsed to one space, trimmed — the normalization applied
+    * BEFORE hashing/grouping so case and punctuation variants of the same
+    * content dedup together (raw-byte exact dedup misses them). One
+    * codegen'd regex pass, row-local.
+    */
+  def canonicalKey(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Exact dedup on the CANONICALIZED text ([[canonicalKey]] →
+    * [[exact]]): case/punctuation variants land in one group. The groupBy
+    * key here is the canonical string itself so the op replays verbatim
+    * in an oracle; a production run narrows the shuffle key to
+    * `xxhash64(canonicalKey)` first (8 bytes vs document-length strings —
+    * the [[spanDedup]] `hashKeys` argument), which changes no group
+    * membership.
+    */
+  def canonicalDedup(df: DataFrame, idCol: String, textCol: String)
+  : DataFrame =
+    exact(df.withColumn("ckey", canonicalKey(col(textCol))), "ckey", idCol)
+
   /** Aggregation barrier: forces a per-key relation to be evaluated once
     * and exchange-reused wherever referenced. Catalyst inlines projections
     * into every consumer branch (both sides of a self-join, generators —

@@ -585,6 +585,35 @@ object Similarity {
         col("cluster"))
   }
 
+  /** Per-cluster centroid drift between two embedding snapshots — the
+    * staleness monitor that tells an IVF/PQ serving layer when to
+    * re-train its coarse quantizer (centroids that moved invalidate the
+    * cluster routing; production vector stores re-index past a drift
+    * threshold). L2 distance between each cluster's before/after mean
+    * vector.
+    *
+    * Determinism + scale shape: both sides are one [[centroids]] pass
+    * (posexplode keyed by (cluster, pos), map-side combined) and the join
+    * is on the tiny cluster relation. The distance is computed in INTEGER
+    * micro-units — each mean rounded once to 1e-6, differenced, squared
+    * and summed as exact longs in one row-local array fold — so the
+    * result replays bit-for-bit in DuckDB regardless of either engine's
+    * float summation order.
+    */
+  def centroidDrift(before: DataFrame, after: DataFrame,
+      clusterCol: String, vecCol: String): DataFrame = {
+    val ca = centroids(before, clusterCol, vecCol)
+      .withColumnRenamed("centroid", "c_before")
+    val cb = centroids(after, clusterCol, vecCol)
+      .withColumnRenamed("centroid", "c_after")
+    val dMicro = zip_with(col("c_before"), col("c_after"),
+      (x, y) => round((round(x, 6) - round(y, 6)) * 1e6).cast("long"))
+    val sumSq = aggregate(dMicro, lit(0L), (acc, v) => acc + v * v)
+    ca.join(cb, Seq("cluster"))
+      .select(col("cluster"),
+        round(sqrt(sumSq.cast("double")) / 1e6, 4).as("l2_drift"))
+  }
+
   /** k-NN label propagation: classify each query vector by the MAJORITY
     * label among its k nearest (cosine) labeled neighbors — the standard
     * semi-supervised way a small hand-labeled quality/domain set is spread

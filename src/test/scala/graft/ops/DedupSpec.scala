@@ -23,6 +23,20 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == 1 && got(2L) == 1 && got(5L) == 1)
   }
 
+  test("canonical dedup groups case/punctuation variants of one content") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),
+      (3L, "HELLO -- WORLD??"),
+      (4L, "hello there world")
+    ).toDF("doc_id", "text")
+    val got = Dedup.canonicalDedup(df, "doc_id", "text")
+      .select("rep_id", "n_dupes").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 4L -> 1L), got)
+  }
+
   test("minhash+LSH surfaces the near-duplicate pair, not unrelated docs") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64)
     val bands = Dedup.lshBands(sig, "doc_id", 16, 4)

@@ -290,6 +290,22 @@ class SimilaritySpec extends SparkSpec {
       s"pruned probe must equal in-cluster brute force: $got vs $bf")
   }
 
+  test("centroidDrift: zero for identical snapshots, exact L2 for a shift") {
+    val drift0 = Similarity.centroidDrift(vecs, vecs, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(drift0.values.forall(_ == 0.0), drift0)
+    // shift every label-0 vector by +0.3 on dim 0 → centroid moves 0.3
+    val shifted = vecs.withColumn("embedding",
+      when(col("label") === 0, expr(
+        "transform(embedding, (x, i) -> " +
+          "CAST(x + IF(i = 0, 0.3, 0.0) AS FLOAT))"))
+        .otherwise(col("embedding")))
+    val drift = Similarity.centroidDrift(vecs, shifted, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(drift(0) == 0.3, drift)
+    assert(drift(1) == 0.0 && drift(2) == 0.0, drift)
+  }
+
   test("knnClassify takes the majority label; ties go to the smaller") {
     val q = vecs.filter(col("vec_id") === 0)
     // k=3: neighbors of 0 are 1 (label 0), then 2, 3 (label 1, sim ties
