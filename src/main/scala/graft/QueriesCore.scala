@@ -123,6 +123,75 @@ object QueriesCore {
             .cast("double"), 4).as("economy_share_pct"))
     }),
 
+    // TPC-H Q4 shape: existential semi-join between two fact tables —
+    // orders LEFT SEMI lineitem on the order key with a cross-side
+    // inequality residual (late shipment: shipped >90 days after the
+    // order date). Both sides shuffle on the shared key once; the
+    // residual evaluates in-task, and the priority census agg is tiny.
+    "q4_order_priority" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue by customer. Revenue is
+    // aggregated down to custkey BEFORE touching the customer dimension,
+    // so the dimension join sees one row per returning customer; customer
+    // carries no broadcast hint (at crawl scale it is too big to force —
+    // AQE sizes it), only the genuinely tiny nation dim is hinted.
+    "q10_returned_revenue" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)").as("rev"))
+      val c = customer(s, d)
+        .join(broadcast(nation(s, d).select(col("n_nationkey"),
+          col("n_name"))), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("n_name").as("nation"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape: large-order detection — groupBy-HAVING over the
+    // fact table shrinks to ~1% of orders (map-side combinable), and only
+    // that survivor relation joins back to orders/customer (AQE picks
+    // broadcast for it at any corpus size; no manual hints needed).
+    "q18_large_orders" -> ((s, d) => {
+      val big = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qsum"))
+        .filter(col("qsum") > 250)
+      big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_totalprice"),
+          col("qsum").cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // heavy-hitters sketch over an unbounded-domain column (approximate
     // lower-bound counts by construction → rows-only check)
     "a4b_heavy_hitters" -> ((s, d) =>
@@ -898,6 +967,41 @@ object QueriesCore {
         |    / SUM(CAST(l_extendedprice * (1 - l_discount)
         |          AS DECIMAL(18,6))) AS DOUBLE), 4) AS economy_share_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name AS nation,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsum
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice,
+        |  CAST(qsum AS DOUBLE) AS total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "s2_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

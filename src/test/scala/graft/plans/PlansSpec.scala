@@ -36,6 +36,22 @@ class PlansSpec extends SparkSpec {
       "dim chain must not shuffle the fact table")
   }
 
+  test("q4: the existential late-shipment check plans as a LEFT SEMI join") {
+    val plan = planOf("q4_order_priority")
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+  }
+
+  test("q18: the quantity rollup aggregates lineitem before any join") {
+    // the optimized plan must place the Aggregate under the Join, so only
+    // the ~1% HAVING survivors participate in the orders/customer joins
+    val plan = SparkEntry.queries("q18_large_orders")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val joinIdx = plan.indexOf("Join")
+    val aggIdx = plan.lastIndexOf("Aggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"aggregate must sit below the joins: ${plan.take(2000)}")
+  }
+
   // 1-row × 1-row aggregate combinations (constant cost: a8, dd3, o2b,
   // e1, and ts6's broadcast corpus-size row) and documented broadcast
   // nested-loop ops: sim1 (exact brute-force baseline: corpus × broadcast
@@ -60,7 +76,7 @@ class PlansSpec extends SparkSpec {
     // 1-row broadcast min group size attached to every row
     "tp3_domain_rebalance", "tp4_temperature_mix",
     // 1-row broadcast (total, n_groups) budget scalars attached per row
-    "tp6_token_budget_mix",
+    "tp6_token_budget_mix", "tp15_epoch_schedule",
     "j6_range_join",
     // in-entry brute-force recall baseline × broadcast IVF/PQ probes
     "sim6_kmeans_ivf", "sim7_pq_topk", "sim8_ivfpq_topk",
