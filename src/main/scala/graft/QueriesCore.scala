@@ -898,6 +898,51 @@ object QueriesCore {
           col("n"), col("sum_price"))
         .orderBy(col("o_orderpriority"), col("o_orderstatus"))),
 
+    // engine extra: co-moment statistics per group — corr/covar/stddev are
+    // single-pass streaming aggregates (partial-combinable, one shuffle on
+    // the group key); rounded so partial-agg order can't flip the last ulp,
+    // and +0.0 normalizes any -0.0 a near-zero co-moment could round to
+    "a9_correlation" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            + lit(0.0)).as("corr_qty_price"),
+          (round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+            + lit(0.0)).as("covar_qty_disc"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("std_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // engine extra: rank-distribution windows — ntile/percent_rank/
+    // cume_dist over a unique total order (price + key tie-break), so the
+    // rank functions are deterministic and cross-engine exact
+    "w5_rank_distribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // engine extra: GROUPING SETS with grouping() marker columns — the SQL
+    // surface (temp view + spark.sql), planned as a single Expand+agg pass
+    "g3_grouping_sets" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("g3_orders")
+      s.sql("""SELECT coalesce(o_orderstatus, '(all)') AS status,
+              |  coalesce(o_orderpriority, '(all)') AS priority,
+              |  cast(grouping(o_orderstatus) AS BIGINT) AS g_status,
+              |  cast(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+              |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+              |FROM g3_orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY status, priority""".stripMargin)
+    }),
+
     // engine extra: cube — all grouping combinations
     "g2_cube" -> ((s, d) =>
       lineitem(s, d)
@@ -1400,6 +1445,36 @@ object QueriesCore {
       """SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
         |  COALESCE(l_linestatus, '(all)') AS l_linestatus, COUNT(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a9_correlation" ->
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) + 0.0
+        |    AS corr_qty_price,
+        |  ROUND(covar_samp(l_quantity, l_discount), 6) + 0.0
+        |    AS covar_qty_disc,
+        |  ROUND(stddev_samp(l_extendedprice), 2) AS std_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "w5_rank_distribution" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  NTILE(4) OVER w AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "g3_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |  COALESCE(o_orderpriority, '(all)') AS priority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin
   )
 }
