@@ -255,6 +255,38 @@ object QueriesCore {
         .withColumn("cutoff_date", lit(cutoff))
     }),
 
+    // J10 — bucketed co-located join: both sides are written as
+    // parquet tables bucketed (and sorted) on the join key, so the join
+    // plans as a SortMergeJoin with NO shuffle exchange on either side —
+    // the bucketing lever that lets a 100 TB fact-fact join run without
+    // re-shuffling the corpus every query (PlansSpec asserts the bucketed
+    // scan + exchange-free join). The unique table tag is driver-side
+    // naming only; results are data-deterministic.
+    "j10_bucketed_join" -> ((s, d) => {
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+        .take(8)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_buckets_").toString
+      val oT = s"g_orders_$tag"
+      val lT = s"g_lineitem_$tag"
+      orders(s, d).select("o_orderkey", "o_orderpriority")
+        .write.format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$dir/orders").saveAsTable(oT)
+      lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$dir/lineitem").saveAsTable(lT)
+      s.table(lT).join(s.table(oT),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- F: filters -------------------------------------------------------
     // F1 — compound key-existence style predicate (challenge.py:55-58 shape).
     "f1_key_existence" -> ((s, d) =>
@@ -1012,6 +1044,13 @@ object QueriesCore {
         |    / SUM(CAST(l_extendedprice * (1 - l_discount)
         |          AS DECIMAL(18,6))) AS DOUBLE), 4) AS economy_share_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "j10_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count

@@ -624,6 +624,25 @@ object QueriesScale {
       TextOps.lexicalDiversity(fanOut(documents(s, d)), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Flesch / Flesch–Kincaid readability: three row-local regex counts
+    // and two ratios — zero shuffles, codegen'd → full per-doc oracle.
+    "ts16_readability" -> ((s, d) =>
+      TextOps.readability(fanOut(documents(s, d)), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // deterministic train/val/test split: Knuth multiplicative hash of
+    // doc_id → stable split membership under corpus growth (no RNG, no
+    // reshuffle when new docs arrive — held-out eval stays held out
+    // across snapshots). Row-local assignment; the only shuffle is the
+    // accounting groupBy → integer-exact full oracle.
+    "tp16_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(fanOut(documents(s, d)), "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), "\\s+")).cast("long"))
+            .as("n_tokens"))
+        .orderBy(col("split"), col("lang"))),
+
     // PII scrubbing: the corpus carries no organic PII, so a
     // deterministic synthetic tail (email every doc, phone every 3rd,
     // IPv4 every 5th) is appended before the scrub — the oracle replays
@@ -2496,6 +2515,36 @@ object QueriesScale {
         |       CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
         |       ROUND(len(list_distinct(ws)) * 1.0 / len(ws), 4) AS ttr
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "ts16_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS n_sentences,
+        |    len(string_split_regex(text, '\s+')) AS n_words,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+        |        - 84.6 * (n_syllables * 1.0 / n_words), 4) AS flesch,
+        |  ROUND(0.39 * (n_words * 1.0 / n_sentences)
+        |        + 11.8 * (n_syllables * 1.0 / n_words) - 15.59, 4)
+        |    AS fk_grade
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "tp16_hash_split" ->
+      """WITH b AS (SELECT lang, text,
+        |    (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |    AS n_tokens
+        |FROM b GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "ts14_zipf_fit" ->
       """WITH tf AS (

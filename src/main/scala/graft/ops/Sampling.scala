@@ -56,6 +56,28 @@ object Sampling {
       .drop("grp_n", "min_n")
   }
 
+  /** Deterministic train/val/test assignment by multiplicative (Knuth)
+    * hashing of a numeric id: `bucket = id * 2654435761 mod 2^32 mod 100`,
+    * then thresholded into the three splits. Pure row-local projection —
+    * no shuffle, no RNG state — and stable under corpus growth: a
+    * document's split never changes when new documents arrive, which is
+    * the property that keeps a held-out eval set uncontaminated across
+    * corpus snapshots (a fractional `sample()` reshuffles membership every
+    * time the row count moves). Integer arithmetic only → bit-exact across
+    * engines; ids up to ~2^31 stay far inside BIGINT range after the
+    * multiply.
+    */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"split percentages must partition 100, got $trainPct/$valPct")
+    val bucket = (col(idCol) * lit(2654435761L)) % lit(4294967296L) % 100
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Token-budget mixture: downsample each group so its TOKEN mass (not
     * its doc count — docs vary wildly in length, and the training budget
     * is counted in tokens) lands at an equal share of

@@ -627,4 +627,33 @@ object TextOps {
         round(sum(clippedMicro).cast("double") / 1e6 / count(lit(1)), 4)
           .as("win_mean_words"))
   }
+
+  /** Flesch reading-ease and Flesch–Kincaid grade from three regex counts
+    * — sentences (`[.!?]+` runs), words (whitespace split, the catalog's
+    * standard token idiom), syllables (the classic vowel-group heuristic:
+    * `[aeiouy]+` runs on the lowercased text). Entirely row-local (zero
+    * shuffles, codegen'd regex — no UDF), so it composes map-side into a
+    * quality gate at any corpus size. The two ratios are computed once
+    * each and combined left-associatively so the doubles replay bit-exact
+    * in an oracle engine; sentence count is floored at 1 (a fragment with
+    * no terminator is one sentence).
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val nSent = greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+    val nWords = size(split(col(textCol), "\\s+"))
+    val nSyll = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+    val staged = df.select(col(idCol),
+      nSent.cast("long").as("n_sentences"),
+      nWords.cast("long").as("n_words"),
+      nSyll.cast("long").as("n_syllables"))
+    val wps = col("n_words").cast("double") / col("n_sentences")
+    val spw = col("n_syllables").cast("double") / col("n_words")
+    staged.select(col(idCol), col("n_sentences"), col("n_words"),
+      col("n_syllables"),
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+        .as("flesch"),
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
+        .as("fk_grade"))
+  }
 }

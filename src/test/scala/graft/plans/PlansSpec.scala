@@ -41,6 +41,29 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan.take(2000))
   }
 
+  test("j10: bucketed tables join with no shuffle exchange below the join") {
+    // at the test SF the orders side fits the broadcast threshold, so the
+    // planner (correctly) picks a BroadcastHashJoin and never consults the
+    // bucketing; disable auto-broadcast to surface the layout this entry
+    // exists to prove — at fact×fact scale neither side broadcasts and the
+    // bucketed SortMergeJoin with no input exchange IS the production plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try SparkEntry.queries("j10_bucketed_join")(spark, sf)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("SelectedBucketsCount"),
+      s"scan must be bucket-aware: ${plan.take(2000)}")
+    // the only exchange allowed is the post-join groupBy — the join
+    // itself must consume the bucketed layout directly
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    val belowJoin = plan.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange"),
+      s"bucketed join must not re-shuffle its inputs: ${plan.take(3000)}")
+  }
+
   test("q18: the quantity rollup aggregates lineitem before any join") {
     // the optimized plan must place the Aggregate under the Join, so only
     // the ~1% HAVING survivors participate in the orders/customer joins
