@@ -192,6 +192,47 @@ object QueriesCore {
         .limit(100)
     }),
 
+    // TPC-H Q17 shape — correlated scalar subquery (per-part average
+    // quantity threshold), phrased in SQL so Catalyst's decorrelation does
+    // the rewrite: the subquery becomes a per-part Aggregate JOINED back to
+    // the fact scan, not a per-row re-scan (PlansSpec locks the
+    // aggregate-below-join shape and the absence of any nested-loop join).
+    // At 100 TB the decorrelated form is the only viable one — the naive
+    // interpretation re-reads lineitem once per outer row.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("q17_lineitem")
+      part(s, d).createOrReplaceTempView("q17_part")
+      s.sql("""
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM q17_lineitem JOIN q17_part ON p_partkey = l_partkey
+        WHERE p_size <= 10
+          AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                            FROM q17_lineitem l2
+                            WHERE l2.l_partkey = p_partkey)""")
+    }),
+
+    // TPC-H Q22 shape — scalar subquery (global average balance) + NOT
+    // EXISTS anti join, in SQL for the decorrelation surface: the EXISTS
+    // becomes a LEFT ANTI hash join on custkey with the totalprice filter
+    // pushed below it, and the scalar average is computed once and
+    // broadcast into the filter (PlansSpec locks both).
+    "q22_idle_rich_customers" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("q22_customer")
+      orders(s, d).createOrReplaceTempView("q22_orders")
+      s.sql("""
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS totacctbal
+        FROM q22_customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM q22_customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM q22_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 430000)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
     // heavy-hitters sketch over an unbounded-domain column (approximate
     // lower-bound counts by construction → rows-only check)
     "a4b_heavy_hitters" -> ((s, d) =>
@@ -1086,6 +1127,27 @@ object QueriesCore {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |         AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size <= 10
+        |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q22_idle_rich_customers" ->
+      """SELECT c_mktsegment, COUNT(*) AS numcust,
+        |       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |         AS DOUBLE), 2) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 430000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "s2_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

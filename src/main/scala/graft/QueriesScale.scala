@@ -424,6 +424,15 @@ object QueriesScale {
           vocabSize = 20)
         .orderBy(col("doc_id"))),
 
+    // order-2 LM fluency: corpus-trained bigram model (vocab-pruned,
+    // add-one smoothed, broadcast — bigrams built row-locally from the
+    // token array, no positional self-join), per-doc average conditional
+    // negative log-prob → full (doc, avg_nll, n_bigrams) oracle.
+    "ts17_bigram_lm" -> ((s, d) =>
+      TextOps.bigramLmScore(fanOut(documents(s, d)), "doc_id", "text",
+          vocabSize = 20)
+        .orderBy(col("doc_id"))),
+
     // domain rebalancing: every lang deterministically downsampled to the
     // smallest lang's size (integer-exact mod sampling → full oracle)
     "tp3_domain_rebalance" -> ((s, d) => {
@@ -993,6 +1002,19 @@ object QueriesScale {
           col("pred_label").cast("long").as("pred_label"), col("n_votes"))
         .orderBy(col("query_id"))
     }),
+
+    // int8 scalar quantization (SQ8): per-dim min/max stats pass, then a
+    // row-local affine encode to [0,255] — floor-based so the integer code
+    // relation replays bit-exact in DuckDB (per-vector code sum/min/max as
+    // the full-oracle projection of the 4×-compressed ANN corpus).
+    "sim13_scalar_quantize" -> ((s, d) =>
+      Similarity.scalarQuantize(fanOut(embeddings(s, d)), "vec_id",
+          "embedding")
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+          array_min(col("codes")).as("code_min"),
+          array_max(col("codes")).as("code_max"))
+        .orderBy(col("vec_id"))),
 
     // ---- multimodal plumbing ----------------------------------------------
     "mm1_binary_meta" -> ((s, d) => {
@@ -1900,6 +1922,35 @@ object QueriesScale {
         |FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    "ts17_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |toks AS (SELECT doc_id, unnest(ws) AS term FROM t),
+        |vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+        |          ORDER BY cnt DESC, term LIMIT 20),
+        |bg AS (SELECT doc_id,
+        |    split_part(gram, ' ', 1) AS prev,
+        |    split_part(gram, ' ', 2) AS cur
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(generate_series(1, len(ws) - 1),
+        |            i -> ws[i] || ' ' || ws[i + 1])) AS gram
+        |        FROM t WHERE len(ws) >= 2)),
+        |model AS (SELECT prev, cur, COUNT(*) AS c2 FROM bg
+        |  WHERE prev IN (SELECT term FROM vocab)
+        |    AND cur IN (SELECT term FROM vocab)
+        |  GROUP BY prev, cur),
+        |tot AS (SELECT (SELECT COUNT(*) FROM vocab) AS v_size)
+        |SELECT b.doc_id,
+        |  ROUND(AVG(CASE WHEN vp.cnt IS NOT NULL
+        |    THEN -ln((COALESCE(m.c2, 0) + 1) * 1.0
+        |              / (vp.cnt + tot.v_size + 1))
+        |    ELSE -ln(1.0 / (tot.v_size + 1)) END), 4) AS avg_nll,
+        |  COUNT(*) AS n_bigrams
+        |FROM bg b LEFT JOIN vocab vp ON b.prev = vp.term
+        |LEFT JOIN model m ON b.prev = m.prev AND b.cur = m.cur
+        |CROSS JOIN tot
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
     "ts7_repetition" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,
         |                  string_split(text, ' ') AS ws FROM documents),
@@ -2405,6 +2456,22 @@ object QueriesScale {
         |       ROUND(SQRT(CAST(SUM(dm * dm) AS DOUBLE)) / 1e6, 4)
         |         AS l2_drift
         |FROM d GROUP BY label ORDER BY cluster""".stripMargin,
+
+    "sim13_scalar_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS i, v
+        |      FROM e),
+        |dims AS (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |         FROM x GROUP BY i),
+        |codes AS (SELECT vec_id,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE LEAST(CAST(FLOOR((v[i] - mn) * 255.0 / (mx - mn))
+        |                         AS BIGINT), 255) END AS code
+        |  FROM x JOIN dims USING (i))
+        |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+        |       MIN(code) AS code_min, MAX(code) AS code_max
+        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "sim11_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -389,6 +389,41 @@ object Similarity {
         }).getField("ci")
     }: _*)
 
+  /** Int8 scalar quantization (SQ8) of the embedding column — the memory
+    * lever that shrinks a float32 ANN corpus 4× (FAISS's SQ8 layout): each
+    * dimension is affinely mapped to [0, 255] by its corpus-wide min/max.
+    *
+    * Two phases, the classic shape: (1) a stats pass — posexplode to
+    * (dim, value) and a per-dim min/max aggregate (map-side combined;
+    * d ≈ 64–4096 output rows, a scalar round-trip like the k-means
+    * centroid pull); (2) a ROW-LOCAL encode — the d-entry min/max arrays
+    * ride into the plan as literals and every vector quantizes in place
+    * with one `transform`, zero shuffles, inherited partitioning. Codes
+    * use floor (not round) so the integer output replays bit-exact in any
+    * IEEE-double engine; a constant dimension (max == min) codes to 0 and
+    * exact-max values clamp into the top bucket.
+    */
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String)
+  : DataFrame = {
+    val stats = df
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .orderBy(col("dim"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val mnLit = typedlit(stats.map(_._1).toSeq)
+    val mxLit = typedlit(stats.map(_._2).toSeq)
+    val codes = transform(col(vecCol), (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx === mn, lit(0L)).otherwise(
+        least(floor((x.cast("double") - mn) * lit(255.0) / (mx - mn))
+          .cast("long"), lit(255L)))
+    })
+    df.select(col(idCol), codes.as("codes"))
+  }
+
   /** Train PQ sub-codebooks: deterministic init (subvectors of the ksub
     * smallest ids), then `iters` Lloyd's rounds where ALL m subspaces are
     * assigned in one row-local projection and recomputed in ONE

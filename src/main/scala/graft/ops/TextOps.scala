@@ -261,6 +261,60 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Bigram LM fluency scoring — the order-2 upgrade of [[lmScore]]: each
+    * document is scored by the average negative log conditional probability
+    * of its token bigrams under a corpus-trained, vocabulary-pruned bigram
+    * model with add-one smoothing.
+    *
+    * p(cur|prev) = (c(prev,cur) + 1) / (c(prev) + V + 1) when prev is in
+    * the top-V vocabulary (c(prev,cur) counted only for in-vocab pairs —
+    * out-of-vocab `cur` falls through to the +1 mass via the COALESCE);
+    * prev out of vocabulary scores the uniform 1 / (V + 1).
+    *
+    * Scale shape: bigram pairs are built ROW-LOCALLY from the token array
+    * (transform over positions — no self-join on (doc, pos), which would
+    * shuffle the corpus twice); the model is bounded by construction
+    * (≤ V unigram rows, ≤ V² bigram rows — both broadcast, like KenLM
+    * shipping a fixed-vocab model), so scoring is map-side and the only
+    * shuffles are the two count aggregates (map-side combined) and the
+    * final per-doc average. Docs with fewer than two tokens contribute no
+    * bigrams and drop out (no 0/0 row).
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 20): DataFrame = {
+    val base = docs.select(col(idCol),
+      split(lower(col(textCol)), "\\s+").as("ws"))
+    val toks = base.select(col(idCol), explode(col("ws")).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+    // sequence(1, n-1) flips to a DESCENDING range when n < 2 — gate the
+    // explode on size so one-token docs emit nothing instead of garbage
+    val bigrams = base.filter(size(col("ws")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("prev"),
+            element_at(col("ws"), i + 1).as("cur")))).as("b"))
+      .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val model = bigrams
+      .join(broadcast(vocab.select(col("term").as("prev"))), Seq("prev"))
+      .join(broadcast(vocab.select(col("term").as("cur"))), Seq("cur"))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val totals = vocab.agg(count(lit(1)).as("v_size"))
+    bigrams
+      .join(broadcast(vocab.select(col("term").as("prev"),
+        col("cnt").as("prev_cnt"))), Seq("prev"), "left")
+      .join(broadcast(model), Seq("prev", "cur"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        when(col("prev_cnt").isNotNull,
+          -log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+            (col("prev_cnt") + col("v_size") + 1)))
+          .otherwise(-log(lit(1.0) / (col("v_size") + 1))).as("nll"))
+      .groupBy(col(idCol))
+      .agg(round(avg(col("nll")), 4).as("avg_nll"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Content fingerprint: md5 (cross-engine checkable). */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 

@@ -123,4 +123,24 @@ class SamplingSpec extends SparkSpec {
     assert(sums.max - sums.min <= rows.map(_._2).max,
       s"snake must balance within one max weight: $sums")
   }
+
+  test("hashSplit: assignment is a pure function of the id (growth-stable)") {
+    val small = (1L to 100L).toDF("doc_id")
+    val large = (1L to 1000L).toDF("doc_id")
+    val a = Sampling.hashSplit(small, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(large, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall { case (id, s) => b(id) == s },
+      "adding documents must not move existing split assignments")
+    // the Knuth-hash buckets match the scala-side reference formula
+    val ref = (1L to 100L).map { id =>
+      val bucket = (id * 2654435761L) % 4294967296L % 100
+      id -> (if (bucket < 90) "train" else if (bucket < 95) "val"
+             else "test")
+    }.toMap
+    assert(a == ref)
+    assert(b.values.toSeq.count(_ == "train") > 800,
+      "train share should dominate")
+  }
 }

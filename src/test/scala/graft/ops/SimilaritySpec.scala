@@ -319,6 +319,20 @@ class SimilaritySpec extends SparkSpec {
     assert((k2.getInt(1), k2.getLong(2)) == ((0, 1L)), k2)
   }
 
+  test("scalarQuantize: affine [0,255] codes, max clamps, constant dim 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0f, 10f, 7f)), (2L, Seq(5f, 0f, 7f)), (3L, Seq(10f, 5f, 7f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.scalarQuantize(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+      .map(r => r.getSeq[Long](1))
+    // dims 1,2 span [0,10]: 0→0, 5→127 (floor 127.5), 10→255 (clamped);
+    // dim 3 is constant → 0
+    assert(got.toSeq == Seq(Seq(0L, 255L, 0L), Seq(127L, 0L, 0L),
+      Seq(255L, 127L, 0L)), got.toSeq)
+  }
+
   test("thresholdPairs plan has no cartesian/nested-loop join") {
     val plan = Similarity.thresholdPairs(
         many, "vec_id", "embedding", 0.5, dim = 8)

@@ -338,4 +338,43 @@ class TextOpsSpec extends SparkSpec {
     assert(got("head")._2 < got("middle")._2)
     assert(got("middle")._2 < got("tail")._2)
   }
+
+  test("bigram LM: add-one conditional probabilities, all in vocab") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // counts: a=3 b=2 c=1, V=3; c2: (a,b)=2 (b,a)=1 (a,c)=1
+    // doc1: -[2·ln(3/7) + ln(2/6)]/3 ; doc2: -ln(2/7)
+    val got = TextOps.bigramLmScore(docs, "doc_id", "text", vocabSize = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val d1 = -(2 * math.log(3.0 / 7) + math.log(2.0 / 6)) / 3
+    assert(got(0) == ((1L, BigDecimal(d1).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 3L)), got.toSeq)
+    assert(got(1) == ((2L, BigDecimal(-math.log(2.0 / 7)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 1L)), got.toSeq)
+  }
+
+  test("bigram LM: OOV context scores uniform, OOV target keeps +1 mass") {
+    import spark.implicits._
+    val docs = Seq((1L, "a c"), (2L, "c a")).toDF("doc_id", "text")
+    // vocabSize=1 → vocab={a} (cnt 2): (a,c) = 1/(2+1+1); (c,a) = 1/2
+    val got = TextOps.bigramLmScore(docs, "doc_id", "text", vocabSize = 1)
+      .orderBy("doc_id").collect().map(r => r.getDouble(1))
+    assert(got(0) == BigDecimal(math.log(4.0)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, got.toSeq)
+    assert(got(1) == BigDecimal(math.log(2.0)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, got.toSeq)
+  }
+
+  test("readability: flesch and fk-grade from the three counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "The cat sat. The dog ran!")).toDF("doc_id", "text")
+    val r = TextOps.readability(docs, "doc_id", "text").collect().head
+    // 2 sentences, 6 words, 6 vowel-group syllables → wps=3, spw=1
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 6L, 6L)), r)
+    assert(r.getDouble(4) == BigDecimal(206.835 - 1.015 * 3 - 84.6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, r)
+    assert(r.getDouble(5) == BigDecimal(0.39 * 3 + 11.8 - 15.59)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, r)
+  }
 }

@@ -64,6 +64,27 @@ class PlansSpec extends SparkSpec {
       s"bucketed join must not re-shuffle its inputs: ${plan.take(3000)}")
   }
 
+  test("q17: the correlated avg-quantity subquery decorrelates to an " +
+      "aggregate join") {
+    val opt = SparkEntry.queries("q17_small_qty_revenue")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // decorrelation must have rewritten the per-row subquery into a
+    // per-part Aggregate joined back — no correlated subquery survives
+    assert(!opt.contains("scalar-subquery"),
+      s"correlated subquery not decorrelated: ${opt.take(2000)}")
+    val exec = SparkEntry.queries("q17_small_qty_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"),
+      s"decorrelated plan must stay hash-joined: ${exec.take(2000)}")
+  }
+
+  test("q22: NOT EXISTS plans as a left anti hash join") {
+    val plan = planOf("q22_idle_rich_customers")
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("q18: the quantity rollup aggregates lineitem before any join") {
     // the optimized plan must place the Aggregate under the Join, so only
     // the ~1% HAVING survivors participate in the orders/customer joins
@@ -90,6 +111,8 @@ class PlansSpec extends SparkSpec {
     "sim11_knn_classify",
     // 1-row broadcast LM totals (T, V) attached to every token
     "lm1_lm_score",
+    // 1-row broadcast vocabulary-size scalar attached to every bigram
+    "ts17_bigram_lm",
     // 1-row broadcast (raw_total, v, tgt_total) smoothing scalars
     "tp9_dsir_weights",
     // 1-row broadcast LM totals inside the lmScore stage
