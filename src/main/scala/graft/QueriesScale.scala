@@ -283,6 +283,28 @@ object QueriesScale {
         .orderBy(col("doc_id"))
     }),
 
+    // split-aware decontamination: the held-out val/test splits (tp16's
+    // hash assignment) play the benchmark — per-lang counts of train docs
+    // sharing a 3-gram with ANY held-out doc. The cross-split leakage
+    // audit every hash-partitioned corpus needs before its eval numbers
+    // mean anything; splits relation persisted (three consumers), gram
+    // machinery inherited from tc1.
+    "tc5_split_decontam" -> ((s, d) => {
+      val splits = Sampling.hashSplit(fanOut(documents(s, d)), "doc_id")
+        .select(col("doc_id"), col("lang"), col("text"), col("split"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val train = splits.filter(col("split") === "train")
+      val held = splits.filter(col("split") =!= "train")
+      val shared = Dedup.contaminationReport(train, held,
+        "doc_id", "text", 3)
+      train.join(shared, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_train_docs"),
+          count(col("n_shared_grams")).as("n_contaminated"),
+          sum(coalesce(col("n_shared_grams"), lit(0L))).as("total_shared"))
+        .orderBy(col("lang"))
+    }),
+
     // the span-decontaminated corpus: docs with zero verbatim 8-token
     // benchmark windows survive — the doc-drop criterion eval hygiene
     // actually applies. Accounting totals prove the anti join.
@@ -652,6 +674,18 @@ object QueriesScale {
             .as("n_tokens"))
         .orderBy(col("split"), col("lang"))),
 
+    // deterministic training order: the epoch-shuffle at corpus scale is
+    // a SORT by a multiplicative id-hash (no RNG state, reproducible
+    // across runs/engines) — and a bounded preview of it plans as one
+    // distributed TakeOrderedAndProject, never a global single-task sort.
+    "tp17_train_order" -> ((s, d) => {
+      val key = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      fanOut(documents(s, d))
+        .select(col("doc_id"), key.as("sort_key"))
+        .orderBy(col("sort_key"), col("doc_id"))
+        .limit(100)
+    }),
+
     // PII scrubbing: the corpus carries no organic PII, so a
     // deterministic synthetic tail (email every doc, phone every 3rd,
     // IPv4 every 5th) is appended before the scrub — the oracle replays
@@ -1015,6 +1049,32 @@ object QueriesScale {
           array_min(col("codes")).as("code_min"),
           array_max(col("codes")).as("code_max"))
         .orderBy(col("vec_id"))),
+
+    // SQ8 ADC serving path: corpus scanned as int8 codes (4× narrower),
+    // scored by midpoint reconstruction against exact float queries
+    // (asymmetric distance), recall@5 vs brute force as the enforced
+    // self-check — the compressed-scan complement of sim7's PQ.
+    "sim14_sq_adc" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val stats = Similarity.quantStats(emb, "embedding")
+      val approx = emb.select(col("vec_id"),
+        Similarity.sqDecode(
+          Similarity.sqEncode(col("embedding"), stats), stats)
+          .as("embedding"))
+      val queries = emb.filter(col("vec_id") < 10)
+      val adc = Similarity.bruteForceTopK(approx, queries, "vec_id",
+        "embedding", 5)
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 5)
+      val hits = bf.select(col("query_id"), col("neighbor_id"))
+        .join(adc.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      bf.agg(count(lit(1)).as("n_bf"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_bf"), col("n_hit"),
+          round(col("n_hit") / col("n_bf"), 4).as("recall"),
+          (col("n_hit") / col("n_bf") >= 0.8).as("recall_ok"))
+    }),
 
     // ---- multimodal plumbing ----------------------------------------------
     "mm1_binary_meta" -> ((s, d) => {
@@ -2007,6 +2067,39 @@ object QueriesScale {
         |FROM grams g JOIN bench b USING (gram)
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "tc5_split_decontam" ->
+      """WITH s AS (SELECT doc_id, lang, text,
+        |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+        |           THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |toks AS (SELECT doc_id, split, lang,
+        |    string_split_regex(lower(text), '\s+') AS t FROM s),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, split, lang,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE split <> 'train'),
+        |shared AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_shared
+        |  FROM grams g JOIN bench b USING (gram)
+        |  WHERE g.split = 'train' GROUP BY g.doc_id)
+        |SELECT lang, COUNT(*) AS n_train_docs,
+        |       COUNT(sh.n_shared) AS n_contaminated,
+        |       CAST(SUM(COALESCE(sh.n_shared, 0)) AS BIGINT)
+        |         AS total_shared
+        |FROM s LEFT JOIN shared sh USING (doc_id)
+        |WHERE s.split = 'train'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "tp17_train_order" ->
+      """SELECT doc_id,
+        |       (doc_id * 2654435761) % 4294967296 AS sort_key
+        |FROM documents ORDER BY sort_key, doc_id LIMIT 100""".stripMargin,
 
     "tc2_decontam_clean" ->
       """WITH toks AS (

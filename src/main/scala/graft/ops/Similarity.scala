@@ -404,24 +404,49 @@ object Similarity {
     * exact-max values clamp into the top bucket.
     */
   def scalarQuantize(df: DataFrame, idCol: String, vecCol: String)
-  : DataFrame = {
-    val stats = df
-      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+  : DataFrame =
+    df.select(col(idCol),
+      sqEncode(col(vecCol), quantStats(df, vecCol)).as("codes"))
+
+  /** The SQ8 stats pass: corpus-wide per-dimension (min, max) — d rows
+    * pulled to the driver (the k-means-centroid-style scalar round-trip)
+    * so the encode/decode expressions are pure row-local literals.
+    */
+  def quantStats(df: DataFrame, vecCol: String): Array[(Double, Double)] =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy(col("dim"))
       .agg(min(col("v").cast("double")).as("mn"),
         max(col("v").cast("double")).as("mx"))
       .orderBy(col("dim"))
       .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+
+  /** Row-local SQ8 encode against literal stats (see [[scalarQuantize]]). */
+  def sqEncode(vec: Column, stats: Array[(Double, Double)]): Column = {
     val mnLit = typedlit(stats.map(_._1).toSeq)
     val mxLit = typedlit(stats.map(_._2).toSeq)
-    val codes = transform(col(vecCol), (x, i) => {
+    transform(vec, (x, i) => {
       val mn = element_at(mnLit, i + 1)
       val mx = element_at(mxLit, i + 1)
       when(mx === mn, lit(0L)).otherwise(
         least(floor((x.cast("double") - mn) * lit(255.0) / (mx - mn))
           .cast("long"), lit(255L)))
     })
-    df.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Row-local SQ8 decode — midpoint reconstruction
+    * x̂ = mn + (code + 0.5)·(mx − mn)/255 (the bucket-center rule that
+    * halves the worst-case quantization error vs the left edge); a
+    * constant dimension reconstructs to its constant.
+    */
+  def sqDecode(codes: Column, stats: Array[(Double, Double)]): Column = {
+    val mnLit = typedlit(stats.map(_._1).toSeq)
+    val mxLit = typedlit(stats.map(_._2).toSeq)
+    transform(codes, (c, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx === mn, mn).otherwise(
+        mn + (c.cast("double") + lit(0.5)) * (mx - mn) / lit(255.0))
+    })
   }
 
   /** Train PQ sub-codebooks: deterministic init (subvectors of the ksub

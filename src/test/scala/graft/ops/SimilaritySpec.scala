@@ -333,6 +333,24 @@ class SimilaritySpec extends SparkSpec {
       Seq(255L, 127L, 0L)), got.toSeq)
   }
 
+  test("sqDecode: midpoint reconstruction stays within half a bucket") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0f, 10f)), (2L, Seq(5f, 0f)), (3L, Seq(10f, 5f)))
+      .toDF("vec_id", "embedding")
+    val stats = Similarity.quantStats(df, "embedding")
+    assert(stats.toSeq == Seq((0.0, 10.0), (0.0, 10.0)))
+    val rec = df.select(col("vec_id"), Similarity.sqDecode(
+        Similarity.sqEncode(col("embedding"), stats), stats).as("r"))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val orig = Seq(Seq(0.0, 10.0), Seq(5.0, 0.0), Seq(10.0, 5.0))
+    val halfBucket = 10.0 / 255 / 2 + 1e-9
+    for ((r, o) <- rec.zip(orig); (rv, ov) <- r.zip(o))
+      assert(math.abs(rv - ov) <= 10.0 / 255,
+        s"reconstruction off by more than a bucket: $rv vs $ov")
+    // interior values land within half a bucket of the original
+    assert(math.abs(rec(1).head - 5.0) <= halfBucket)
+  }
+
   test("thresholdPairs plan has no cartesian/nested-loop join") {
     val plan = Similarity.thresholdPairs(
         many, "vec_id", "embedding", 0.5, dim = 8)

@@ -127,6 +127,8 @@ class PlansSpec extends SparkSpec {
     // in-entry brute-force recall baseline × broadcast IVF/PQ probes
     "sim6_kmeans_ivf", "sim7_pq_topk", "sim8_ivfpq_topk",
     "sim9_persisted_ann", "sim10_filtered_ann",
+    // ADC brute-force scan + exact baseline, both × broadcast queries
+    "sim14_sq_adc",
     // 1-row × 1-row accounting combinations over streamed-vs-batch counts
     "st2b_stream_batch_equiv", "st4b_interval_join_stream_equiv",
     "st9_stream_static_enrich", "st10_stream_decontam",
@@ -154,6 +156,12 @@ class PlansSpec extends SparkSpec {
   test("j9: join on the partition column triggers dynamic pruning") {
     val plan = planOf("j9_partition_pruned_join")
     assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(3000))
+  }
+
+  test("tp17: the training-order preview plans as TakeOrderedAndProject") {
+    val plan = planOf("tp17_train_order")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bounded order-by must not be a global sort: ${plan.take(2000)}")
   }
 
   test("ts14: vocabulary top-K plans as distributed TakeOrderedAndProject") {
