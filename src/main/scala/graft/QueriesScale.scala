@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Bpe, Dedup, TextOps, Similarity, Multimodal, Sampling}
 import graft.streaming.StreamingOps
@@ -674,6 +675,17 @@ object QueriesScale {
             .as("n_tokens"))
         .orderBy(col("split"), col("lang"))),
 
+    // contiguous id assignment: dense 1..N row ids in global key order
+    // WITHOUT a corpus-wide single-task window — range partition + local
+    // sort, per-partition counts, broadcast running offsets, partition-
+    // local row_number (PlansSpec locks the partitioned window).
+    "tp18_assign_ids" -> ((s, d) =>
+      Sampling.contiguousIds(
+          fanOut(documents(s, d)).select(col("doc_id"), col("lang")),
+          "doc_id")
+        .select(col("doc_id"), col("lang"), col("row_id"))
+        .orderBy(col("doc_id"))),
+
     // deterministic training order: the epoch-shuffle at corpus scale is
     // a SORT by a multiplicative id-hash (no RNG state, reproducible
     // across runs/engines) — and a bounded preview of it plans as one
@@ -1121,6 +1133,36 @@ object QueriesScale {
     "st2_sessionize" -> ((s, d) =>
       StreamingOps.sessionize(events(s, d), "10 minutes")
         .orderBy(col("user_id"), col("session_start"))),
+
+    // behavioral-sequence construction: per-user gap-sessionized
+    // event-type sequences — the logs→training-examples step of a
+    // next-event-prediction dataset. lag/cumsum session numbering and the
+    // ordered string_agg are all user-partitioned windows (no global
+    // window, no corpus-wide sort); ties broken by event_id everywhere so
+    // the sequence strings replay exactly.
+    "st5_user_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val prev = lag(us, 1).over(w)
+      val newSess = when(prev.isNull || us - prev > 600000000L, 1L)
+        .otherwise(0L)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          us.as("us"), newSess.as("nf"))
+        .withColumn("session_seq", sum(col("nf")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"),
+            col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("us")) - min(col("us"))).as("duration_us"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("us"), col("event_id"),
+              col("event_type")))),
+            x => x("event_type")), ">").as("events_str"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
 
     // event-time interval join — batch mode of the watermarked
     // stream-stream join: each click picks up the same user's views from
@@ -2100,6 +2142,29 @@ object QueriesScale {
       """SELECT doc_id,
         |       (doc_id * 2654435761) % 4294967296 AS sort_key
         |FROM documents ORDER BY sort_key, doc_id LIMIT 100""".stripMargin,
+
+    "tp18_assign_ids" ->
+      """SELECT doc_id, lang,
+        |       ROW_NUMBER() OVER (ORDER BY doc_id) AS row_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "st5_user_sequences" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w > 600000000 THEN 1 ELSE 0 END AS nf
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY us, event_id)),
+        |g AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM f)
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_seq,
+        |       COUNT(*) AS n_events,
+        |       MAX(us) - MIN(us) AS duration_us,
+        |       string_agg(event_type, '>' ORDER BY us, event_id)
+        |         AS events_str
+        |FROM g GROUP BY user_id, sess
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "tc2_decontam_clean" ->
       """WITH toks AS (

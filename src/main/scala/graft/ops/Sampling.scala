@@ -78,6 +78,38 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Contiguous global id assignment without a single-task sort — the
+    * two-pass layout op every ingestion pipeline needs (stable dense row
+    * ids for shard manifests, example indexing, resumable ordering).
+    *
+    * Pass 1 range-partitions and locally sorts on the key, then counts
+    * rows per partition — a tiny (#partitions)-row relation whose running
+    * offsets come from a window over THAT relation (single-task, but over
+    * hundreds of rows, never the corpus). Pass 2 joins the broadcast
+    * offsets back and numbers rows per partition: `row_id = offset +
+    * row_number() over (partition by pid order by key)` — every
+    * corpus-sized window is partition-local. The sorted relation feeds
+    * both passes, so it is persisted (also pinning one partition-id
+    * assignment; range boundaries are sample-derived, and ids must come
+    * from a single layout). Ids are dense 1..N in global key order
+    * regardless of where the sampled range boundaries land.
+    */
+  def contiguousIds(df: DataFrame, keyCol: String): DataFrame = {
+    val parts = df
+      .repartitionByRange(col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = parts.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+    val offsets = counts.withColumn("offset",
+      coalesce(sum(col("n")).over(Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wp = Window.partitionBy(col("pid")).orderBy(col(keyCol))
+    parts.join(broadcast(offsets), "pid")
+      .withColumn("row_id", col("offset") + row_number().over(wp))
+      .drop("pid", "n", "offset")
+  }
+
   /** Token-budget mixture: downsample each group so its TOKEN mass (not
     * its doc count — docs vary wildly in length, and the training budget
     * is counted in tokens) lands at an equal share of

@@ -164,6 +164,15 @@ class PlansSpec extends SparkSpec {
       s"bounded order-by must not be a global sort: ${plan.take(2000)}")
   }
 
+  test("tp18: id-assignment windows are partition-local (range layout)") {
+    val plan = planOf("tp18_assign_ids")
+    // the corpus-sized row_number must run per range-partition (pid), and
+    // the data path must be range-partitioned — the only single-task
+    // window allowed is the #partitions-row offset relation
+    assert(plan.contains("windowspecdefinition(pid"), plan.take(3000))
+    assert(plan.contains("rangepartitioning"), plan.take(3000))
+  }
+
   test("ts14: vocabulary top-K plans as distributed TakeOrderedAndProject") {
     val plan = planOf("ts14_zipf_fit")
     assert(plan.contains("TakeOrderedAndProject"),
