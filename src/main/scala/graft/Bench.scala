@@ -52,19 +52,20 @@ object Bench {
     "dd10_dup_clusters", "dd11_incremental", "dd12_neardup_dedup",
     "dd13_snapshot_diff", "dd14_semdedup", "dd15_minhash_dedup",
     "dd16_quality_dedup", "dd17_canonical_dedup",
-    "tc1_decontam_report", "tc3_span_decontam",
+    "tc1_decontam_report", "tc3_span_decontam", "tc5_split_decontam",
     "ts2_quality", "ts6_tfidf", "ts7_repetition", "ts8_sequence_chunks",
     "ts9_redact_pii", "ts10_nb_quality", "ts11_bpe_train",
-    "ts13_c4_clean",
-    "tp7_sequence_packing",
+    "ts13_c4_clean", "ts17_bigram_lm",
+    "tp7_sequence_packing", "tp18_assign_ids",
     "tp4_temperature_mix", "tp5_source_topk", "tp6_token_budget_mix",
     "tp8_quality_ensemble", "tp9_dsir_weights", "tp10_ppl_buckets",
     "tp11_prep_pipeline", "tp12_shard_balance", "tp13_winsorize",
     "tp14_quality_pareto", "tp15_epoch_schedule",
     "ts14_zipf_fit", "ts15_lexical_diversity",
     "sim1_cosine_topk", "sim2_threshold_pairs", "sim4_clustered_pairs",
-    "sim11_knn_classify", "sim12_centroid_drift",
+    "sim11_knn_classify", "sim12_centroid_drift", "sim13_scalar_quantize",
     "st1_hourly_window", "st2_sessionize", "st4_interval_join",
+    "st5_user_sequences",
     "tp1_curation",
     "mm1_binary_meta", "mm4_vit_patches")
 
