@@ -698,6 +698,22 @@ object QueriesScale {
         .limit(100)
     }),
 
+    // encoding-noise gate: the corpus is synthetically clean, so a
+    // deterministic mojibake tail (U+FFFD pair every 7th doc, a BEL
+    // control char every 11th) is appended before the scan — the oracle
+    // replays the injection, and the organic non-ASCII of the fr/es docs
+    // exercises the ratio path. Row-local, zero shuffles.
+    "ts18_encoding_quality" -> ((s, d) => {
+      val noisy = fanOut(documents(s, d)).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" �bad�"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("\u0007"))
+            .otherwise(lit(""))))
+      TextOps.encodingSignals(noisy, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrubbing: the corpus carries no organic PII, so a
     // deterministic synthetic tail (email every doc, phone every 3rd,
     // IPv4 every 5th) is appended before the scrub — the oracle replays
@@ -2023,6 +2039,27 @@ object QueriesScale {
         |  COUNT(*) AS n_tokens
         |FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "ts18_encoding_quality" ->
+      """WITH noisy AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0 THEN ' �bad�'
+        |                 ELSE '' END
+        |         || CASE WHEN doc_id % 11 = 0 THEN chr(7)
+        |                 ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+        |      AS n_replacement,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_ctrl,
+        |    CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS BIGINT)
+        |      AS n_nonascii
+        |  FROM noisy)
+        |SELECT doc_id, n_chars, n_replacement, n_ctrl, n_nonascii,
+        |       (n_replacement = 0 AND n_ctrl = 0
+        |        AND n_nonascii * 10 <= n_chars * 3) AS is_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "ts17_bigram_lm" ->
       """WITH t AS (SELECT doc_id,

@@ -315,6 +315,30 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Encoding-noise signals — the mojibake/control-character gate a crawl
+    * pipeline runs before any linguistic filter: counts of U+FFFD
+    * replacement characters (the tombstone a lossy transcode leaves),
+    * C0 control characters (excluding \t \n \r), and non-ASCII characters,
+    * plus a keep verdict: clean = no tombstones, no control chars, and
+    * non-ASCII below 30% of characters (accented-language text passes,
+    * binary-in-text garbage fails). The ratio test is INTEGER arithmetic
+    * (10·n_nonascii ≤ 3·n_chars) so the verdict replays bit-exact. All
+    * three counts are row-local codegen'd regex — zero shuffles.
+    */
+  def encodingSignals(df: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      length(t).cast("long").as("n_chars"),
+      regexp_count(t, lit("�")).cast("long").as("n_replacement"),
+      regexp_count(t, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+        .cast("long").as("n_ctrl"),
+      regexp_count(t, lit("[^\\x00-\\x7F]")).cast("long").as("n_nonascii"))
+      .withColumn("is_clean",
+        col("n_replacement") === 0 && col("n_ctrl") === 0 &&
+          col("n_nonascii") * 10 <= col("n_chars") * 3)
+  }
+
   /** Content fingerprint: md5 (cross-engine checkable). */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 

@@ -366,6 +366,22 @@ class TextOpsSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble, got.toSeq)
   }
 
+  test("encoding signals: tombstones/control chars flag, accents pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean ascii text"),
+      (2L, "café résumé naïve ok"), // accents, < 30%
+      (3L, "bad � here"),
+      (4L, "bellchar"),
+      (5L, "éééé")) // 100% non-ASCII
+      .toDF("doc_id", "text")
+    val got = TextOps.encodingSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(5))).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> false), got)
+  }
+
   test("readability: flesch and fk-grade from the three counts") {
     import spark.implicits._
     val docs = Seq((1L, "The cat sat. The dog ran!")).toDF("doc_id", "text")
