@@ -233,6 +233,29 @@ object QueriesCore {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
+    // TPC-H Q19 shape — a disjunction of brand/size/quantity branch
+    // predicates over an equi-join: the optimizer must split the OR into
+    // its part-only and lineitem-only projections and push BOTH to the
+    // scans (each branch's conjuncts union into a per-side filter), so the
+    // join sees pre-filtered inputs instead of filtering after the fact —
+    // at 100 TB the difference between scanning 3 brands and scanning the
+    // whole part table. PlansSpec locks the pushed Or on the part scan.
+    "q19_disjunctive_revenue" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val p = part(s, d)
+      val branch1 = col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+      val branch2 = col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+      val branch3 = col("p_brand") === "Brand#34" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(branch1 || branch2 || branch3)
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double"), 2).as("revenue"))
+    }),
+
     // heavy-hitters sketch over an unbounded-domain column (approximate
     // lower-bound counts by construction → rows-only check)
     "a4b_heavy_hitters" -> ((s, d) =>
@@ -1148,6 +1171,18 @@ object QueriesCore {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_totalprice > 430000)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT COUNT(*) AS n_lines,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "s2_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -1150,6 +1150,36 @@ object QueriesScale {
       StreamingOps.sessionize(events(s, d), "10 minutes")
         .orderBy(col("user_id"), col("session_start"))),
 
+    // funnel conversion over the event log: per user, the earliest view,
+    // the earliest click strictly after it, the earliest purchase strictly
+    // after that — three conditional-min window passes over ONE user-keyed
+    // exchange (same partitioning reused), then a per-user stage verdict
+    // and a tiny stage-count rollup. Integer microsecond comparisons →
+    // bit-exact oracle.
+    "st11_funnel_conversion" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      val us = unix_micros(col("ts"))
+      events(s, d)
+        .select(col("user_id"), col("event_type"), us.as("us"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" &&
+            col("us") > col("t_view"), col("us"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" &&
+            col("us") > col("t_click"), col("us"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(col("t_view")).as("tv"), min(col("t_click")).as("tc"),
+          min(col("t_purchase")).as("tp"))
+        .select(when(col("tp").isNotNull, "3_purchased")
+          .when(col("tc").isNotNull, "2_clicked")
+          .when(col("tv").isNotNull, "1_viewed")
+          .otherwise("0_none").as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage"))
+    }),
+
     // behavioral-sequence construction: per-user gap-sessionized
     // event-type sequences — the logs→training-examples step of a
     // next-event-prediction dataset. lag/cumsum session numbering and the
@@ -2184,6 +2214,30 @@ object QueriesScale {
       """SELECT doc_id, lang,
         |       ROW_NUMBER() OVER (ORDER BY doc_id) AS row_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "st11_funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |f AS (SELECT *,
+        |    MIN(CASE WHEN event_type = 'view' THEN us END)
+        |      OVER (PARTITION BY user_id) AS t_view FROM e),
+        |g AS (SELECT *,
+        |    MIN(CASE WHEN event_type = 'click' AND us > t_view
+        |             THEN us END)
+        |      OVER (PARTITION BY user_id) AS t_click FROM f),
+        |h AS (SELECT *,
+        |    MIN(CASE WHEN event_type = 'purchase' AND us > t_click
+        |             THEN us END)
+        |      OVER (PARTITION BY user_id) AS t_purchase FROM g),
+        |u AS (SELECT user_id, MIN(t_view) AS tv, MIN(t_click) AS tc,
+        |             MIN(t_purchase) AS tp
+        |      FROM h GROUP BY user_id)
+        |SELECT CASE WHEN tp IS NOT NULL THEN '3_purchased'
+        |            WHEN tc IS NOT NULL THEN '2_clicked'
+        |            WHEN tv IS NOT NULL THEN '1_viewed'
+        |            ELSE '0_none' END AS stage,
+        |       COUNT(*) AS n_users
+        |FROM u GROUP BY stage ORDER BY stage""".stripMargin,
 
     "st5_user_sequences" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

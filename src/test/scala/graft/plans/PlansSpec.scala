@@ -85,6 +85,18 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("q19: the branch disjunction pushes per-side filters to both scans") {
+    val plan = planOf("q19_disjunctive_revenue")
+    // the OR of (brand ∧ size ∧ qty) branches must project into per-side
+    // disjunctions reaching BOTH parquet scans (brand/size on part,
+    // quantity ranges on lineitem), not a post-join residual filter
+    assert(plan.contains("Or(Or(And(EqualTo(p_brand"), plan.take(3000))
+    assert(plan.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("q18: the quantity rollup aggregates lineitem before any join") {
     // the optimized plan must place the Aggregate under the Join, so only
     // the ~1% HAVING survivors participate in the orders/customer joins
