@@ -698,6 +698,40 @@ object QueriesScale {
         .limit(100)
     }),
 
+    // incremental aggregate maintenance: the corpus splits into a base
+    // snapshot and a delta batch, each aggregated independently, and the
+    // REFRESH is a merge of the two partial states (sum-of-counts,
+    // sum-of-sums) — never a recompute over base. The oracle aggregates
+    // the full corpus directly, so the hash match proves merge ≡
+    // recompute (decomposability), the property incremental view
+    // maintenance at 100 TB rests on.
+    "a10_incremental_agg" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val aggOf = (df: DataFrame) => df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      aggOf(docs.filter(col("doc_id") % 10 =!= 0))
+        .unionByName(aggOf(docs.filter(col("doc_id") % 10 === 0)))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("chars")).as("chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // fuzzy matching (record linkage): q-gram-filtered edit-distance
+    // pairs over part names with deterministic injected typos — the
+    // candidate index is char-2-gram buckets, exact levenshtein runs only
+    // on candidates, and the q-gram bound makes the result EXACT (the
+    // all-pairs DuckDB oracle agrees).
+    "dd18_fuzzy_pairs" -> ((s, d) => {
+      val p = part(s, d).select(col("p_partkey").cast("long").as("id"),
+        col("p_name").as("name"))
+      val typos = p.filter(col("id") % 50 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(lit("x"), substring(col("name"), 2, 100000)).as("name"))
+      Dedup.editDistancePairs(p.unionByName(typos), "id", "name",
+          maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // encoding-noise gate: the corpus is synthetically clean, so a
     // deterministic mojibake tail (U+FFFD pair every 7th doc, a BEL
     // control char every 11th) is appended before the scan — the oracle
@@ -2069,6 +2103,26 @@ object QueriesScale {
         |  COUNT(*) AS n_tokens
         |FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "a10_incremental_agg" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "dd18_fuzzy_pairs" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS id, p_name AS name FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000, 'x' || substr(p_name, 2)
+        |  FROM part WHERE p_partkey % 50 = 0),
+        |e AS (SELECT id, name FROM base WHERE length(name) >= 6)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM e a JOIN e b
+        |  ON a.id < b.id
+        | AND abs(length(a.name) - length(b.name)) <= 2
+        | AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "ts18_encoding_quality" ->
       """WITH noisy AS (SELECT doc_id,

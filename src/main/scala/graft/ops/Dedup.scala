@@ -340,6 +340,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Edit-distance pair matching (record linkage / fuzzy title dedup) via
+    * q-gram filtering: candidate pairs come from a capped char-2-gram
+    * inverted index, and the exact `levenshtein` runs ONLY on candidates —
+    * never all pairs. Completeness is the classic q-gram bound: strings
+    * within edit distance k share ≥ max(m,n) − 1 − q·k 2-grams, so with
+    * the `length ≥ 2·maxDist + 2` floor (applied to both sides — shorter
+    * strings are out of scope, symmetrically with the oracle) every true
+    * pair shares at least one distinct gram and is generated. Pair ids are
+    * deduped before the strings join back BY ID (strings never ride
+    * through the gram buckets), then the distance filter runs once per
+    * candidate pair. `maxBucket` bounds degenerate gram buckets like every
+    * bucket op here — far above any real 2-gram frequency at this scale,
+    * a documented completeness trade past it.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 2, maxBucket: Int = 100000): DataFrame = {
+    val eligible = df
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) >= 2 * maxDist + 2)
+    val grams = eligible.select(col("id"),
+      explode(array_distinct(expr(
+        "transform(sequence(1, length(s) - 1), i -> substr(s, i, 2))")))
+        .as("gram"))
+    val pairs = grams
+      .groupBy(col("gram"))
+      .agg(graft.functions.BoundedCollect(col("id"), maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, " +
+          "b -> struct(a AS id_a, b AS id_b)))), " +
+          "p -> p.id_a < p.id_b)")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    pairs
+      .join(eligible.select(col("id").as("id_a"), col("s").as("s_a")),
+        "id_a")
+      .join(eligible.select(col("id").as("id_b"), col("s").as("s_b")),
+        "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** Non-overlapping chunks of `w` whitespace words as an array column —
     * the "line" unit for line-level ops on newline-free corpora.
     */

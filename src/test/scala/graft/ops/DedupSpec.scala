@@ -505,4 +505,36 @@ class DedupSpec extends SparkSpec {
     assert(got(10L)._1 == got(11L)._1)
     assert(got(1L)._1 != got(10L)._1)
   }
+
+  test("editDistancePairs finds exactly the within-distance pairs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hello"), (2L, "hallo"), (3L, "help"), (4L, "xyzzy"),
+      (5L, "hi")) // below the 2k+2 length floor → out of scope
+      .toDF("id", "name")
+    val got = Dedup.editDistancePairs(df, "id", "name", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only hello↔hallo is within distance 1; help is 2 edits from hello,
+    // xyzzy shares no grams, hi is shorter than the floor
+    assert(got.toSeq == Seq((1L, 2L, 1L)), got.toSeq)
+    // candidate filtering must not lose a pair the q-gram bound admits:
+    // exhaustive check on a small random-ish set vs a driver-side oracle
+    val rows = (0L until 30L).map(i =>
+      (i, s"prefix${i % 7}suffix${(i * 13) % 5}"))
+    val big = rows.toDF("id", "name")
+    val exp = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = {
+        val m = Array.tabulate(sa.length + 1, sb.length + 1) { (x, y) =>
+          if (x == 0) y else if (y == 0) x else 0 }
+        for (x <- 1 to sa.length; y <- 1 to sb.length)
+          m(x)(y) = math.min(math.min(m(x - 1)(y) + 1, m(x)(y - 1) + 1),
+            m(x - 1)(y - 1) + (if (sa(x - 1) == sb(y - 1)) 0 else 1))
+        m(sa.length)(sb.length)
+      } if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    val gotBig = Dedup.editDistancePairs(big, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotBig == exp, s"missing=${exp -- gotBig} extra=${gotBig -- exp}")
+  }
 }
