@@ -698,6 +698,23 @@ object QueriesScale {
         .limit(100)
     }),
 
+    // CDC compaction (latest-version resolution): each (user, event_type)
+    // keeps only its newest record — row_number over a key-partitioned
+    // desc-time window, which Spark executes as WindowGroupLimit (partial
+    // top-1 below the shuffle, the upsert-compaction shape a lakehouse
+    // MERGE runs at every ingest). Ties broken by event_id desc.
+    "dd19_latest_version" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("latest_ts"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // incremental aggregate maintenance: the corpus splits into a base
     // snapshot and a delta batch, each aggregated independently, and the
     // REFRESH is a merge of the two partial states (sum-of-counts,
@@ -2103,6 +2120,17 @@ object QueriesScale {
         |  COUNT(*) AS n_tokens
         |FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "dd19_latest_version" ->
+      """WITH r AS (SELECT user_id, event_type, event_id, ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id,
+        |       strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+        |       ROUND(value, 4) AS value
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "a10_incremental_agg" ->
       """SELECT lang, COUNT(*) AS n_docs,
