@@ -698,6 +698,42 @@ object QueriesScale {
         .limit(100)
     }),
 
+    // triangle census of the dup-candidate graph (dd10's edge relation):
+    // triangle-dense neighborhoods are genuine boilerplate families,
+    // triangle-free stars are hot-shingle false positives — the structure
+    // check run before trusting transitive-closure merges. Degree-oriented
+    // wedge join, exactly-once counting.
+    "dd20_triangle_count" -> ((s, d) =>
+      Dedup.triangleCount(
+        Dedup.gramCandidatePairs(fanOut(documents(s, d)),
+          "doc_id", "text", Seq("lang", "source"), 3, maxDocFreq = 64),
+        "doc_a", "doc_b")),
+
+    // constraint audit (Deequ-style expectations): every rule evaluated in
+    // ONE scan as conditional partial aggregates, then unpivoted to a
+    // (rule, n) report row per expectation — the data-contract gate a
+    // 100 TB ingest runs before publishing a snapshot.
+    "a11_constraint_audit" -> ((s, d) =>
+      lineitem(s, d).agg(
+          count(lit(1)).as("rows_total"),
+          sum(when(col("l_quantity") <= 0 || col("l_quantity") > 45, 1L)
+            .otherwise(0L)).as("qty_out_of_range"),
+          sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+            .as("price_nonpos"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.05, 1L)
+            .otherwise(0L)).as("discount_gt5pct"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+            .as("shipdate_null"),
+          sum(when(not(col("l_returnflag").isin("A", "N", "R")), 1L)
+            .otherwise(0L)).as("returnflag_invalid"))
+        .select(expr("stack(6, 'rows_total', rows_total, " +
+          "'qty_out_of_range', qty_out_of_range, " +
+          "'price_nonpos', price_nonpos, " +
+          "'discount_gt5pct', discount_gt5pct, " +
+          "'shipdate_null', shipdate_null, " +
+          "'returnflag_invalid', returnflag_invalid) AS (rule, n)"))
+        .orderBy(col("rule"))),
+
     // CDC compaction (latest-version resolution): each (user, event_type)
     // keeps only its newest record — row_number over a key-partitioned
     // desc-time window, which Spark executes as WindowGroupLimit (partial
@@ -2120,6 +2156,53 @@ object QueriesScale {
         |  COUNT(*) AS n_tokens
         |FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "dd20_triangle_count" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |hot AS (
+        |  SELECT lang, source, gram FROM grams
+        |  GROUP BY lang, source, gram HAVING COUNT(*) > 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM grams a JOIN grams b
+        |    ON a.gram = b.gram AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |    WHERE h.lang = a.lang AND h.source = a.source
+        |      AND h.gram = a.gram))
+        |SELECT COUNT(*) AS n_triangles
+        |FROM pairs e1
+        |JOIN pairs e2 ON e2.src = e1.dst
+        |JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+        .stripMargin,
+
+    "a11_constraint_audit" ->
+      """WITH a AS (SELECT COUNT(*) AS rows_total,
+        |    COUNT(*) FILTER (l_quantity <= 0 OR l_quantity > 45)
+        |      AS qty_out_of_range,
+        |    COUNT(*) FILTER (l_extendedprice <= 0) AS price_nonpos,
+        |    COUNT(*) FILTER (l_discount < 0 OR l_discount > 0.05)
+        |      AS discount_gt5pct,
+        |    COUNT(*) FILTER (l_shipdate IS NULL) AS shipdate_null,
+        |    COUNT(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R'))
+        |      AS returnflag_invalid
+        |  FROM lineitem)
+        |SELECT rule, n FROM (
+        |  SELECT 'rows_total' AS rule, rows_total AS n FROM a
+        |  UNION ALL SELECT 'qty_out_of_range', qty_out_of_range FROM a
+        |  UNION ALL SELECT 'price_nonpos', price_nonpos FROM a
+        |  UNION ALL SELECT 'discount_gt5pct', discount_gt5pct FROM a
+        |  UNION ALL SELECT 'shipdate_null', shipdate_null FROM a
+        |  UNION ALL SELECT 'returnflag_invalid', returnflag_invalid FROM a)
+        |ORDER BY rule""".stripMargin,
 
     "dd19_latest_version" ->
       """WITH r AS (SELECT user_id, event_type, event_id, ts, value,

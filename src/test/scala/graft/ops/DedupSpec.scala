@@ -506,6 +506,18 @@ class DedupSpec extends SparkSpec {
     assert(got(1L)._1 != got(10L)._1)
   }
 
+  test("triangleCount: K4 has 4, a star has 0, duplicates don't inflate") {
+    import spark.implicits._
+    // K4 on 1..4 (4 triangles) + star 10-{11,12,13} (0 triangles), with
+    // reversed and duplicated edges to exercise normalization
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val star = Seq((10L, 11L), (12L, 10L), (10L, 13L), (11L, 10L))
+    val edges = (k4 ++ star ++ k4.map(_.swap)).toDF("doc_a", "doc_b")
+    val n = Dedup.triangleCount(edges, "doc_a", "doc_b")
+      .collect().head.getLong(0)
+    assert(n == 4L, s"expected 4 triangles, got $n")
+  }
+
   test("editDistancePairs finds exactly the within-distance pairs") {
     import spark.implicits._
     val df = Seq(
