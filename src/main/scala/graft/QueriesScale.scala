@@ -1165,6 +1165,41 @@ object QueriesScale {
           array_max(col("codes")).as("code_max"))
         .orderBy(col("vec_id"))),
 
+    // IVF tuning telemetry: recall@5 vs nprobe ∈ {1, 2, 4} against the
+    // brute-force truth — the scan-fraction/recall trade an operator reads
+    // before fixing nprobe on a 100 TB deployment. The enforced verdict is
+    // STRUCTURAL, not a flaky floor: widening the probe set can only add
+    // candidates, so recall must be non-decreasing in nprobe (and the
+    // curve is emitted for the report).
+    "sim15_nprobe_curve" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val clustered = emb.join(
+        Similarity.kmeansAssign(emb, "vec_id", "embedding",
+          k = 10, iters = 2), "vec_id")
+      val queries = emb.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBf = bf.count().toDouble
+      val recalls = Seq(1, 2, 4).map { np =>
+        val ivf = Similarity.ivfTopK(clustered, queries, "vec_id",
+          "embedding", "cluster", 5, np)
+        val nHit = bf.join(ivf.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+        np -> nHit / nBf
+      }
+      import s.implicits._
+      recalls.map { case (np, r) =>
+        (np, BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }.toDF("nprobe", "recall")
+        .withColumn("monotone_ok",
+          lit(recalls.sliding(2).forall(w => w(0)._2 <= w(1)._2 + 1e-9)))
+        .withColumn("equal", col("monotone_ok"))
+        .orderBy(col("nprobe"))
+    }),
+
     // SQ8 ADC serving path: corpus scanned as int8 codes (4× narrower),
     // scored by midpoint reconstruction against exact float queries
     // (asymmetric distance), recall@5 vs brute force as the enforced

@@ -141,6 +141,8 @@ class PlansSpec extends SparkSpec {
     "sim9_persisted_ann", "sim10_filtered_ann",
     // ADC brute-force scan + exact baseline, both × broadcast queries
     "sim14_sq_adc",
+    // brute-force truth + per-nprobe centroid probes × broadcast queries
+    "sim15_nprobe_curve",
     // 1-row × 1-row accounting combinations over streamed-vs-batch counts
     "st2b_stream_batch_equiv", "st4b_interval_join_stream_equiv",
     "st9_stream_static_enrich", "st10_stream_decontam",
