@@ -392,6 +392,12 @@ object Dedup {
     * candidate pair. `maxBucket` bounds degenerate gram buckets like every
     * bucket op here — far above any real 2-gram frequency at this scale,
     * a documented completeness trade past it.
+    *
+    * At corpus scale run EXACT dedup ([[exactDedup]]/canonicalized) first:
+    * a string duplicated n times contributes O(n²) distance-0 pairs from
+    * every shared gram bucket, and those pairs carry no linkage signal the
+    * exact pass didn't already have. This op is the fuzzy RESIDUAL matcher
+    * over distinct strings.
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 2, maxBucket: Int = 100000): DataFrame = {
