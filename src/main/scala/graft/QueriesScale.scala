@@ -709,6 +709,29 @@ object QueriesScale {
           "doc_id", "text", Seq("lang", "source"), 3, maxDocFreq = 64),
         "doc_a", "doc_b")),
 
+    // k-anonymity audit over quasi-identifiers: every (lang, source,
+    // length-bucket) equivalence class is sized, and classes below k=5
+    // are the re-identification risk a corpus release report must carry.
+    // One corpus scan + two small-key aggregates (class sizes, then the
+    // four-number report); fixed-width 200-char buckets capped at 9 keep
+    // the bucketing data-independent, so the report replays bit-exact.
+    "a12_k_anonymity" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+        .select(col("lang"), col("source"),
+          (least(floor(col("n_chars") / lit(200)), lit(9)))
+            .cast("long").as("len_bucket"))
+      val classes = docs.groupBy(col("lang"), col("source"),
+          col("len_bucket"))
+        .agg(count(lit(1)).as("class_size"))
+      classes.agg(
+          count(lit(1)).as("n_classes"),
+          min(col("class_size")).as("min_class_size"),
+          sum(when(col("class_size") < 5, 1L).otherwise(0L))
+            .as("classes_below_k5"),
+          sum(when(col("class_size") < 5, col("class_size"))
+            .otherwise(0L)).as("rows_at_risk"))
+    }),
+
     // constraint audit (Deequ-style expectations): every rule evaluated in
     // ONE scan as conditional partial aggregates, then unpivoted to a
     // (rule, n) report row per expectation — the data-contract gate a
@@ -2254,6 +2277,21 @@ object QueriesScale {
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "a12_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT lang, source,
+        |         LEAST(CAST(FLOOR(n_chars / 200) AS BIGINT), 9)
+        |           AS len_bucket,
+        |         COUNT(*) AS class_size
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |       CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+        |       CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS classes_below_k5,
+        |       CAST(SUM(CASE WHEN class_size < 5 THEN class_size
+        |                     ELSE 0 END) AS BIGINT) AS rows_at_risk
+        |FROM c""".stripMargin,
 
     "dd18_fuzzy_pairs" ->
       """WITH base AS (
