@@ -256,6 +256,150 @@ object QueriesCore {
             .cast("decimal(18,6)")).cast("double"), 2).as("revenue"))
     }),
 
+    // TPC-H Q7 shape: volume shipping between a nation pair by year —
+    // the fact joins shuffle on their keys (supplier⋈lineitem⋈orders⋈
+    // customer), both nation lookups are broadcast, and the pair filter
+    // applies to the BROADCAST sides so the big joins see pre-filtered
+    // dimensions (supplier/customer rows outside the two nations drop at
+    // the map side, not after the 4-way join).
+    "q7_volume_shipping" -> ((s, d) => {
+      val n1 = broadcast(nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      val sup = supplier(s, d).join(n1, col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = customer(s, d).join(n2, col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double"), 2).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape: national market share inside a region for one part
+    // type — the classic conditional-share aggregate over a 6-way join.
+    // Region/nation are broadcast; part is filtered to one type BEFORE
+    // its join (scan-side predicate), so the lineitem⋈part join is the
+    // first thing that shrinks the fact table.
+    "q8_market_share" -> ((s, d) => {
+      val asiaNations = broadcast(nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cust_nk")))
+      val suppWithNation = supplier(s, d)
+        .join(broadcast(nation(s, d)
+          .select(col("n_nationkey").as("supp_nk"),
+            col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("supp_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val promoParts = part(s, d).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")
+      lineitem(s, d)
+        .join(promoParts, col("l_partkey") === col("p_partkey"))
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(asiaNations, col("c_nationkey") === col("cust_nk"))
+        .join(suppWithNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round((sum(when(col("supp_nation") === "NATION_7", vol)
+            .otherwise(lit(0).cast("decimal(18,6)"))) * 100 / sum(vol))
+          .cast("double"), 4).as("mkt_share_pct"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution — a LEFT join
+    // (customers with zero orders must survive) aggregated twice: first
+    // per customer (map-side combinable on the join key), then the tiny
+    // count-of-counts census. The priority exclusion plays Q13's comment
+    // filter and is pushed to the orders scan.
+    "q13_custdist" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      customer(s, d).select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 shape: top revenue supplier(s) — the per-supplier revenue
+    // view joined against its own MAX as a one-row broadcast (decimal
+    // sums, so the equality is exact, not floating). At 100 TB the view
+    // aggregates the fact table down to |supplier| rows before anything
+    // joins; the max is a second pass over that small relation, never
+    // over lineitem.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.join(broadcast(top), col("total_rev") === col("max_rev"))
+        .join(supplier(s, d).select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_rev").cast("double"), 2).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q21 shape (adapted: lateness = shipped >60 days after the
+    // order date, since this schema carries no commit/receipt dates):
+    // suppliers who were the ONLY late supplier on a multi-supplier
+    // finalized order. The textbook EXISTS/NOT-EXISTS phrasing re-derives
+    // the late relation for the anti side — two lineitem⋈orders passes —
+    // so this computes the equivalent per-order census in ONE pass:
+    // distinct suppliers and distinct LATE suppliers aggregate together
+    // over the same l_orderkey shuffle, and the (n_late = 1 AND
+    // n_supp ≥ 2) filter replays both subqueries from the census row.
+    "q21_waiting_suppliers" -> ((s, d) => {
+      val o = orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lines = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late", col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("is_late"))
+      val census = lines
+        .groupBy(col("l_orderkey"))
+        .agg(count_distinct(col("l_suppkey")).as("n_supp"),
+          count_distinct(when(col("is_late"), col("l_suppkey")))
+            .as("n_late"),
+          max(when(col("is_late"), col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_late") === 1 && col("n_supp") >= 2)
+      census
+        .join(supplier(s, d).select(col("s_suppkey"), col("s_name")),
+          col("late_supp") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(25)
+    }),
+
     // heavy-hitters sketch over an unbounded-domain column (approximate
     // lower-bound counts by construction → rows-only check)
     "a4b_heavy_hitters" -> ((s, d) =>
@@ -1183,6 +1327,87 @@ object QueriesCore {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+        |        THEN CAST(l_extendedprice * (1 - l_discount)
+        |             AS DECIMAL(18,6))
+        |        ELSE CAST(0 AS DECIMAL(18,6)) END) * 100
+        |    / SUM(CAST(l_extendedprice * (1 - l_discount)
+        |          AS DECIMAL(18,6))) AS DOUBLE), 4) AS mkt_share_pct
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_custdist" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount)
+        |             AS DECIMAL(18,6))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |       ROUND(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey LIMIT 25""".stripMargin,
 
     "s2_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
