@@ -1295,6 +1295,50 @@ object QueriesScale {
       StreamingOps.sessionize(events(s, d), "10 minutes")
         .orderBy(col("user_id"), col("session_start"))),
 
+    // weekly cohort retention: the product-analytics staple — users are
+    // cohorted by first-active week and counted per week offset. The
+    // (user, week) activity distinct, the per-user cohort min, and the
+    // join-back all shuffle on user_id — ONE partitioning reused across
+    // all three — and only the tiny (cohort, offset) census leaves it.
+    // Week truncation is engine-neutral (ISO Monday in both), offsets are
+    // exact day multiples of 7 → full oracle.
+    "ev1_cohort_retention" -> ((s, d) => {
+      val activity = events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val cohort = activity.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort"))
+      activity.join(cohort, "user_id")
+        .groupBy(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("long")
+            .as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // inter-arrival gaps per (user, event_type) stream: one user-keyed
+    // window shuffle computes every lag delta in integer microseconds,
+    // then a small per-type census (count/min/max/sum — all exact
+    // integers, no floating aggregates to drift). The (ts, event_id)
+    // tie-broken ordering makes the lag deterministic under equal
+    // timestamps → full oracle.
+    "ev2_interarrival" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          sum(col("gap_us")).as("sum_gap_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // funnel conversion over the event log: per user, the earliest view,
     // the earliest click strictly after it, the earliest purchase strictly
     // after that — three conditional-min window passes over ONE user-keyed
@@ -2452,6 +2496,30 @@ object QueriesScale {
       """SELECT doc_id, lang,
         |       ROW_NUMBER() OVER (ORDER BY doc_id) AS row_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ev1_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    date_trunc('week', ts::TIMESTAMP) AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort FROM a GROUP BY 1)
+        |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', c.cohort, a.wk) / 7 AS BIGINT)
+        |         AS week_offset,
+        |       COUNT(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev2_interarrival" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts::TIMESTAMP) - LAG(epoch_us(ts::TIMESTAMP)) OVER
+        |      (PARTITION BY user_id, event_type
+        |       ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+        |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+        |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "st11_funnel_conversion" ->
       """WITH e AS (SELECT user_id, event_type,
