@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Bpe, Dedup, TextOps, Similarity, Multimodal, Sampling}
+import graft.ops.{Bpe, Dedup, Layout, TextOps, Similarity, Multimodal, Sampling}
 import graft.streaming.StreamingOps
 
 /** Training-data-pipeline operator catalog: deduplication, similarity
@@ -675,6 +675,23 @@ object QueriesScale {
             .as("n_tokens"))
         .orderBy(col("split"), col("lang"))),
 
+    // Z-order layout audit: orders clustered on (order-date bucket,
+    // customer hash bucket) via Morton interleave — the
+    // OPTIMIZE-ZORDER-BY layout a lakehouse table maintains so filters on
+    // EITHER dimension skip files. The key is row-local bit arithmetic
+    // (codegen, no shuffle); only the 64-row per-file zone-map audit
+    // aggregates. Date buckets are range-preserving (locality), the
+    // customer dimension is modulo-bucketed (hash-dim pattern). Full
+    // oracle: the same interleave expression replays in SQL.
+    "tp19_zorder_layout" -> ((s, d) => {
+      val bx = least(floor(
+        datediff(col("o_orderdate"), lit("1995-01-01")) / 16), lit(255))
+        .cast("long")
+      val by = (col("o_custkey") % 256).cast("long")
+      Layout.zOrderAudit(orders(s, d), bx, by, bits = 8, fileShift = 10)
+        .orderBy(col("file_id"))
+    }),
+
     // contiguous id assignment: dense 1..N row ids in global key order
     // WITHOUT a corpus-wide single-task window — range partition + local
     // sort, per-partition counts, broadcast running offsets, partition-
@@ -790,6 +807,32 @@ object QueriesScale {
         .groupBy(col("lang"))
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("chars")).as("chars"))
         .orderBy(col("lang"))
+    }),
+
+    // OOV rate against the corpus's own top-K vocabulary — the tokenizer
+    // health check run before committing to a vocab size: tokens outside
+    // the head get byte-split by a subword tokenizer, so per-doc OOV rate
+    // predicts token inflation. The vocab is a distributed top-K
+    // (orderBy+limit plans as TakeOrdered — never a driver collect) and
+    // joins back as a broadcast; the frequency→term tie-break makes the
+    // cut deterministic → full oracle.
+    "ts19_oov_rate" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      val vocab = toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(16)
+        .select(col("term"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+            .as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 4))
+        .orderBy(col("doc_id"))
     }),
 
     // fuzzy matching (record linkage): q-gram-filtered edit-distance
@@ -2491,6 +2534,42 @@ object QueriesScale {
       """SELECT doc_id,
         |       (doc_id * 2654435761) % 4294967296 AS sort_key
         |FROM documents ORDER BY sort_key, doc_id LIMIT 100""".stripMargin,
+
+    "tp19_zorder_layout" -> {
+      // the same Morton interleave as Layout.zOrderKey(bits = 8),
+      // generated so the two expressions cannot drift
+      val interleave = (0 until 8).flatMap(i => Seq(
+        s"(((b1 >> $i) & 1) << ${2 * i})",
+        s"(((b2 >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT LEAST(CAST(FLOOR(date_diff('day',
+         |           TIMESTAMP '1995-01-01', o_orderdate) / 16)
+         |           AS BIGINT), 255) AS b1,
+         |         o_custkey % 256 AS b2
+         |  FROM orders),
+         |z AS (SELECT b1, b2, ($interleave) AS zv FROM b)
+         |SELECT CAST(zv >> 10 AS BIGINT) AS file_id,
+         |       COUNT(*) AS n_rows,
+         |       CAST(MIN(b1) AS BIGINT) AS min_x,
+         |       CAST(MAX(b1) AS BIGINT) AS max_x,
+         |       CAST(MIN(b2) AS BIGINT) AS min_y,
+         |       CAST(MAX(b2) AS BIGINT) AS max_y
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "ts19_oov_rate" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |v AS (SELECT term FROM toks GROUP BY term
+        |      ORDER BY COUNT(*) DESC, term LIMIT 16)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_oov,
+        |  ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |    / COUNT(*), 4) AS oov_rate
+        |FROM toks LEFT JOIN v ON toks.term = v.term
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "tp18_assign_ids" ->
       """SELECT doc_id, lang,
