@@ -851,6 +851,25 @@ object QueriesScale {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Jaro-Winkler record linkage: every 40th part name gets a re-keyed
+    // copy with its last two chars transposed — the transposition typo
+    // Jaro-Winkler is built for (levenshtein distance 2, so dd18's ≤2
+    // band barely holds it; JW scores it ≈0.99). Char-2-gram blocking +
+    // the native codegen scorer; the oracle replays the SAME blocking and
+    // DuckDB's own jaro_winkler_similarity, bit-aligned with the native
+    // expression (JaroWinklerAlgo pins the float op order).
+    "dd21_jw_linkage" -> ((s, d) => {
+      val p = part(s, d).select(col("p_partkey").cast("long").as("id"),
+        col("p_name").as("name"))
+      val typos = p.filter(col("id") % 40 === 0)
+        .select((col("id") + 2000000L).as("id"),
+          expr("concat(substr(name, 1, length(name) - 2), " +
+            "reverse(substr(name, length(name) - 1, 2)))").as("name"))
+      Dedup.jaroWinklerPairs(p.unionByName(typos), "id", "name",
+          minSim = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // encoding-noise gate: the corpus is synthetically clean, so a
     // deterministic mojibake tail (U+FFFD pair every 7th doc, a BEL
     // control char every 11th) is appended before the scan — the oracle
@@ -2393,6 +2412,28 @@ object QueriesScale {
         |  ON a.id < b.id
         | AND abs(length(a.name) - length(b.name)) <= 2
         | AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd21_jw_linkage" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS id, p_name AS name FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 2000000,
+        |         substr(p_name, 1, length(p_name) - 2)
+        |           || reverse(substr(p_name, length(p_name) - 1, 2))
+        |  FROM part WHERE p_partkey % 40 = 0),
+        |e AS (SELECT id, name FROM base WHERE length(name) >= 6),
+        |g AS (SELECT id, unnest(list_distinct(list_transform(
+        |        range(1, length(name)), i -> substr(name, i, 2))))
+        |        AS gram FROM e),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |         FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id)
+        |SELECT id_a, id_b,
+        |       ROUND(jaro_winkler_similarity(ea.name, eb.name), 4) AS jw
+        |FROM cand
+        |JOIN e ea ON id_a = ea.id
+        |JOIN e eb ON id_b = eb.id
+        |WHERE jaro_winkler_similarity(ea.name, eb.name) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
     "ts18_encoding_quality" ->

@@ -428,6 +428,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** Jaro-Winkler record linkage over char-2-gram blocking: candidate
+    * pairs share at least one 2-gram (the same inverted-index bucket
+    * machinery as [[editDistancePairs]], `maxBucket`-capped), scored with
+    * the native [[graft.functions.JaroWinkler]] expression and kept at
+    * `minSim`. Unlike the q-gram count bound for edit distance, 2-gram
+    * blocking carries no completeness guarantee for a similarity RATIO —
+    * blocking here is part of the operator's CONTRACT (as in every
+    * production linkage system), and the oracle replays the SAME blocking
+    * in SQL, so the relation is exactly reproducible. Scale shape:
+    * explode → capped bucket groupBy → in-task pair emission → two id
+    * joins; the scorer itself is row-local codegen.
+    */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+      minSim: Double = 0.9, minLen: Int = 6, maxBucket: Int = 100000)
+  : DataFrame = {
+    val eligible = df
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) >= minLen)
+    val grams = eligible.select(col("id"),
+      explode(array_distinct(expr(
+        "transform(sequence(1, length(s) - 1), i -> substr(s, i, 2))")))
+        .as("gram"))
+    val pairs = grams
+      .groupBy(col("gram"))
+      .agg(graft.functions.BoundedCollect(col("id"), maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, " +
+          "b -> struct(a AS id_a, b AS id_b)))), " +
+          "p -> p.id_a < p.id_b)")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    pairs
+      .join(eligible.select(col("id").as("id_a"), col("s").as("s_a")),
+        "id_a")
+      .join(eligible.select(col("id").as("id_b"), col("s").as("s_b")),
+        "id_b")
+      .withColumn("jw",
+        graft.functions.JaroWinkler(col("s_a"), col("s_b")))
+      .filter(col("jw") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("jw"), 4).as("jw"))
+  }
+
   /** Non-overlapping chunks of `w` whitespace words as an array column —
     * the "line" unit for line-level ops on newline-free corpora.
     */

@@ -185,4 +185,39 @@ class FunctionsSpec extends SparkSpec {
     assert(m.contains("x"))
     assert(m("x") >= 40 - 25)
   }
+
+  test("jaro_winkler matches the published reference values") {
+    // classic pairs from Winkler's papers; exact doubles from the
+    // DuckDB-parity arithmetic (see JaroWinklerAlgo scaladoc)
+    assert(JaroWinklerAlgo.similarity("MARTHA", "MARHTA") ==
+      (0.9444444444444445 + 3 * 0.1 * (1.0 - 0.9444444444444445)))
+    assert(JaroWinklerAlgo.similarity("DIXON", "DICKSONX") ==
+      (0.7666666666666666 + 2 * 0.1 * (1.0 - 0.7666666666666666)))
+    assert(JaroWinklerAlgo.similarity("abc", "abc") == 1.0)
+    assert(JaroWinklerAlgo.similarity("", "") == 0.0)
+    assert(JaroWinklerAlgo.similarity("abc", "") == 0.0)
+    assert(JaroWinklerAlgo.similarity("abc", "xyz") == 0.0)
+  }
+
+  test("jaro_winkler expression: codegen equals interpreted eval") {
+    val df = Seq(("martha", "marhta"), ("part_green_steel", "part_green_stel"),
+      ("abcd", "abcd"), ("a", "b")).toDF("s1", "s2")
+    val rows = df.select(col("s1"), col("s2"),
+      JaroWinkler(col("s1"), col("s2")).as("jw")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) ==
+        JaroWinklerAlgo.similarity(r.getString(0), r.getString(1)))
+    }
+    // null propagation
+    val n = Seq((Some("x"), None: Option[String])).toDF("s1", "s2")
+      .select(JaroWinkler(col("s1"), col("s2"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("jaro_winkler registered for SQL via function registry") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS j")
+      .collect().head.getDouble(0)
+    assert(got == JaroWinklerAlgo.similarity("martha", "marhta"))
+  }
 }
