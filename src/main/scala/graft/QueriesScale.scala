@@ -183,34 +183,45 @@ object QueriesScale {
     // → one component. equal=false withholds the dump (Verify).
     "dd15_minhash_dedup" -> ((s, d) => {
       val docs = fanOut(documents(s, d)).select(col("doc_id"), col("text"))
-      // corpus feeds the signature pipeline, the component join, the
-      // exact-group check and two accounting aggregates — persist so the
-      // scan+union runs once, not per reference
+      // corpus feeds the signature pipeline and the hashed accounting
+      // relation — persist so the scan+union runs once, not per reference
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // signatures are the expensive stage (shingle + 64 hashes per doc)
+      // and feed THREE consumers — the band build and both sides of the
+      // estimate join — so they materialize once (~24 B × 64 per doc,
+      // far smaller than the corpus), not three times
       val sig = Dedup.barrier(
         Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 64), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = Dedup.lshBands(sig, "doc_id", 16, 4)
       val edges = Dedup.estimateJaccard(
           Dedup.lshCandidatePairs(bands, "doc_id"), sig, "doc_id", 64)
         .filter(col("est_jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"))
       val comps = Dedup.connectedComponents(edges, "id_a", "id_b")
+      // the exact-group census keys on an 8-byte content hash, not the
+      // raw text: identical text → identical hash, so the verdict is
+      // unchanged (64-bit collisions are the usual negligible risk), and
+      // the groupBy shuffles 24-byte rows instead of whole documents —
+      // the persisted relation is equally narrow, so the three accounting
+      // aggregates below re-read kilobytes, not the corpus
       val withComp = corpus
+        .select(col("doc_id"), xxhash64(col("text")).as("text_h"))
         .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .withColumn("component",
           coalesce(col("component"), col("doc_id")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val groups = withComp.groupBy(col("text"))
+      val groups = withComp.groupBy(col("text_h"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("component")).as("nc"))
         .filter(col("n") > 1)
       groups
         .agg(count(lit(1)).as("n_exact_groups"),
           sum(when(col("nc") === 1, 1L).otherwise(0L)).as("n_merged"))
-        .crossJoin(corpus.agg(count(lit(1)).as("n_docs")))
+        .crossJoin(withComp.agg(count(lit(1)).as("n_docs")))
         .crossJoin(withComp.filter(col("doc_id") =!= col("component"))
           .agg(count(lit(1)).as("n_dropped")))
         .select(col("n_docs"), col("n_dropped"), col("n_exact_groups"),
