@@ -703,6 +703,41 @@ object QueriesScale {
         .orderBy(col("file_id"))
     }),
 
+    // file-skipping effectiveness report — the proof tp19's layout BUYS
+    // something: the same orders relation laid out z-ordered vs sorted on
+    // the date dimension alone, 16 point probes per dimension evaluated
+    // against each layout's per-file zone maps. The z-order layout reads
+    // a balanced fraction for probes on EITHER dimension; the 1-d sort
+    // reads ~1 file for its sort key and nearly everything for the other.
+    // Stats are one row per file, so everything past the two audits is
+    // metadata-scale arithmetic.
+    "tp20_skipping_report" -> ((s, d) => {
+      val bx = least(floor(
+        datediff(col("o_orderdate"), lit("1995-01-01")) / 16), lit(255))
+        .cast("long")
+      val by = (col("o_custkey") % 256).cast("long")
+      val dims = orders(s, d).select(bx.as("bx"), by.as("by"))
+      val tagged = dims
+        .select(lit("zorder").as("layout"),
+          shiftright(Layout.zOrderKey(col("bx"), col("by"), 8), 10)
+            .cast("long").as("file_id"), col("bx"), col("by"))
+        .unionByName(dims.select(lit("linear").as("layout"),
+          shiftright(col("bx"), 2).cast("long").as("file_id"),
+          col("bx"), col("by")))
+      val stats = tagged.groupBy(col("layout"), col("file_id"))
+        .agg(min(col("bx")).as("min_x"), max(col("bx")).as("max_x"),
+          min(col("by")).as("min_y"), max(col("by")).as("max_y"))
+      val probes = dims.sparkSession.range(16)
+        .select((col("id") * 16 + 8).as("probe"))
+      stats.crossJoin(probes)
+        .groupBy(col("layout"))
+        .agg(sum(when(col("probe").between(col("min_x"), col("max_x")),
+            1L).otherwise(0L)).as("files_read_x"),
+          sum(when(col("probe").between(col("min_y"), col("max_y")),
+            1L).otherwise(0L)).as("files_read_y"))
+        .orderBy(col("layout"))
+    }),
+
     // contiguous id assignment: dense 1..N row ids in global key order
     // WITHOUT a corpus-wide single-task window — range partition + local
     // sort, per-partition counts, broadcast running offsets, partition-
@@ -881,6 +916,22 @@ object QueriesScale {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // degree census of the dup-candidate graph: the structural profile
+    // read BEFORE trusting transitive-closure dedup — a heavy tail of
+    // high-degree nodes means hub grams are stitching unrelated docs into
+    // one giant component (over-merge), while a flat low-degree profile
+    // says clusters are genuine. Two small aggregates over dd10's edge
+    // relation; the histogram is tiny by construction.
+    "dd22_degree_profile" -> ((s, d) => {
+      val pairs = Dedup.gramCandidatePairs(fanOut(documents(s, d)),
+        "doc_id", "text", Seq("lang", "source"), 3, maxDocFreq = 64)
+      val ends = pairs.select(col("doc_a").as("id"))
+        .unionByName(pairs.select(col("doc_b").as("id")))
+      ends.groupBy(col("id")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
+
     // encoding-noise gate: the corpus is synthetically clean, so a
     // deterministic mojibake tail (U+FFFD pair every 7th doc, a BEL
     // control char every 11th) is appended before the scan — the oracle
@@ -1023,6 +1074,30 @@ object QueriesScale {
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // contrastive pair mining for embedding training: each anchor gets
+    // its nearest neighbor as the positive and its rank-50 neighbor as
+    // the hard negative (mid-ranked, not random — the negative that
+    // actually teaches the margin). One corpus scan against a broadcast
+    // anchor sample, one per-anchor window; at 100 TB the anchor set is
+    // the small side by construction and the ranking is per-partition.
+    "sim14_contrastive_pairs" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val topk = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
+        50)
+      val pos = topk.filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("pos_id"),
+          col("sim").as("pos_sim"))
+      val neg = topk.filter(col("rank") === 50)
+        .select(col("query_id"), col("neighbor_id").as("neg_id"),
+          col("sim").as("neg_sim"))
+      pos.join(neg, "query_id")
+        .select(col("query_id"), col("pos_id"), col("pos_sim"),
+          col("neg_id"), col("neg_sim"),
+          round(col("pos_sim") - col("neg_sim"), 4).as("margin"))
+        .orderBy(col("query_id"))
     }),
 
     // all pairs above threshold: LSH-bucketed candidates + exact cosine
@@ -2425,6 +2500,53 @@ object QueriesScale {
         | AND levenshtein(a.name, b.name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "dd22_degree_profile" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |hot AS (
+        |  SELECT lang, source, gram FROM grams
+        |  GROUP BY lang, source, gram HAVING COUNT(*) > 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM grams a JOIN grams b
+        |    ON a.gram = b.gram AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |    WHERE h.lang = a.lang AND h.source = a.source
+        |      AND h.gram = a.gram)),
+        |deg AS (
+        |  SELECT id, COUNT(*) AS degree FROM (
+        |    SELECT src AS id FROM pairs
+        |    UNION ALL SELECT dst FROM pairs)
+        |  GROUP BY id)
+        |SELECT degree, COUNT(*) AS n_nodes
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+
+    "sim14_contrastive_pairs" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 20 = 0),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |        ROUND(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 4)
+        |          AS sim
+        |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM s)
+        |SELECT p.query_id, p.neighbor_id AS pos_id, p.sim AS pos_sim,
+        |       n.neighbor_id AS neg_id, n.sim AS neg_sim,
+        |       ROUND(p.sim - n.sim, 4) AS margin
+        |FROM r p JOIN r n ON p.query_id = n.query_id
+        |WHERE p.rnk = 1 AND n.rnk = 50
+        |ORDER BY p.query_id""".stripMargin,
+
     "dd21_jw_linkage" ->
       """WITH base AS (
         |  SELECT p_partkey AS id, p_name AS name FROM part
@@ -2607,6 +2729,36 @@ object QueriesScale {
          |       CAST(MIN(b2) AS BIGINT) AS min_y,
          |       CAST(MAX(b2) AS BIGINT) AS max_y
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "tp20_skipping_report" -> {
+      val interleave = (0 until 8).flatMap(i => Seq(
+        s"(((b1 >> $i) & 1) << ${2 * i})",
+        s"(((b2 >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT LEAST(CAST(FLOOR(date_diff('day',
+         |           TIMESTAMP '1995-01-01', o_orderdate) / 16)
+         |           AS BIGINT), 255) AS b1,
+         |         o_custkey % 256 AS b2
+         |  FROM orders),
+         |t AS (
+         |  SELECT 'zorder' AS layout,
+         |         CAST(($interleave) >> 10 AS BIGINT) AS file_id, b1, b2
+         |  FROM b
+         |  UNION ALL
+         |  SELECT 'linear', CAST(b1 >> 2 AS BIGINT), b1, b2 FROM b),
+         |stats AS (
+         |  SELECT layout, file_id,
+         |         MIN(b1) AS min_x, MAX(b1) AS max_x,
+         |         MIN(b2) AS min_y, MAX(b2) AS max_y
+         |  FROM t GROUP BY 1, 2),
+         |p AS (SELECT unnest(generate_series(8, 248, 16)) AS probe)
+         |SELECT layout,
+         |  CAST(SUM(CASE WHEN probe BETWEEN min_x AND max_x
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS files_read_x,
+         |  CAST(SUM(CASE WHEN probe BETWEEN min_y AND max_y
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS files_read_y
+         |FROM stats, p GROUP BY layout ORDER BY layout""".stripMargin
     },
 
     "ts19_oov_rate" ->
