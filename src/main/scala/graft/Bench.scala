@@ -87,17 +87,51 @@ object Bench {
       if (inProcess) runInProcess(selected, sfDir, cpus)
       else selected.map(name => name -> forkOne(name, sfDir))
 
-    val qs = results.map { case (k, d) => "\"" + k + f"\":${d.value}%.3f" }
-      .mkString("{", ",", "}")
-    val runs = results.map { case (k, d) => "\"" + k + "\":" + d.json }
-      .mkString("{", ",", "}")
     val isolation = if (inProcess) "fresh-session-per-query"
     else "fork-per-query"
     val total = results.map(_._2.value).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+
+    // The harness that snapshots this run keeps only a SHORT TAIL of the
+    // combined output (~2000 chars) and parses the headline JSON out of
+    // that window — rounds 1-7 all failed to parse because either trailing
+    // executor logs pushed the line out of the tail or the per-query
+    // `runs` detail grew the line past the window. So: full-precision
+    // detail (warmup + every timed run per query) goes to a local file and
+    // stderr, stderr gets a moment to drain ahead of stdout in the
+    // combined capture, and the FINAL stdout line is a compact summary
+    // with a hard length cascade (2dp → 1dp → slowest-40-only) that keeps
+    // it parseable inside the tail no matter how the headline set grows.
+    val runs = results.map { case (k, d) => "\"" + k + "\":" + d.json }
+      .mkString("{", ",", "}")
+    val detail =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":""" +
+        s"""{"n_runs":$nRuns,"warmup_runs":1,"report":"min",""" +
+        s""""isolation":"$isolation"},"runs":$runs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    System.err.println(detail)
+    System.err.flush()
+    Thread.sleep(300)
+
+    def line(dp: Int, keep: Seq[(String, Detail)]): String = {
+      val qs = keep.map { case (k, d) =>
+        "\"" + k + "\":" + s"%.${dp}f".format(d.value)
+      }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
         s""""protocol":{"n_runs":$nRuns,"warmup_runs":1,"report":"min",""" +
-        s""""isolation":"$isolation"},"runs":$runs,"sf":"$sfDir"}""")
+        s""""isolation":"$isolation","detail":"BENCH_DETAIL.json"},""" +
+        s""""n_queries":${results.size},"sf":"$sfDir"}"""
+    }
+    val maxLen = 1500
+    val out = Seq(line(2, results), line(1, results),
+      line(2, results.sortBy(-_._2.value).take(40)))
+      .find(_.length <= maxLen)
+      .getOrElse(line(1, results.sortBy(-_._2.value).take(25)))
+    println(out)
   }
 
   /** Child-JVM path (and `SPARK_GRAFT_FORK=0` fallback): time each query

@@ -1082,7 +1082,7 @@ object QueriesScale {
     // actually teaches the margin). One corpus scan against a broadcast
     // anchor sample, one per-anchor window; at 100 TB the anchor set is
     // the small side by construction and the ranking is per-partition.
-    "sim14_contrastive_pairs" -> ((s, d) => {
+    "sim16_contrastive_pairs" -> ((s, d) => {
       val emb = embeddings(s, d)
       val topk = Similarity.bruteForceTopK(
         emb, emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
@@ -1485,6 +1485,29 @@ object QueriesScale {
           max(col("gap_us")).as("max_gap_us"),
           sum(col("gap_us")).as("sum_gap_us"))
         .orderBy(col("event_type"))
+    }),
+
+    // exact DAU / rolling-7-day WAU: sliding-window DISTINCT is not
+    // additive, so the scale-correct exact form works on the (user, day)
+    // distinct relation (orders of magnitude smaller than the log) and
+    // fans each activity day out to the ≤7 window ends it can serve —
+    // explode + second distinct + count, all map-side combinable. No
+    // per-day re-scan of the log, no approximate sketch.
+    "ev3_active_users" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6)))
+            .as("wday"))
+        .distinct()
+        .groupBy(col("wday")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, col("day") === col("wday"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"))
+        .orderBy(col("day"))
     }),
 
     // funnel conversion over the event log: per user, the earliest view,
@@ -2529,7 +2552,7 @@ object QueriesScale {
         |SELECT degree, COUNT(*) AS n_nodes
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
 
-    "sim14_contrastive_pairs" ->
+    "sim16_contrastive_pairs" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id % 20 = 0),
         |s AS (SELECT query_id, e.vec_id AS neighbor_id,
@@ -2790,6 +2813,18 @@ object QueriesScale {
         |       COUNT(DISTINCT a.user_id) AS n_users
         |FROM a JOIN c ON a.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev3_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(ts::TIMESTAMP AS DATE) AS day FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        |w AS (SELECT DISTINCT user_id, day + CAST(x AS INTEGER) AS wday
+        |      FROM ud, (SELECT unnest(generate_series(0, 6)) AS x)),
+        |wau AS (SELECT wday, COUNT(*) AS wau FROM w GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+        |       dau.dau AS dau, wau.wau AS wau
+        |FROM dau JOIN wau ON dau.day = wau.wday
+        |ORDER BY day""".stripMargin,
 
     "ev2_interarrival" ->
       """WITH g AS (SELECT event_type,

@@ -143,6 +143,11 @@ class PlansSpec extends SparkSpec {
     "sim14_sq_adc",
     // brute-force truth + per-nprobe centroid probes × broadcast queries
     "sim15_nprobe_curve",
+    // corpus × broadcast anchor sample (the documented brute-force side)
+    "sim16_contrastive_pairs",
+    // per-file zone-map stats × broadcast 16-row probe relation —
+    // metadata-scale by construction (one stats row per file)
+    "tp20_skipping_report",
     // 1-row × 1-row accounting combinations over streamed-vs-batch counts
     "st2b_stream_batch_equiv", "st4b_interval_join_stream_equiv",
     "st9_stream_static_enrich", "st10_stream_decontam",
