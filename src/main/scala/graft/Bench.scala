@@ -45,7 +45,9 @@ object Bench {
   private val headline = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
     "q6_revenue_delta", "q7_volume_shipping", "q13_custdist",
-    "q21_waiting_suppliers",
+    "q21_waiting_suppliers", "q2_min_cost_supplier", "q9_product_profit",
+    "q11_important_stock", "q16_supplier_relationship",
+    "q20_potential_promotion",
     "j1_inner_join", "j2_left_join_fill", "j5_asof_join",
     "a2_pivot", "w1_row_number", "x7_parse_dollars", "x13_date_cascade",
     "dd2_minhash_sig", "dd5_ngram_jaccard", "dd6_embedding_neardup",

@@ -92,6 +92,25 @@ object QueriesCore {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Derived part-supplier relation — this schema carries no partsupp
+    * table, so the Q2/Q9/Q11/Q16/Q20 shapes derive one from the fact
+    * scan: per (partkey, suppkey), the minimum observed unit price plays
+    * ps_supplycost and the total shipped quantity plays ps_availqty. The
+    * cost stays a RAW double MIN (no rounding) so correlated equality
+    * tests compare the identical IEEE value on both engines, and
+    * quantities are integral so the double SUM is exact and
+    * order-independent. One map-side-combined aggregate over lineitem.
+    */
+  private def partSupp(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_cost"),
+        col("l_quantity"))
+      .groupBy(col("ps_partkey"), col("ps_suppkey"))
+      .agg(min(col("unit_cost")).as("ps_supplycost"),
+        sum(col("l_quantity")).as("ps_availqty"))
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q3_shipping_priority" -> (shippingPriority _),
@@ -398,6 +417,165 @@ object QueriesCore {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_suppkey"))
         .limit(25)
+    }),
+
+    // TPC-H Q2 shape (adapted: this schema has no partsupp table, so the
+    // part-supplier relation derives from lineitem — see [[partSupp]]):
+    // minimum-cost supplier per part within a region, phrased in SQL so
+    // the textbook correlated MIN subquery exercises Catalyst's
+    // decorrelation — the per-part scalar becomes a region-filtered
+    // aggregate joined back on partkey (PlansSpec locks no surviving
+    // scalar-subquery and no nested-loop join). The cost equality compares
+    // raw MIN doubles — both sides reduce the identical value set, so the
+    // match is exact, no epsilon. At 100 TB the derived ps relation is ONE
+    // map-side-combined aggregate of the fact table, and the dimension
+    // chain (supplier⋈nation⋈region) broadcasts into both branches.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      partSupp(s, d).createOrReplaceTempView("q2_ps")
+      part(s, d).createOrReplaceTempView("q2_part")
+      supplier(s, d).createOrReplaceTempView("q2_supplier")
+      nation(s, d).createOrReplaceTempView("q2_nation")
+      region(s, d).createOrReplaceTempView("q2_region")
+      s.sql("""
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               ROUND(ps_supplycost, 2) AS min_cost
+        FROM q2_ps
+        JOIN q2_part ON p_partkey = ps_partkey
+        JOIN q2_supplier ON s_suppkey = ps_suppkey
+        JOIN q2_nation ON s_nationkey = n_nationkey
+        JOIN q2_region ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+            SELECT MIN(ps2.ps_supplycost) FROM q2_ps ps2
+            JOIN q2_supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN q2_nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN q2_region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")
+    }),
+
+    // TPC-H Q9 shape: profit by supplier nation × order year over a
+    // part-name filter. The derived ps cost relation joins the fact scan
+    // on its own (partkey, suppkey) grain; the red-part filter broadcasts
+    // into BOTH the fact scan and (transitively) the ps aggregate, so
+    // neither side carries non-matching parts to the shuffle. Money math
+    // in decimal(18,6) — partial-agg order cannot perturb the sum.
+    "q9_product_profit" -> ((s, d) => {
+      val redParts = broadcast(part(s, d)
+        .filter(col("p_name").like("red%")).select(col("p_partkey")))
+      val ps = partSupp(s, d)
+        .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost"))
+        .join(redParts, col("ps_partkey") === col("p_partkey"))
+        .drop("p_partkey")
+      val profit = (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("ps_supplycost") * col("l_quantity")).cast("decimal(18,6)")
+      lineitem(s, d)
+        .join(redParts, col("l_partkey") === col("p_partkey"))
+        .join(ps, col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(profit).cast("double"), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year"))
+    }),
+
+    // TPC-H Q11 shape: per-part inventory value within one region,
+    // kept where the value exceeds a fixed fraction of the global total —
+    // the group-vs-global-scalar pattern. The per-part aggregate runs
+    // once; the threshold is its own one-row re-aggregate broadcast back
+    // (the q15 exchange-reuse layout — never a second fact pass). All
+    // value math stays in exact decimal INCLUDING the 0.001 fraction (a
+    // decimal literal, not a double), so the boundary comparison is
+    // bit-deterministic on both engines.
+    "q11_important_stock" -> ((s, d) => {
+      val asiaSupp = broadcast(supplier(s, d)
+        .join(broadcast(nation(s, d)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey")))
+      val vals = partSupp(s, d)
+        .join(asiaSupp, col("ps_suppkey") === col("s_suppkey"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum((col("ps_supplycost") * col("ps_availqty"))
+          .cast("decimal(18,6)")).as("v"))
+        // parts-sized (tiny next to the fact scan that produced it) and
+        // read twice — threshold pass + filter pass. Persisting makes the
+        // single fact scan a plan property instead of an AQE runtime
+        // artifact (the tp9 cached-tf pattern).
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val thresh = vals
+        .agg((sum(col("v")) * lit(new java.math.BigDecimal("0.001")))
+          .as("cut"))
+      vals.crossJoin(broadcast(thresh))
+        .filter(col("v") > col("cut"))
+        .select(col("ps_partkey"),
+          round(col("v").cast("double"), 2).as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    }),
+
+    // TPC-H Q16 shape: distinct-supplier census per (brand, type, size)
+    // excluding flagged suppliers — the NOT-IN is the non-null-key case,
+    // so it plans as a broadcast LEFT ANTI hash join (the null-aware
+    // nested-loop fallback never fires; PlansSpec locks it). The
+    // count-distinct shuffles on the small composite group key only after
+    // the part filter broadcasts into the ps relation.
+    "q16_supplier_relationship" -> ((s, d) => {
+      val flagged = broadcast(supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey")))
+      val p = broadcast(part(s, d)
+        .filter(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size")))
+      partSupp(s, d).select(col("ps_partkey"), col("ps_suppkey"))
+        .join(flagged, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(p, col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count_distinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 shape — nested IN subqueries with a correlated aggregate
+    // threshold, in SQL for the decorrelation surface: the inner
+    // quantity-sum correlates on BOTH ps keys, so Catalyst must rewrite it
+    // into a (partkey, suppkey)-grouped aggregate joined back, and the two
+    // IN subqueries become semi joins (PlansSpec locks no surviving
+    // subquery and no nested loop). Quantities are integral, so the
+    // 2×SUM(double) threshold is exact on both engines.
+    "q20_potential_promotion" -> ((s, d) => {
+      partSupp(s, d).createOrReplaceTempView("q20_ps")
+      part(s, d).createOrReplaceTempView("q20_part")
+      supplier(s, d).createOrReplaceTempView("q20_supplier")
+      nation(s, d).createOrReplaceTempView("q20_nation")
+      region(s, d).createOrReplaceTempView("q20_region")
+      lineitem(s, d).createOrReplaceTempView("q20_lineitem")
+      s.sql("""
+        SELECT s_suppkey, s_name FROM q20_supplier
+        JOIN q20_nation ON s_nationkey = n_nationkey
+        JOIN q20_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND s_suppkey IN (
+            SELECT ps_suppkey FROM q20_ps
+            WHERE ps_partkey IN (SELECT p_partkey FROM q20_part
+                                 WHERE p_name LIKE 'red%')
+              AND ps_availqty > (
+                SELECT 2 * SUM(l.l_quantity) FROM q20_lineitem l
+                WHERE l.l_partkey = ps_partkey
+                  AND l.l_suppkey = ps_suppkey
+                  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1997-01-01'))
+        ORDER BY s_suppkey""")
     }),
 
     // heavy-hitters sketch over an unbounded-domain column (approximate
@@ -1408,6 +1586,102 @@ object QueriesCore {
         |                    AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_suppkey, s_name
         |ORDER BY numwait DESC, s_suppkey LIMIT 25""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       ROUND(ps_supplycost, 2) AS min_cost
+        |FROM ps
+        |JOIN part ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size = 15 AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT MIN(ps2.ps_supplycost) FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q9_product_profit" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT n_name AS nation,
+        |  CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    - ps_supplycost * l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE 'red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+        |         SUM(l_quantity) AS ps_availqty
+        |  FROM lineitem GROUP BY 1, 2),
+        |val AS (
+        |  SELECT ps_partkey,
+        |         SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,6)))
+        |           AS v
+        |  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY ps_partkey)
+        |SELECT ps_partkey, ROUND(CAST(v AS DOUBLE), 2) AS value
+        |FROM val WHERE v > (SELECT SUM(v) * 0.001 FROM val)
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    "q16_supplier_relationship" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey,
+        |         l_suppkey AS ps_suppkey
+        |  FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                         WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_potential_promotion" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         SUM(l_quantity) AS ps_availqty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM ps
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE 'red%')
+        |      AND ps_availqty > (
+        |        SELECT 2 * SUM(l.l_quantity) FROM lineitem l
+        |        WHERE l.l_partkey = ps_partkey
+        |          AND l.l_suppkey = ps_suppkey
+        |          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |          AND l.l_shipdate < TIMESTAMP '1997-01-01'))
+        |ORDER BY s_suppkey""".stripMargin,
 
     "s2_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

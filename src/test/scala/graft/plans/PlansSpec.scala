@@ -85,6 +85,52 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("q2: the correlated min-cost subquery decorrelates to an " +
+      "aggregate join") {
+    val opt = SparkEntry.queries("q2_min_cost_supplier")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"),
+      s"correlated subquery not decorrelated: ${opt.take(2000)}")
+    val exec = planOf("q2_min_cost_supplier")
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"),
+      s"decorrelated plan must stay hash-joined: ${exec.take(2000)}")
+  }
+
+  test("q20: nested IN + correlated-sum subqueries decorrelate to semi " +
+      "and aggregate joins") {
+    val opt = SparkEntry.queries("q20_potential_promotion")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery") && !opt.contains("list#"),
+      s"subqueries not decorrelated: ${opt.take(2000)}")
+    val exec = planOf("q20_potential_promotion")
+    assert(exec.contains("LeftSemi"), exec.take(2000))
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"),
+      s"decorrelated plan must stay hash-joined: ${exec.take(2000)}")
+  }
+
+  test("q16: the non-null NOT-IN exclusion plans as a hash anti join, " +
+      "never the null-aware nested loop") {
+    val plan = planOf("q16_supplier_relationship")
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("q11: the global-threshold pass reads the cached per-part " +
+      "aggregate instead of re-scanning the fact table") {
+    val plan = planOf("q11_important_stock")
+    // both the threshold side and the filter side must come off the
+    // persisted vals relation — the fact scan happens inside the cached
+    // subtree, so the outer plan carries in-memory relations, not a
+    // second lineitem scan
+    // (the plan printer repeats the cached subtree under every
+    // InMemoryTableScan reference, so counting "Scan parquet" occurrences
+    // would double-count — the cache reference itself is the property)
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"), plan.take(3000))
+  }
+
   test("q19: the branch disjunction pushes per-side filters to both scans") {
     val plan = planOf("q19_disjunctive_revenue")
     // the OR of (brand ∧ size ∧ qty) branches must project into per-side
@@ -133,6 +179,8 @@ class PlansSpec extends SparkSpec {
     "ts10_nb_quality", "tp8_quality_ensemble",
     // 1-row broadcast min group size attached to every row
     "tp3_domain_rebalance", "tp4_temperature_mix",
+    // 1-row broadcast global value threshold attached to every part
+    "q11_important_stock",
     // 1-row broadcast (total, n_groups) budget scalars attached per row
     "tp6_token_budget_mix", "tp15_epoch_schedule",
     "j6_range_join",
