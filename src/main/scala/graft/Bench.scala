@@ -68,7 +68,7 @@ object Bench {
     "sim1_cosine_topk", "sim2_threshold_pairs", "sim4_clustered_pairs",
     "sim11_knn_classify", "sim12_centroid_drift", "sim13_scalar_quantize",
     "st1_hourly_window", "st2_sessionize", "st4_interval_join",
-    "st5_user_sequences",
+    "st5_user_sequences", "ev1_cohort_retention", "ev4_growth_accounting",
     "tp1_curation",
     "mm1_binary_meta", "mm4_vit_patches")
 

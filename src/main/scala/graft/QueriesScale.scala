@@ -1510,6 +1510,76 @@ object QueriesScale {
         .orderBy(col("day"))
     }),
 
+    // weekly growth accounting — the new/retained/resurrected/churned
+    // census. Everything derives from the (user, week) distinct relation
+    // (orders of magnitude smaller than the log): per-user first week
+    // classifies new, a self-join against the 7-day-shifted copy
+    // classifies retained vs resurrected, and the shifted copy's
+    // anti-join classifies churn — never a per-week log re-scan. All
+    // outputs are exact integer counts; week truncation is ISO Monday in
+    // both engines → full oracle.
+    "ev4_growth_accounting" -> ((s, d) => {
+      val uw = events(s, d)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+        // user-week grain, read four ways below — persist so the log is
+        // scanned once (the tp9/q11 cached-relation pattern)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fw = uw.groupBy(col("user_id")).agg(min(col("wk")).as("first_wk"))
+      val prev = uw.select(col("user_id"),
+        date_add(col("wk"), 7).as("wk"), lit(1L).as("was_prev"))
+      val status = uw.join(fw, "user_id")
+        .join(prev, Seq("user_id", "wk"), "left")
+        .groupBy(col("wk"))
+        .agg(
+          sum(when(col("wk") === col("first_wk"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("wk") =!= col("first_wk") &&
+            col("was_prev").isNotNull, 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("wk") =!= col("first_wk") &&
+            col("was_prev").isNull, 1L).otherwise(0L)).as("n_resurrected"))
+      // churned in week w = active in w-1 but not w, reported only for
+      // weeks the log actually contains (the week after the last
+      // observed week is unknowable, not zero)
+      val weeks = uw.select(col("wk")).distinct()
+      val churn = uw
+        .select(col("user_id"), date_add(col("wk"), 7).as("wk"))
+        .join(uw, Seq("user_id", "wk"), "left_anti")
+        .join(broadcast(weeks), Seq("wk"))
+        .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+      status.join(churn, Seq("wk"), "left")
+        .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+          col("n_new"), col("n_retained"), col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy(col("week"))
+    }),
+
+    // event-type transition matrix — the Markov-chain census over each
+    // user's (ts, event_id)-ordered stream: one user-keyed window shuffle
+    // emits every (prev, next) bigram, the pair counts aggregate
+    // map-side, and row probabilities come off a broadcast join with the
+    // per-source totals (|event_types|² cells — metadata-sized). The
+    // probability is one double division of exact integers → identical
+    // on both engines → full oracle.
+    "ev5_transition_matrix" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val pairs = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("src"))
+        .agg(sum(col("n")).as("src_total"))
+      pairs.join(broadcast(totals), Seq("src"))
+        .select(col("src"), col("dst"), col("n"),
+          round(col("n").cast("double") / col("src_total"), 4).as("p"))
+        .orderBy(col("src"), col("dst"))
+    }),
+
     // funnel conversion over the event log: per user, the earliest view,
     // the earliest click strictly after it, the earliest purchase strictly
     // after that — three conditional-min window passes over ONE user-keyed
@@ -2825,6 +2895,51 @@ object QueriesScale {
         |       dau.dau AS dau, wau.wau AS wau
         |FROM dau JOIN wau ON dau.day = wau.wday
         |ORDER BY day""".stripMargin,
+
+    "ev4_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts::TIMESTAMP) AS DATE) AS wk
+        |  FROM events),
+        |fw AS (SELECT user_id, MIN(wk) AS first_wk FROM uw GROUP BY 1),
+        |status AS (
+        |  SELECT uw.wk,
+        |    SUM(CASE WHEN uw.wk = fw.first_wk THEN 1 ELSE 0 END) AS n_new,
+        |    SUM(CASE WHEN uw.wk <> fw.first_wk AND p.user_id IS NOT NULL
+        |        THEN 1 ELSE 0 END) AS n_retained,
+        |    SUM(CASE WHEN uw.wk <> fw.first_wk AND p.user_id IS NULL
+        |        THEN 1 ELSE 0 END) AS n_resurrected
+        |  FROM uw JOIN fw USING (user_id)
+        |  LEFT JOIN uw p ON p.user_id = uw.user_id
+        |    AND p.wk + 7 = uw.wk
+        |  GROUP BY uw.wk),
+        |churn AS (
+        |  SELECT c.wk + 7 AS wk, COUNT(*) AS n_churned
+        |  FROM uw c
+        |  WHERE NOT EXISTS (SELECT 1 FROM uw n
+        |                    WHERE n.user_id = c.user_id
+        |                      AND n.wk = c.wk + 7)
+        |    AND EXISTS (SELECT 1 FROM uw w2 WHERE w2.wk = c.wk + 7)
+        |  GROUP BY 1)
+        |SELECT strftime(status.wk, '%Y-%m-%d') AS week,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(n_retained AS BIGINT) AS n_retained,
+        |  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+        |  CAST(COALESCE(churn.n_churned, 0) AS BIGINT) AS n_churned
+        |FROM status LEFT JOIN churn ON status.wk = churn.wk
+        |ORDER BY week""".stripMargin,
+
+    "ev5_transition_matrix" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS src
+        |  FROM events),
+        |pairs AS (SELECT src, event_type AS dst, COUNT(*) AS n
+        |          FROM o WHERE src IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src, SUM(n) AS src_total FROM pairs GROUP BY 1)
+        |SELECT pairs.src, dst, CAST(n AS BIGINT) AS n,
+        |       ROUND(CAST(n AS DOUBLE) / src_total, 4) AS p
+        |FROM pairs JOIN tot ON pairs.src = tot.src
+        |ORDER BY pairs.src, dst""".stripMargin,
 
     "ev2_interarrival" ->
       """WITH g AS (SELECT event_type,
