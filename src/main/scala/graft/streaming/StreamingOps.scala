@@ -256,36 +256,61 @@ object StreamingOps {
     *
     * The gram set is SIZE-GATED before it ever reaches the driver (the
     * [[graft.ops.Dedup.spanContaminationReport]] `broadcastMaxSpans`
-    * pattern): a distributed count runs first, and a set above `maxGrams`
-    * fails loudly instead of silently collecting a corpus-sized literal
-    * into the plan (driver OOM / megabyte plans). A production feed past
-    * the cap would swap the literal for a Bloom filter of the gram set
-    * (the [[graft.ops.Dedup.incrementalDedup]] pre-filter pattern),
-    * trading exactness for size; the exact form is what the `st10` entry
-    * proves equal to the batch pass.
+    * pattern): a distributed count runs first. A set within `maxGrams`
+    * ships as an exact plan literal — the form the `st10` entry proves
+    * equal to the batch pass. PAST the cap the gate degrades gracefully
+    * to a Bloom filter of the gram set (the
+    * [[graft.ops.Dedup.incrementalDedup]] pre-filter pattern): one
+    * binary scalar of `optimalNumOfBits(nGrams, fpp)/8` bytes instead of
+    * a corpus-sized literal. Bloom false positives over-drop (~fpp of
+    * clean docs) but never under-drop — every truly contaminated doc
+    * still goes (no false negatives), the direction decontamination
+    * wants. A gram set too big even for the Bloom form (`maxBloomBytes`)
+    * fails loudly — at that point the gate needs the shuffled-join batch
+    * pass ([[graft.ops.Dedup.decontaminate]]), not a stream-side filter.
     */
   def streamDecontaminate(spark: SparkSession, docsDir: String,
       bench: DataFrame, idCol: String, textCol: String, n: Int,
-      queryName: String, maxGrams: Long = 1000000L): DataFrame = {
+      queryName: String, maxGrams: Long = 1000000L, fpp: Double = 0.01,
+      maxBloomBytes: Long = 256L << 20): DataFrame = {
     import graft.ops.Dedup
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
     val gramSet = Dedup
       .docShingles(bench, idCol, textCol, n)
       .select(col("shingle")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nGrams = gramSet.count()
-    require(nGrams <= maxGrams,
-      s"streamDecontaminate: bench gram set has $nGrams grams > " +
-        s"maxGrams=$maxGrams — too large to ship as a plan literal; " +
-        "swap in a Bloom filter of the gram set (incrementalDedup's " +
-        "pre-filter pattern) or raise the cap deliberately")
-    val benchGrams = gramSet.collect().map(_.getString(0)).toSeq
-    gramSet.unpersist()
-    val schema = spark.read.parquet(docsDir).schema
     val grams = array_distinct(
       Dedup.wordGrams(Dedup.tokens(col(textCol)), n))
+    val contaminated: org.apache.spark.sql.Column =
+      if (nGrams <= maxGrams) {
+        val benchGrams = gramSet.collect().map(_.getString(0)).toSeq
+        arrays_overlap(grams, typedlit(benchGrams))
+      } else {
+        val numBits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(nGrams, fpp)
+        require(numBits / 8 <= maxBloomBytes,
+          s"streamDecontaminate: bench gram set has $nGrams grams — " +
+            s"even its Bloom form needs ${numBits / 8} bytes > " +
+            s"maxBloomBytes=$maxBloomBytes; run the shuffled-join batch " +
+            "decontamination pass instead of a stream-side filter")
+        val bloom = gramSet
+          .select(Bridge.column(new BloomFilterAggregate(
+              Bridge.expression(xxhash64(col("shingle"))),
+              Literal(nGrams), Literal(numBits))
+            .toAggregateExpression()).as("bf"))
+          .head.getAs[Array[Byte]](0)
+        exists(grams, g => Bridge.column(BloomFilterMightContain(
+          Bridge.expression(lit(bloom)),
+          Bridge.expression(xxhash64(g)))))
+      }
+    gramSet.unpersist()
+    val schema = spark.read.parquet(docsDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(docsDir)
-      .filter(!arrays_overlap(grams, typedlit(benchGrams)))
+      .filter(!contaminated)
       .select(col(idCol))
       .writeStream.outputMode(OutputMode.Append).format("memory")
       .queryName(queryName).trigger(Trigger.AvailableNow()).start()

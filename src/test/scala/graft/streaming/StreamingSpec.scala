@@ -138,17 +138,45 @@ class StreamingSpec extends SparkSpec {
       s"only the in-window same-user pair should join: $rows")
   }
 
-  test("streamDecontaminate fails loudly past the gram-set size gate") {
+  test("streamDecontaminate fails loudly when even the Bloom form " +
+      "exceeds its size gate") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
     val docsDir = java.nio.file.Files
       .createTempDirectory("sdecon_gate").toString + "/docs"
     docs.write.parquet(docsDir)
     val e = intercept[IllegalArgumentException] {
       StreamingOps.streamDecontaminate(spark, docsDir, docs,
-        "doc_id", "text", 3, "sdecon_gate_test", maxGrams = 1L)
+        "doc_id", "text", 3, "sdecon_gate_test", maxGrams = 1L,
+        maxBloomBytes = 1L)
     }
-    assert(e.getMessage.contains("maxGrams"),
+    assert(e.getMessage.contains("maxBloomBytes"),
       s"gate should name the cap: ${e.getMessage}")
+  }
+
+  test("streamDecontaminate past maxGrams degrades to the Bloom gate " +
+      "with no false negatives") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(40)
+    val bench = docs.limit(8)
+    val docsDir = java.nio.file.Files
+      .createTempDirectory("sdecon_bloom").toString + "/docs"
+    docs.write.parquet(docsDir)
+    // exact batch pass over the same inputs = ground truth
+    val exact = StreamingOps.streamDecontaminate(spark, docsDir, bench,
+      "doc_id", "text", 3, "sdecon_exact_ref")
+      .collect().map(_.getLong(0)).toSet
+    // force the Bloom branch (maxGrams=1) with a roomy byte cap
+    val bloom = StreamingOps.streamDecontaminate(spark, docsDir, bench,
+      "doc_id", "text", 3, "sdecon_bloom_test", maxGrams = 1L)
+      .collect().map(_.getLong(0)).toSet
+    // Bloom keeps a SUBSET of the exact survivors: false positives may
+    // over-drop clean docs, but every contaminated doc the exact pass
+    // drops must be gone here too (no false negatives)
+    assert(bloom.subsetOf(exact),
+      s"bloom kept docs the exact gate dropped: ${bloom -- exact}")
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = all -- exact
+    assert((bloom & contaminated).isEmpty,
+      s"contaminated docs survived the Bloom gate: ${bloom & contaminated}")
   }
 
   test("chunked incremental load lands all rows in the sink") {
