@@ -795,6 +795,27 @@ object QueriesScale {
             .otherwise(0L)).as("rows_at_risk"))
     }),
 
+    // join-key skew diagnostic — the census run BEFORE picking a shuffle
+    // strategy (salting factor, AQE skew thresholds, broadcast cutoff):
+    // per-key cardinalities aggregate map-side, then one keys-sized pass
+    // yields the quantile profile and the hottest key's share. Integer
+    // counts + exact-interpolation percentiles (identical p·(n−1) rule in
+    // both engines) + integer-division basis points → full oracle.
+    "a13_skew_report" -> ((s, d) => {
+      val cnt = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      cnt.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("n")).as("total_rows"),
+          max(col("n")).as("max_cnt"),
+          round(percentile(col("n"), lit(0.5)), 4).as("p50_cnt"),
+          round(percentile(col("n"), lit(0.9)), 4).as("p90_cnt"),
+          round(percentile(col("n"), lit(0.99)), 4).as("p99_cnt"))
+        .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+          col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+          expr("max_cnt * 10000L div total_rows").as("top1_share_bp"))
+    }),
+
     // constraint audit (Deequ-style expectations): every rule evaluated in
     // ONE scan as conditional partial aggregates, then unpivoted to a
     // (rule, n) report row per expectation — the data-contract gate a
@@ -2576,6 +2597,18 @@ object QueriesScale {
         |         AS BIGINT) AS classes_below_k5,
         |       CAST(SUM(CASE WHEN class_size < 5 THEN class_size
         |                     ELSE 0 END) AS BIGINT) AS rows_at_risk
+        |FROM c""".stripMargin,
+
+    "a13_skew_report" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n
+        |           FROM events GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |       CAST(SUM(n) AS BIGINT) AS total_rows,
+        |       CAST(MAX(n) AS BIGINT) AS max_cnt,
+        |       ROUND(quantile_cont(n, 0.5), 4) AS p50_cnt,
+        |       ROUND(quantile_cont(n, 0.9), 4) AS p90_cnt,
+        |       ROUND(quantile_cont(n, 0.99), 4) AS p99_cnt,
+        |       CAST(MAX(n) * 10000 // SUM(n) AS BIGINT) AS top1_share_bp
         |FROM c""".stripMargin,
 
     "dd18_fuzzy_pairs" ->
