@@ -443,6 +443,20 @@ object QueriesScale {
       TextOps.tfidf(fanOut(documents(s, d)), "doc_id", "text")
         .orderBy(col("doc_id"), col("term"))),
 
+    // per-document keyword extraction: top-3 TF-IDF terms per doc. The
+    // per-doc rank is a row_number window Spark executes as
+    // WindowGroupLimit (partial top-k BELOW the shuffle — each task keeps
+    // 3 rows per doc before anything moves; PlansSpec locks it). Ties
+    // break on the term so the cut is deterministic → full oracle.
+    "ts20_keywords" -> ((s, d) => {
+      val scored = TextOps.tfidf(fanOut(documents(s, d)), "doc_id", "text")
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // Gopher/MassiveText repetition filters: duplicate-line and top-bigram
     // coverage per doc — entirely row-local (zero shuffles), full oracle
     "ts7_repetition" -> ((s, d) =>
@@ -3395,6 +3409,29 @@ object QueriesScale {
         |  ROUND(t.tf * ln(n.n * 1.0 / d.df), 4) AS tfidf
         |FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
         |ORDER BY doc_id, term""".stripMargin,
+
+    "ts20_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+        |    AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+        |          FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    ROUND(t.tf * ln(n.n * 1.0 / d.df), 4) AS tfidf
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "ts3_token_count" ->
       """SELECT doc_id,

@@ -278,6 +278,11 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
+  test("ts20: per-doc keyword top-k runs as WindowGroupLimit") {
+    val plan = planOf("ts20_keywords")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("tp7: the packing window partitions by shard (no global sort)") {
     val plan = planOf("tp7_sequence_packing")
     assert(plan.contains("windowspecdefinition(shard"), plan.take(3000))
