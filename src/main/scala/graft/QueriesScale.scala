@@ -1615,6 +1615,51 @@ object QueriesScale {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // RFM segmentation — recency/frequency/monetary quartile buckets, the
+    // classic customer-value census. Per-user aggregates reduce the log
+    // once (map-side combined); the nine quartile cut points come from
+    // ONE exact-percentile pass over that users-sized relation and ride
+    // back as a broadcast row; bucket labels are row-local comparisons
+    // and the output is the integer (r, f, m)-cell census. Monetary
+    // rounds to 4dp BEFORE bucketing so per-user double-sum ulp noise
+    // can't flip a boundary user between engines (the tp10 rule).
+    "ev6_rfm_segments" -> ((s, d) => {
+      val ev = events(s, d)
+      val maxTs = ev.agg(max(to_date(col("ts"))).as("global_max"))
+      val per = ev.groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          round(sum(col("value")), 4).as("monetary"))
+        .crossJoin(broadcast(maxTs))
+        .select(col("user_id"),
+          datediff(col("global_max"), col("last_day")).cast("long")
+            .as("recency"),
+          col("freq"), col("monetary"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cuts = per.agg(
+        percentile(col("recency"), lit(0.25)).as("r1"),
+        percentile(col("recency"), lit(0.5)).as("r2"),
+        percentile(col("recency"), lit(0.75)).as("r3"),
+        percentile(col("freq"), lit(0.25)).as("f1"),
+        percentile(col("freq"), lit(0.5)).as("f2"),
+        percentile(col("freq"), lit(0.75)).as("f3"),
+        percentile(col("monetary"), lit(0.25)).as("m1"),
+        percentile(col("monetary"), lit(0.5)).as("m2"),
+        percentile(col("monetary"), lit(0.75)).as("m3"))
+      def bucket(v: org.apache.spark.sql.Column, c1: String, c2: String,
+          c3: String) =
+        when(v <= col(c1), 1L).when(v <= col(c2), 2L)
+          .when(v <= col(c3), 3L).otherwise(4L)
+      per.crossJoin(broadcast(cuts))
+        .select(
+          bucket(col("recency"), "r1", "r2", "r3").as("r_bucket"),
+          bucket(col("freq"), "f1", "f2", "f3").as("f_bucket"),
+          bucket(col("monetary"), "m1", "m2", "m3").as("m_bucket"))
+        .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+    }),
+
     // funnel conversion over the event log: per user, the earliest view,
     // the earliest click strictly after it, the earliest purchase strictly
     // after that — three conditional-min window passes over ONE user-keyed
@@ -2974,6 +3019,42 @@ object QueriesScale {
         |  CAST(COALESCE(churn.n_churned, 0) AS BIGINT) AS n_churned
         |FROM status LEFT JOIN churn ON status.wk = churn.wk
         |ORDER BY week""".stripMargin,
+
+    "ev6_rfm_segments" ->
+      """WITH mx AS (SELECT MAX(CAST(ts::TIMESTAMP AS DATE)) AS gmax
+        |            FROM events),
+        |per AS (
+        |  SELECT user_id,
+        |    datediff('day', MAX(CAST(ts::TIMESTAMP AS DATE)),
+        |             (SELECT gmax FROM mx)) AS recency,
+        |    COUNT(*) AS freq,
+        |    ROUND(SUM(value), 4) AS monetary
+        |  FROM events GROUP BY user_id),
+        |cuts AS (
+        |  SELECT quantile_cont(recency, 0.25) AS r1,
+        |         quantile_cont(recency, 0.5) AS r2,
+        |         quantile_cont(recency, 0.75) AS r3,
+        |         quantile_cont(freq, 0.25) AS f1,
+        |         quantile_cont(freq, 0.5) AS f2,
+        |         quantile_cont(freq, 0.75) AS f3,
+        |         quantile_cont(monetary, 0.25) AS m1,
+        |         quantile_cont(monetary, 0.5) AS m2,
+        |         quantile_cont(monetary, 0.75) AS m3
+        |  FROM per),
+        |b AS (
+        |  SELECT
+        |    CASE WHEN recency <= r1 THEN 1 WHEN recency <= r2 THEN 2
+        |         WHEN recency <= r3 THEN 3 ELSE 4 END AS r_bucket,
+        |    CASE WHEN freq <= f1 THEN 1 WHEN freq <= f2 THEN 2
+        |         WHEN freq <= f3 THEN 3 ELSE 4 END AS f_bucket,
+        |    CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2
+        |         WHEN monetary <= m3 THEN 3 ELSE 4 END AS m_bucket
+        |  FROM per CROSS JOIN cuts)
+        |SELECT CAST(r_bucket AS BIGINT) AS r_bucket,
+        |       CAST(f_bucket AS BIGINT) AS f_bucket,
+        |       CAST(m_bucket AS BIGINT) AS m_bucket,
+        |       COUNT(*) AS n_users
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "ev5_transition_matrix" ->
       """WITH o AS (SELECT user_id, event_id, event_type,
