@@ -181,6 +181,10 @@ class PlansSpec extends SparkSpec {
     "tp3_domain_rebalance", "tp4_temperature_mix",
     // 1-row broadcast global value threshold attached to every part
     "q11_important_stock",
+    // 1-row broadcast quartile-cut and max-date rows attached per user
+    "ev6_rfm_segments",
+    // inherits tfidf's 1-row broadcast corpus-size row
+    "ts20_keywords",
     // 1-row broadcast (total, n_groups) budget scalars attached per row
     "tp6_token_budget_mix", "tp15_epoch_schedule",
     "j6_range_join",
