@@ -617,6 +617,24 @@ object QueriesCore {
         .withColumn("part_date", lit(minDate))
     }),
 
+    // S6 — ORC round trip: the same lake-sink contract as S5 on Spark's
+    // second built-in columnar format (zero extra dependencies). Write
+    // the projected event relation as ORC, read it back, aggregate — the
+    // oracle recomputes from the parquet source, so the entry proves the
+    // ORC path is lossless for the projected types end to end.
+    "s6_orc_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_orc_").toString
+      events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // J9 — join-driven dynamic partition pruning over the lake layout:
     // the fact side is the date-partitioned parquet from the S5 sink, the
     // dim side is a filtered date list from the SOURCE table. Joining on
@@ -1695,6 +1713,11 @@ object QueriesCore {
         |SELECT COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value,
         |       MIN(m.d) AS part_date
         |FROM src, m WHERE src.date = m.d""".stripMargin,
+
+    "s6_orc_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "j9_partition_pruned_join" ->
       """WITH src AS (SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS date,

@@ -457,6 +457,30 @@ object QueriesScale {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // corpus novelty profile: per doc, the fraction of its distinct
+    // 3-grams whose FIRST corpus occurrence (min doc id) is this doc —
+    // the repeated-boilerplate-vs-fresh-content census run before
+    // deciding dedup aggressiveness. Per-doc distinct gram arrays build
+    // row-local ([[Dedup.docShingles]]); the only shuffles are the
+    // gram-keyed min aggregate (map-side combined, AQE-splittable on hot
+    // grams) and its join-back — the tfidf df layout. Integer counts +
+    // one exact division → full oracle.
+    "ts21_ngram_novelty" -> ((s, d) => {
+      val grams = Dedup.docShingles(fanOut(documents(s, d)),
+        "doc_id", "text", 3)
+      val first = grams.groupBy(col("shingle"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 4)
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher/MassiveText repetition filters: duplicate-line and top-bigram
     // coverage per doc — entirely row-local (zero shuffles), full oracle
     "ts7_repetition" -> ((s, d) =>
@@ -828,6 +852,23 @@ object QueriesScale {
         .select(col("n_keys"), col("total_rows"), col("max_cnt"),
           col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
           expr("max_cnt * 10000L div total_rows").as("top1_share_bp"))
+    }),
+
+    // melt/unpivot — the inverse of A2's pivot: a wide per-lang metrics
+    // row unpivots to tidy (lang, metric, value) rows via the native
+    // Dataset.unpivot (Expand under the hood — row-local, no shuffle
+    // beyond the producing aggregate). The wide aggregate is
+    // groups-sized, so the melt is metadata-scale regardless of corpus
+    // size.
+    "a14_unpivot" -> ((s, d) => {
+      val wide = fanOut(documents(s, d)).groupBy(col("lang"))
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          count_distinct(col("source")).cast("double").as("n_sources"))
+      wide.unpivot(Array(col("lang")),
+          Array(col("n_docs"), col("avg_chars"), col("n_sources")),
+          "metric", "value")
+        .orderBy(col("lang"), col("metric"))
     }),
 
     // constraint audit (Deequ-style expectations): every rule evaluated in
@@ -2658,6 +2699,20 @@ object QueriesScale {
         |                     ELSE 0 END) AS BIGINT) AS rows_at_risk
         |FROM c""".stripMargin,
 
+    "a14_unpivot" ->
+      """WITH wide AS (
+        |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |         ROUND(AVG(n_chars), 4) AS avg_chars,
+        |         CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, metric, value FROM (
+        |  SELECT lang, 'n_docs' AS metric, n_docs AS value FROM wide
+        |  UNION ALL
+        |  SELECT lang, 'avg_chars', avg_chars FROM wide
+        |  UNION ALL
+        |  SELECT lang, 'n_sources', n_sources FROM wide)
+        |ORDER BY lang, metric""".stripMargin,
+
     "a13_skew_report" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS n
         |           FROM events GROUP BY 1)
@@ -3490,6 +3545,26 @@ object QueriesScale {
         |  ROUND(t.tf * ln(n.n * 1.0 / d.df), 4) AS tfidf
         |FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
         |ORDER BY doc_id, term""".stripMargin,
+
+    "ts21_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |first AS (SELECT gram, MIN(doc_id) AS first_doc
+        |          FROM grams GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  ROUND(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+        |    * 1.0 / COUNT(*), 4) AS novelty
+        |FROM grams JOIN first USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ts20_keywords" ->
       """WITH toks AS (
