@@ -42,7 +42,8 @@ object Bench {
         .mkString(",")}]}"""
   }
 
-  private val headline = Seq(
+  /** The bench headline set — also the scope of [[PlanAudit]]. */
+  val headlineQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
     "q6_revenue_delta", "q7_volume_shipping", "q13_custdist",
     "q21_waiting_suppliers", "q2_min_cost_supplier", "q9_product_profit",
@@ -80,7 +81,7 @@ object Bench {
     // checks (reproducing a reported number without the full sweep)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = only.fold(headline)(s => headline.filter(s))
+    val selected = only.fold(headlineQueries)(s => headlineQueries.filter(s))
       .filter(SparkEntry.queries.contains)
 
     val inProcess = sys.env.contains("SPARK_GRAFT_FORKED") ||
