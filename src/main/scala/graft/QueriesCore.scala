@@ -431,7 +431,13 @@ object QueriesCore {
     // map-side-combined aggregate of the fact table, and the dimension
     // chain (supplier⋈nation⋈region) broadcasts into both branches.
     "q2_min_cost_supplier" -> ((s, d) => {
-      partSupp(s, d).createOrReplaceTempView("q2_ps")
+      // the textbook form references ps from both the outer join and the
+      // correlated subquery — persisting the (part, supp)-sized derived
+      // relation makes that ONE fact scan + two cache reads instead of
+      // two full lineitem aggregates (the q11/tp9 cached-relation rule)
+      partSupp(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .createOrReplaceTempView("q2_ps")
       part(s, d).createOrReplaceTempView("q2_part")
       supplier(s, d).createOrReplaceTempView("q2_supplier")
       nation(s, d).createOrReplaceTempView("q2_nation")
