@@ -1656,6 +1656,37 @@ object QueriesScale {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // daily-volume anomaly detection: per event type, z-score every day's
+    // count against that type's mean/variance. The variance comes from
+    // EXACT integer sums (count, Σn, Σn², all map-side combined — never a
+    // floating stddev aggregate, whose incremental update order differs
+    // between engines) so the one double evaluation is bit-identical on
+    // both sides and the |z| > 2 flag can't flip. Stats are
+    // types-sized and broadcast back onto the daily census.
+    "ev7_volume_anomalies" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+        .select(col("event_type"),
+          (col("s1").cast("double") / col("n_days").cast("double"))
+            .as("mean"),
+          ((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") /
+              col("n_days").cast("double")) /
+            (col("n_days") - 1).cast("double")).as("variance"))
+      daily.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          round((col("n").cast("double") - col("mean")) /
+            sqrt(col("variance")), 4).as("z"),
+          (abs((col("n").cast("double") - col("mean")) /
+            sqrt(col("variance"))) > 2).as("is_anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // RFM segmentation — recency/frequency/monetary quartile buckets, the
     // classic customer-value census. Per-user aggregates reduce the log
     // once (map-side combined); the nine quartile cut points come from
@@ -3074,6 +3105,27 @@ object QueriesScale {
         |  CAST(COALESCE(churn.n_churned, 0) AS BIGINT) AS n_churned
         |FROM status LEFT JOIN churn ON status.wk = churn.wk
         |ORDER BY week""".stripMargin,
+
+    "ev7_volume_anomalies" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts::TIMESTAMP AS DATE) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type,
+        |    CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
+        |    (CAST(SUM(n * n) AS DOUBLE)
+        |      - CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE))
+        |      / CAST(COUNT(*) - 1 AS DOUBLE) AS variance
+        |  FROM daily GROUP BY 1)
+        |SELECT daily.event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(n AS BIGINT) AS n,
+        |  ROUND((CAST(n AS DOUBLE) - mean) / SQRT(variance), 4) AS z,
+        |  ABS((CAST(n AS DOUBLE) - mean) / SQRT(variance)) > 2
+        |    AS is_anomaly
+        |FROM daily JOIN stats ON daily.event_type = stats.event_type
+        |ORDER BY daily.event_type, day""".stripMargin,
 
     "ev6_rfm_segments" ->
       """WITH mx AS (SELECT MAX(CAST(ts::TIMESTAMP AS DATE)) AS gmax
