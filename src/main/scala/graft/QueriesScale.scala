@@ -854,6 +854,25 @@ object QueriesScale {
           expr("max_cnt * 10000L div total_rows").as("top1_share_bp"))
     }),
 
+    // sketch twin of a13 — the 100 TB serving path: at scale the per-key
+    // count relation is itself huge, and approx_percentile's mergeable
+    // sketch replaces the exact sort-based percentile (the a5b/a7b twin
+    // convention). At harness accuracy the sketch is exact, so the oracle
+    // compares against DuckDB's discrete quantile (both pick actual data
+    // values, no interpolation).
+    "a13b_skew_approx" -> ((s, d) => {
+      val cnt = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      cnt.agg(
+        count(lit(1)).as("n_keys"),
+        round(expr("approx_percentile(n, 0.5, 1000000)").cast("double"),
+          4).as("p50_cnt"),
+        round(expr("approx_percentile(n, 0.9, 1000000)").cast("double"),
+          4).as("p90_cnt"),
+        round(expr("approx_percentile(n, 0.99, 1000000)").cast("double"),
+          4).as("p99_cnt"))
+    }),
+
     // melt/unpivot — the inverse of A2's pivot: a wide per-lang metrics
     // row unpivots to tidy (lang, metric, value) rows via the native
     // Dataset.unpivot (Expand under the hood — row-local, no shuffle
@@ -2728,6 +2747,18 @@ object QueriesScale {
         |         AS BIGINT) AS classes_below_k5,
         |       CAST(SUM(CASE WHEN class_size < 5 THEN class_size
         |                     ELSE 0 END) AS BIGINT) AS rows_at_risk
+        |FROM c""".stripMargin,
+
+    "a13b_skew_approx" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n
+        |           FROM events GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |       ROUND(CAST(quantile_disc(n, 0.5) AS DOUBLE), 4)
+        |         AS p50_cnt,
+        |       ROUND(CAST(quantile_disc(n, 0.9) AS DOUBLE), 4)
+        |         AS p90_cnt,
+        |       ROUND(CAST(quantile_disc(n, 0.99) AS DOUBLE), 4)
+        |         AS p99_cnt
         |FROM c""".stripMargin,
 
     "a14_unpivot" ->
