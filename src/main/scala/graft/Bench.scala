@@ -70,6 +70,8 @@ object Bench {
     "sim11_knn_classify", "sim12_centroid_drift", "sim13_scalar_quantize",
     "st1_hourly_window", "st2_sessionize", "st4_interval_join",
     "st5_user_sequences", "ev1_cohort_retention", "ev4_growth_accounting",
+    "ev6_rfm_segments", "ev7_volume_anomalies", "a13_skew_report",
+    "ts20_keywords", "ts21_ngram_novelty",
     "tp1_curation",
     "mm1_binary_meta", "mm4_vit_patches")
 
