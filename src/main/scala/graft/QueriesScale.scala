@@ -854,6 +854,44 @@ object QueriesScale {
           expr("max_cnt * 10000L div total_rows").as("top1_share_bp"))
     }),
 
+    // column-profile drift between two corpus versions — the Deequ-style
+    // data-contract report a release pipeline runs before swapping
+    // snapshots: per column, row count / null count / distinct count for
+    // both versions plus the null-rate delta in integer basis points.
+    // Each version profiles in ONE scan (all 11 aggregates in a single
+    // pass, map-side combined), the one-row result reshapes row-local
+    // (explode of a literal struct array — columns-sized), and the diff
+    // join is columns × columns. v2 derives deterministically from the
+    // same table (id-mod drop + a source-conditional lang null) so the
+    // oracle replays it exactly.
+    "a15_profile_drift" -> ((s, d) => {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      def profile(df: DataFrame, tag: String): DataFrame = {
+        val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          count_distinct(col(c)).as(s"${c}_distinct")))
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(col("n"), explode(array(cols.map(c =>
+            struct(lit(c).as("column"),
+              col(s"${c}_nulls").as("n_nulls"),
+              col(s"${c}_distinct").as("n_distinct"))): _*)).as("m"))
+          .select(col("m.column").as("column"), col("n").as(s"n_$tag"),
+            col("m.n_nulls").as(s"nulls_$tag"),
+            col("m.n_distinct").as(s"distinct_$tag"))
+      }
+      val v1 = documents(s, d)
+      val v2 = v1.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .withColumn("lang", when(col("source") === "src3", lit(null))
+          .otherwise(col("lang")))
+      profile(v1, "v1").join(profile(v2, "v2"), Seq("column"))
+        .select(col("column"), col("n_v1"), col("nulls_v1"),
+          col("distinct_v1"), col("n_v2"), col("nulls_v2"),
+          col("distinct_v2"),
+          (expr("nulls_v2 * 10000L div n_v2") -
+            expr("nulls_v1 * 10000L div n_v1")).as("null_rate_delta_bp"))
+        .orderBy(col("column"))
+    }),
+
     // sketch twin of a13 — the 100 TB serving path: at scale the per-key
     // count relation is itself huge, and approx_percentile's mergeable
     // sketch replaces the exact sort-based percentile (the a5b/a7b twin
@@ -2748,6 +2786,55 @@ object QueriesScale {
         |       CAST(SUM(CASE WHEN class_size < 5 THEN class_size
         |                     ELSE 0 END) AS BIGINT) AS rows_at_risk
         |FROM c""".stripMargin,
+
+    "a15_profile_drift" ->
+      """WITH v1 AS (SELECT * FROM documents),
+        |v2 AS (SELECT doc_id, text,
+        |         CASE WHEN source = 'src3' THEN NULL ELSE lang END
+        |           AS lang,
+        |         source, n_chars
+        |       FROM documents WHERE doc_id % 97 <> 0),
+        |p1 AS (
+        |  SELECT 'doc_id' AS c, COUNT(*) AS n,
+        |    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nu,
+        |    COUNT(DISTINCT doc_id) AS di FROM v1
+        |  UNION ALL SELECT 'text', COUNT(*),
+        |    SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT text) FROM v1
+        |  UNION ALL SELECT 'lang', COUNT(*),
+        |    SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT lang) FROM v1
+        |  UNION ALL SELECT 'source', COUNT(*),
+        |    SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT source) FROM v1
+        |  UNION ALL SELECT 'n_chars', COUNT(*),
+        |    SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT n_chars) FROM v1),
+        |p2 AS (
+        |  SELECT 'doc_id' AS c, COUNT(*) AS n,
+        |    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nu,
+        |    COUNT(DISTINCT doc_id) AS di FROM v2
+        |  UNION ALL SELECT 'text', COUNT(*),
+        |    SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT text) FROM v2
+        |  UNION ALL SELECT 'lang', COUNT(*),
+        |    SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT lang) FROM v2
+        |  UNION ALL SELECT 'source', COUNT(*),
+        |    SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT source) FROM v2
+        |  UNION ALL SELECT 'n_chars', COUNT(*),
+        |    SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT n_chars) FROM v2)
+        |SELECT p1.c AS "column",
+        |  CAST(p1.n AS BIGINT) AS n_v1, CAST(p1.nu AS BIGINT) AS nulls_v1,
+        |  CAST(p1.di AS BIGINT) AS distinct_v1,
+        |  CAST(p2.n AS BIGINT) AS n_v2, CAST(p2.nu AS BIGINT) AS nulls_v2,
+        |  CAST(p2.di AS BIGINT) AS distinct_v2,
+        |  CAST(p2.nu * 10000 // p2.n - p1.nu * 10000 // p1.n AS BIGINT)
+        |    AS null_rate_delta_bp
+        |FROM p1 JOIN p2 ON p1.c = p2.c
+        |ORDER BY p1.c""".stripMargin,
 
     "a13b_skew_approx" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS n
