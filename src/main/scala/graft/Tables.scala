@@ -35,16 +35,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as epoch-nanos LONG via the
-    * legacy flag and convert to a micros TimestampType (`div 1000` truncates
-    * exactly like DuckDB's ns→us formatting, keeping oracle parity).
+  /** `events.ts` has shipped in two physical forms across testdata drops:
+    * TIMESTAMP(NANOS) — which Spark's vectorized reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]), so the legacy flag reads it as epoch-nanos
+    * LONG — and TIMESTAMP(MICROS, isAdjustedToUTC=false), which arrives as
+    * TIMESTAMP_NTZ. Either way the engine presents one schema downstream:
+    * a micros session-zone TimestampType. ns→µs `div 1000` truncates
+    * exactly like DuckDB's formatting, and the NTZ cast under the UTC
+    * session zone is a pure reinterpretation — oracle parity holds in both
+    * regimes.
     */
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(c).dataType match {
+      case LongType => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(t(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode,
@@ -51,11 +52,10 @@ object StreamingOps {
       queryName: String): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    val events = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = Tables.normalizeTs(spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(eventsDir))
       .withWatermark("ts", "2 hours")
     hourlyAgg(events)
       .writeStream
@@ -206,9 +206,9 @@ object StreamingOps {
       watermark: String, queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src(dir: String): DataFrame =
-      spark.readStream.schema(spark.read.parquet(dir).schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir)
-        .withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      Tables.normalizeTs(
+          spark.readStream.schema(spark.read.parquet(dir).schema)
+            .option("maxFilesPerTrigger", 1).parquet(dir), tsCol)
         .withWatermark(tsCol, watermark)
     val q = intervalJoin(src(leftDir), src(rightDir), keyCol, tsCol,
         lookback)
@@ -329,9 +329,8 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     import spark.implicits._
-    val ticks = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ticks = Tables.normalizeTs(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(eventsDir))
       .withWatermark("ts", "2 hours")
       .select(col("user_id"), col("ts")).as[UserTick]
     val q = statefulSessionize(ticks, gap)
@@ -411,9 +410,8 @@ object StreamingOps {
       queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = Tables.normalizeTs(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(eventsDir))
       .withWatermark("ts", "2 hours")
     val q = src.dropDuplicatesWithinWatermark(idCol)
       .writeStream.outputMode(OutputMode.Append).format("memory")
