@@ -641,6 +641,56 @@ object QueriesCore {
         .orderBy(col("event_type"))
     }),
 
+    // S7 — JSONL round trip: training corpora interchange as
+    // newline-delimited JSON, so the sink/source pair must be lossless for
+    // text payloads (quotes, newlines, unicode all escape through the
+    // writer and parse back). The per-lang char sum is text-content-
+    // sensitive, and the oracle recomputes it from the parquet source —
+    // a hash match proves the JSONL path preserved every document. Scan
+    // parallelism at 100 TB is the same splittable-files story as
+    // parquet (JSONL splits on line boundaries); schema comes from one
+    // inference pass here, a user-supplied schema in production.
+    "s7_jsonl_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_").toString
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .write.mode("overwrite").json(tmp)
+      s.read.json(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text"))).as("chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // S8 — schema-evolution read: two shard generations of the same
+    // table, the newer one carrying an extra column, merge under
+    // `mergeSchema` into one relation with nulls backfilling the old
+    // shards — the lakehouse contract that lets a 100 TB corpus add
+    // columns without rewriting history. The per-generation null
+    // accounting is what the merged read must get right, and the oracle
+    // recomputes it from the source with the same % 2 split.
+    "s8_schema_evolution" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_evolve_").toString
+      val p = part(s, d)
+      p.filter(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      p.filter(col("p_partkey") % 2 === 1)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_retailprice"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("gen").cast("long").as("gen"))
+        .agg(count(lit(1)).as("n"),
+          count(col("p_retailprice")).as("n_priced"),
+          round(sum(coalesce(col("p_retailprice"), lit(0.0))), 2)
+            .as("price_sum"))
+        .orderBy(col("gen"))
+    }),
+
     // J9 — join-driven dynamic partition pruning over the lake layout:
     // the fact side is the date-partitioned parquet from the S5 sink, the
     // dim side is a filtered date list from the SOURCE table. Joining on
@@ -692,6 +742,40 @@ object QueriesCore {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // J11 — runtime bloom-filter join: when the selective filter sits on
+    // the CREATION side of a shuffle join, Catalyst's InjectRuntimeFilter
+    // builds a bloom filter from the filtered keys and semi-joins it into
+    // the probe-side SCAN — at 100 TB that drops most fact rows before
+    // the exchange instead of shuffling them to die in the join. The
+    // entry runs in a child session so the size thresholds (tuned down to
+    // fire at test scale; the default 10 GiB probe floor is exactly right
+    // for a real cluster) and the disabled broadcast (which would
+    // otherwise absorb this dim — bloom is the big-dim regime) can't
+    // leak into other entries' plans. PlansSpec asserts the
+    // bloom_filter_agg / might_contain pair; the oracle is the plain
+    // join aggregate, so correctness is filter-transparent.
+    "j11_bloom_filter_join" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone", "UTC")
+      s2.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "512MB")
+      lineitem(s2, d)
+        .join(orders(s2, d).filter(col("o_totalprice") > 450000),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(18,6)")).cast("double").as("revenue"))
         .orderBy(col("o_orderpriority"))
@@ -1271,6 +1355,26 @@ object QueriesCore {
         .orderBy(col("o_orderkey"))
         .offset(100).limit(10)),
 
+    // O4 — seeded fixed-k per-group sample: rank rows inside each group
+    // by a salted md5 of the row key and keep the k smallest — a
+    // deterministic "reservoir" whose membership is reproducible across
+    // engines and runs (the property audit sampling needs; o2b/o2c cover
+    // the probabilistic variants). The rn<=k filter over the ranking
+    // window plans as WindowGroupLimit, so each task keeps a k-row heap
+    // per group instead of sorting whole partitions — the top-k shape
+    // that survives groups of any size at 100 TB.
+    "o4_reservoir_pergroup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(md5(concat(col("event_id").cast("string"),
+          lit("-seed42"))), col("event_id"))
+      events(s, d)
+        .select(col("event_type"), col("event_id"), col("user_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .orderBy(col("event_type"), col("rn"))
+    }),
+
     // ---- W: window functions (engine surface beyond the reference) --------
     "w1_row_number" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1724,6 +1828,38 @@ object QueriesCore {
       """SELECT event_type, COUNT(*) AS n,
         |       ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s7_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(length(text)) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "s8_schema_evolution" ->
+      """SELECT CAST(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+        |         AS gen,
+        |       COUNT(*) AS n,
+        |       COUNT(CASE WHEN p_partkey % 2 = 1 THEN 1 END) AS n_priced,
+        |       ROUND(SUM(CASE WHEN p_partkey % 2 = 1 THEN p_retailprice
+        |                      ELSE 0 END), 2) AS price_sum
+        |FROM part GROUP BY 1 ORDER BY gen""".stripMargin,
+
+    "j11_bloom_filter_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "o4_reservoir_pergroup" ->
+      """SELECT event_type, event_id, user_id, rn FROM (
+        |  SELECT event_type, event_id, user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR) || '-seed42'),
+        |               event_id) AS rn
+        |  FROM events) WHERE rn <= 20
+        |ORDER BY event_type, rn""".stripMargin,
 
     "j9_partition_pruned_join" ->
       """WITH src AS (SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS date,

@@ -970,6 +970,28 @@ object QueriesScale {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // SCD2 history build — dd19's sibling: instead of compacting to the
+    // latest version, every (user, type) observation becomes a validity
+    // interval [valid_from, valid_to) via lead() over the change stream,
+    // with the open tail marked current — the slowly-changing-dimension
+    // type-2 table a lakehouse serves point-in-time joins from. One
+    // window shuffle keyed by the dimension key, row-local everything
+    // else; interval assembly never re-scans history.
+    "dd23_scd2_history" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          coalesce(date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("9999-12-31 00:00:00")).as("valid_to"),
+          col("next_ts").isNull.as("is_current"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("user_id"), col("event_type"), col("valid_from"),
+          col("event_id"))
+    }),
+
     // incremental aggregate maintenance: the corpus splits into a base
     // snapshot and a delta batch, each aggregated independently, and the
     // REFRESH is a merge of the two partial states (sum-of-counts,
@@ -1742,6 +1764,29 @@ object QueriesScale {
           (abs((col("n").cast("double") - col("mean")) /
             sqrt(col("variance"))) > 2).as("is_anomaly"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // exponential time-decay activity score — the freshness-weighted
+    // engagement metric (7-day half-life-style kernel against a fixed
+    // reference instant). Because the kernel is anchored at max(ts)
+    // rather than chained row-to-row, the weighted sum is
+    // order-independent and map-side combinable: one broadcast scalar,
+    // one per-user shuffle, no window state — the shape an EWMA-style
+    // score needs to survive a 100 TB event log. Both engines read the
+    // same micros-exact epoch doubles, so only sub-ulp libm noise
+    // remains, absorbed by the 4dp round.
+    "ev8_decay_score" -> ((s, d) => {
+      val ev = events(s, d)
+      val ref = ev.agg(max(col("ts").cast("double")).as("ref_epoch"))
+      ev.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          (col("value") *
+            exp((col("ts").cast("double") - col("ref_epoch")) /
+              lit(86400.0 * 7))).as("w"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("w")), 4).as("decay_score"))
+        .orderBy(col("user_id"))
     }),
 
     // RFM segmentation — recency/frequency/monetary quartile buckets, the
@@ -2767,6 +2812,20 @@ object QueriesScale {
         |FROM r WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
 
+    "dd23_scd2_history" ->
+      """WITH r AS (SELECT user_id, event_type, event_id, ts, value,
+        |    LEAD(ts) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS next_ts
+        |  FROM events)
+        |SELECT user_id, event_type, event_id,
+        |       strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       COALESCE(strftime(next_ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S'),
+        |                '9999-12-31 00:00:00') AS valid_to,
+        |       next_ts IS NULL AS is_current,
+        |       ROUND(value, 4) AS value
+        |FROM r
+        |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin,
+
     "a10_incremental_agg" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS chars
@@ -3223,6 +3282,15 @@ object QueriesScale {
         |  CAST(COALESCE(churn.n_churned, 0) AS BIGINT) AS n_churned
         |FROM status LEFT JOIN churn ON status.wk = churn.wk
         |ORDER BY week""".stripMargin,
+
+    "ev8_decay_score" ->
+      """WITH ref AS (SELECT MAX(epoch(ts::TIMESTAMP)) AS ref_epoch
+        |             FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       ROUND(SUM(value * exp((epoch(ts::TIMESTAMP) - ref.ref_epoch)
+        |                             / (86400.0 * 7))), 4) AS decay_score
+        |FROM events, ref
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ev7_volume_anomalies" ->
       """WITH daily AS (

@@ -64,6 +64,22 @@ class PlansSpec extends SparkSpec {
       s"bucketed join must not re-shuffle its inputs: ${plan.take(3000)}")
   }
 
+  test("j11: a runtime bloom filter from the selective dim reaches the " +
+      "fact scan side") {
+    // the entry runs in its own child session (thresholds tuned to fire at
+    // test scale; broadcast disabled to model the big-dim regime), so the
+    // plan must carry the bloom build (ObjectHashAggregate over
+    // bloom_filter_agg) and the probe-side might_contain test
+    val plan = SparkEntry.queries("j11_bloom_filter_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val lower = plan.toLowerCase
+    assert(lower.contains("bloom_filter_agg") ||
+        lower.contains("bloomfilter"),
+      s"no bloom filter build in plan: ${plan.take(3000)}")
+    assert(lower.contains("might_contain"),
+      s"probe side not bloom-filtered: ${plan.take(3000)}")
+  }
+
   test("q17: the correlated avg-quantity subquery decorrelates to an " +
       "aggregate join") {
     val opt = SparkEntry.queries("q17_small_qty_revenue")(spark, sf)
@@ -183,6 +199,8 @@ class PlansSpec extends SparkSpec {
     "q11_important_stock",
     // 1-row broadcast quartile-cut and max-date rows attached per user
     "ev6_rfm_segments",
+    // 1-row broadcast reference-instant scalar attached per event
+    "ev8_decay_score",
     // inherits tfidf's 1-row broadcast corpus-size row
     "ts20_keywords",
     // 1-row broadcast (total, n_groups) budget scalars attached per row
