@@ -810,6 +810,19 @@ object QueriesScale {
           "doc_id", "text", Seq("lang", "source"), 3, maxDocFreq = 64),
         "doc_a", "doc_b")),
 
+    // PageRank over the dup-candidate graph (dd20's edge relation) —
+    // importance-ranks boilerplate families by centrality in the
+    // duplicate structure. Five Pregel-shaped rounds (rank-keyed join +
+    // dst-keyed partial agg over a persisted degree-annotated edge
+    // relation); 6dp round absorbs cross-engine sum-order ulp noise.
+    "dd24_pagerank" -> ((s, d) =>
+      Dedup.pageRank(
+        Dedup.gramCandidatePairs(fanOut(documents(s, d)),
+          "doc_id", "text", Seq("lang", "source"), 3, maxDocFreq = 64),
+        "doc_a", "doc_b", iters = 5, damping = 0.85)
+        .select(col("node").as("doc_id"), col("deg"), col("rank"))
+        .orderBy(col("doc_id"))),
+
     // k-anonymity audit over quasi-identifiers: every (lang, source,
     // length-bucket) equivalence class is sized, and classes below k=5
     // are the re-identification risk a corpus release report must carry.
@@ -1586,6 +1599,16 @@ object QueriesScale {
       val media = Multimodal.withBinaryPayload(
         fanOut(documents(s, d)), "doc_id", "text")
       Multimodal.patchGrid(media, "doc_id", 16)
+        .orderBy(col("doc_id"))
+    }),
+
+    // audio frame-window accounting (mm4's sibling for the speech
+    // modality): 25 ms / 10 ms @ 16 kHz framing math over the stand-in
+    // PCM payload — row-local integer arithmetic → full oracle.
+    "mm5_audio_windows" -> ((s, d) => {
+      val media = Multimodal.withBinaryPayload(
+        fanOut(documents(s, d)), "doc_id", "text")
+      Multimodal.audioWindows(media, "doc_id")
         .orderBy(col("doc_id"))
     }),
 
@@ -2780,6 +2803,67 @@ object QueriesScale {
         |JOIN pairs e2 ON e2.src = e1.dst
         |JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
         .stripMargin,
+
+    "dd24_pagerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |hot AS (
+        |  SELECT lang, source, gram FROM grams
+        |  GROUP BY lang, source, gram HAVING COUNT(*) > 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM grams a JOIN grams b
+        |    ON a.gram = b.gram AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |    WHERE h.lang = a.lang AND h.source = a.source
+        |      AND h.gram = a.gram)),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |nn AS (SELECT COUNT(*) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank
+        |       FROM deg),
+        |r1 AS (SELECT e.dst AS node,
+        |         (SELECT 0.15 / n FROM nn)
+        |           + 0.85 * SUM(r.rank / d.deg) AS rank
+        |       FROM edges e JOIN r0 r ON r.node = e.src
+        |            JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         (SELECT 0.15 / n FROM nn)
+        |           + 0.85 * SUM(r.rank / d.deg) AS rank
+        |       FROM edges e JOIN r1 r ON r.node = e.src
+        |            JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |         (SELECT 0.15 / n FROM nn)
+        |           + 0.85 * SUM(r.rank / d.deg) AS rank
+        |       FROM edges e JOIN r2 r ON r.node = e.src
+        |            JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r4 AS (SELECT e.dst AS node,
+        |         (SELECT 0.15 / n FROM nn)
+        |           + 0.85 * SUM(r.rank / d.deg) AS rank
+        |       FROM edges e JOIN r3 r ON r.node = e.src
+        |            JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r5 AS (SELECT e.dst AS node,
+        |         (SELECT 0.15 / n FROM nn)
+        |           + 0.85 * SUM(r.rank / d.deg) AS rank
+        |       FROM edges e JOIN r4 r ON r.node = e.src
+        |            JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst)
+        |SELECT r5.node AS doc_id, deg.deg, ROUND(r5.rank, 6) AS rank
+        |FROM r5 JOIN deg ON deg.src = r5.node
+        |ORDER BY doc_id""".stripMargin,
 
     "a11_constraint_audit" ->
       """WITH a AS (SELECT COUNT(*) AS rows_total,
@@ -4120,6 +4204,20 @@ object QueriesScale {
         |        generate_series(0, LEAST((length(text) - 1) // 64, 4)) AS gs
         |      FROM documents)
         |ORDER BY doc_id, frame_no""".stripMargin,
+
+    "mm5_audio_windows" ->
+      """WITH s AS (SELECT doc_id,
+        |             octet_length(encode(text)) // 2 AS n_samples
+        |           FROM documents)
+        |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN n_samples >= 400
+        |            THEN (n_samples - 400) // 160 + 1 ELSE 0 END
+        |       AS BIGINT) AS n_frames,
+        |  CAST((n_samples * 1000) // 16000 AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN n_samples >= 400
+        |            THEN ((n_samples - 400) // 160) * 160 END
+        |       AS BIGINT) AS last_frame_start
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "st1_hourly_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP),

@@ -379,6 +379,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Fixed-iteration PageRank over the (undirected) dup-candidate graph —
+    * the importance signal that ranks boilerplate families by how central
+    * they are in the duplicate structure (a hub template outranks a
+    * two-doc near-pair at equal degree). Each undirected edge contributes
+    * both directions; every node in the edge relation has out-degree ≥ 1,
+    * so the simple (no dangling-mass) update
+    * `r' = (1-d)/N + d·Σ r_src/deg_src` is mass-conserving here.
+    *
+    * Scale shape: the edge relation (with its degree) is persisted once
+    * and re-joined per iteration — each of the `iters` rounds is one
+    * rank-keyed join plus one dst-keyed partial aggregate, the same two
+    * shuffles a 100-TB Pregel step costs; no driver-side state beyond the
+    * node count (one scalar, the documented bench-parameter pattern).
+    */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val und = pairs.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count()
+    var ranks = deg.select(col("src").as("node"),
+      lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("m"))
+        .select(col("dst").as("node"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("m")).as("rank"))
+    }
+    ranks.join(deg.select(col("src").as("node"), col("deg")), "node")
+      .select(col("node"), col("deg"), round(col("rank"), 6).as("rank"))
+  }
+
   /** Edit-distance pair matching (record linkage / fuzzy title dedup) via
     * q-gram filtering: candidate pairs come from a capped char-2-gram
     * inverted index, and the exact `levenshtein` runs ONLY on candidates —

@@ -117,4 +117,26 @@ object Multimodal {
       .withColumn("grid_h", floor(col("height") / patch).cast("long"))
       .withColumn("n_patches", col("grid_w") * col("grid_h"))
       .withColumn("n_tokens", col("n_patches") + 1L)
+
+  /** STFT-style audio frame accounting: the payload stands in for 16-bit
+    * mono PCM (n_samples = byte_len / 2), framed with `frameLen`-sample
+    * windows every `hop` samples — the 25 ms / 10 ms @ 16 kHz defaults of
+    * speech front ends. Pure row-local integer arithmetic (the feature
+    * extractor's budget input, like [[patchGrid]] for ViT); the decode
+    * itself stays behind the documented codec stub.
+    */
+  def audioWindows(media: DataFrame, idCol: String, sampleRate: Int = 16000,
+      frameLen: Int = 400, hop: Int = 160): DataFrame =
+    media.select(col(idCol),
+        floor(col("media_meta.byte_len").cast("long") / 2L)
+          .cast("long").as("n_samples"))
+      .withColumn("n_frames",
+        when(col("n_samples") >= frameLen,
+          floor((col("n_samples") - frameLen) / hop).cast("long") + 1L)
+          .otherwise(0L))
+      .withColumn("duration_ms",
+        floor(col("n_samples") * 1000L / sampleRate).cast("long"))
+      .withColumn("last_frame_start",
+        when(col("n_frames") > 0, (col("n_frames") - 1L) * hop)
+          .otherwise(lit(null).cast("long")))
 }
