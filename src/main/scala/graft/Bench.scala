@@ -70,7 +70,9 @@ object Bench {
     "sim11_knn_classify", "sim12_centroid_drift", "sim13_scalar_quantize",
     "st1_hourly_window", "st2_sessionize", "st4_interval_join",
     "st5_user_sequences", "ev1_cohort_retention", "ev4_growth_accounting",
-    "ev6_rfm_segments", "ev7_volume_anomalies", "a13_skew_report",
+    "ev6_rfm_segments", "ev7_volume_anomalies", "ev8_decay_score",
+    "a13_skew_report", "dd23_scd2_history", "dd24_pagerank",
+    "j11_bloom_filter_join", "o4_reservoir_pergroup",
     "ts20_keywords", "ts21_ngram_novelty",
     "tp1_curation",
     "mm1_binary_meta", "mm4_vit_patches")
