@@ -1475,6 +1475,51 @@ object QueriesCore {
         .orderBy(col("o_orderkey"))
     }),
 
+    // W6 — cumulative distinct users per type over days: the window-hostile
+    // "running COUNT(DISTINCT)" reduced to tractable pieces — each user's
+    // first-seen day per type (one map-side-combined groupBy), a
+    // days-sized new-user census, and a cumulative sum windowed ONLY over
+    // that tiny relation. The event log is never window-scanned, which is
+    // what makes the running-distinct census feasible at 100 TB.
+    "w6_cumulative_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstDay = events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(to_date(col("ts"))).as("day"))
+      val daily = firstDay.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      daily.withColumn("cum_users",
+          sum(col("new_users")).over(Window.partitionBy(col("event_type"))
+            .orderBy(col("day"))))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("new_users"), col("cum_users"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // A16 — Benford first-digit audit over order totals: the fraud /
+    // synthetic-data screen. The leading digit comes from pure arithmetic
+    // (v / 10^⌊log10 v⌋ — no string formatting, which differs between
+    // engines), shares are floor-divided basis points computed the same
+    // double way on both sides, and the expected Benford mass
+    // ⌊log10(1+1/d)·10⁴⌋ rides as a per-digit constant. One scan, one
+    // 9-key aggregate.
+    "a16_benford_audit" -> ((s, d) => {
+      val digit = floor(col("o_totalprice") /
+        pow(lit(10.0), floor(log10(col("o_totalprice"))))).cast("long")
+      val counts = orders(s, d).filter(col("o_totalprice") >= 1)
+        .groupBy(digit.as("digit"))
+        .agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          floor(col("n").cast("double") * 10000 / col("total"))
+            .cast("long").as("share_bp"),
+          floor(log10(lit(1.0) + lit(1.0) / col("digit")) * 10000)
+            .cast("long").as("benford_bp"))
+        .orderBy(col("digit"))
+    }),
+
     // engine extra: GROUPING SETS with grouping() marker columns — the SQL
     // surface (temp view + spark.sql), planned as a single Expand+agg pass
     "g3_grouping_sets" -> ((s, d) => {
@@ -2275,6 +2320,34 @@ object QueriesCore {
         |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY status, priority""".stripMargin
+        |ORDER BY status, priority""".stripMargin,
+
+    "w6_cumulative_distinct" ->
+      """WITH first_day AS (
+        |  SELECT event_type, user_id, MIN(CAST(ts::TIMESTAMP AS DATE))
+        |           AS day
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, day, COUNT(*) AS new_users
+        |  FROM first_day GROUP BY 1, 2)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, new_users,
+        |       CAST(SUM(new_users) OVER (PARTITION BY event_type
+        |         ORDER BY day) AS BIGINT) AS cum_users
+        |FROM daily ORDER BY event_type, day""".stripMargin,
+
+    "a16_benford_audit" ->
+      """WITH c AS (
+        |  SELECT CAST(FLOOR(o_totalprice
+        |           / POW(10.0, FLOOR(LOG10(o_totalprice)))) AS BIGINT)
+        |           AS digit,
+        |         COUNT(*) AS n
+        |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, n,
+        |  CAST(FLOOR(CAST(n AS DOUBLE) * 10000 / total) AS BIGINT)
+        |    AS share_bp,
+        |  CAST(FLOOR(LOG10(1.0 + 1.0 / digit) * 10000) AS BIGINT)
+        |    AS benford_bp
+        |FROM c, t ORDER BY digit""".stripMargin
   )
 }

@@ -1812,6 +1812,33 @@ object QueriesScale {
         .orderBy(col("user_id"))
     }),
 
+    // robust (MAD) twin of ev7's z-score anomalies: median / median-
+    // absolute-deviation replace mean / stddev, so a burst day cannot
+    // drag the baseline toward itself — the Iglewicz-Hoaglin modified
+    // z-score (0.6745·(n−med)/MAD, flag |z|>3.5). Two percentile passes
+    // over the tiny (type, day) relation, broadcast back; exact-
+    // interpolation percentiles match across engines (the a13 rule);
+    // MAD=0 types yield null scores rather than ±inf.
+    "ev9_mad_anomalies" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val med = daily.groupBy(col("event_type"))
+        .agg(percentile(col("n"), lit(0.5)).as("med"))
+      val mad = daily.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(percentile(abs(col("n") - col("med")), lit(0.5)).as("mad"))
+      val z = (lit(0.6745) * (col("n") - col("med")) / col("mad"))
+      daily.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          when(col("mad") > 0, round(z, 4)).as("robust_z"),
+          when(col("mad") > 0, abs(z) > 3.5).as("is_anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // RFM segmentation — recency/frequency/monetary quartile buckets, the
     // classic customer-value census. Per-user aggregates reduce the log
     // once (map-side combined); the nine quartile cut points come from
@@ -3375,6 +3402,27 @@ object QueriesScale {
         |                             / (86400.0 * 7))), 4) AS decay_score
         |FROM events, ref
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ev9_mad_anomalies" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts::TIMESTAMP AS DATE) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+        |        FROM daily GROUP BY 1),
+        |mad AS (SELECT d.event_type,
+        |          quantile_cont(abs(d.n - m.med), 0.5) AS mad
+        |        FROM daily d JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n,
+        |  CASE WHEN mad.mad > 0
+        |       THEN ROUND(0.6745 * (d.n - med.med) / mad.mad, 4)
+        |  END AS robust_z,
+        |  CASE WHEN mad.mad > 0
+        |       THEN abs(0.6745 * (d.n - med.med) / mad.mad) > 3.5
+        |  END AS is_anomaly
+        |FROM daily d JOIN med USING (event_type)
+        |     JOIN mad USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
 
     "ev7_volume_anomalies" ->
       """WITH daily AS (

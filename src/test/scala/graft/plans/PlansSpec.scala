@@ -201,6 +201,8 @@ class PlansSpec extends SparkSpec {
     "ev6_rfm_segments",
     // 1-row broadcast reference-instant scalar attached per event
     "ev8_decay_score",
+    // 1-row broadcast grand-total attached to the 9-digit census
+    "a16_benford_audit",
     // inherits tfidf's 1-row broadcast corpus-size row
     "ts20_keywords",
     // 1-row broadcast (total, n_groups) budget scalars attached per row
