@@ -399,9 +399,15 @@ object Dedup {
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // the edge relation roots in the expensive candidate-pair build and
+    // feeds deg + the annotated join — persist it (2·|pairs| narrow rows)
+    // so pair generation runs exactly once; deg additionally feeds the
+    // rank init and the final join-back (nodes-sized)
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withDeg = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = deg.count()
