@@ -691,6 +691,29 @@ object QueriesCore {
         .orderBy(col("gen"))
     }),
 
+    // S9 — CSV round trip: the reference's interchange format on the
+    // write side too. Explicit read schema (the production pattern — no
+    // inference pass over a 100 TB landing zone); the per-lang
+    // content-sensitive sums recomputed from the parquet source prove
+    // header/quoting/typing survive the trip. This corpus needs no
+    // multiLine quoting (no embedded newlines) — at scale that matters,
+    // because multiLine CSV is unsplittable.
+    "s9_csv_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv_").toString
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
+        .csv(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text"))).as("chars"))
+        .orderBy(col("lang"))
+    }),
+
     // J9 — join-driven dynamic partition pruning over the lake layout:
     // the fact side is the date-partitioned parquet from the S5 sink, the
     // dim side is a filtered date list from the SOURCE table. Joining on
@@ -1875,6 +1898,12 @@ object QueriesCore {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "s7_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(length(text)) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "s9_csv_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
         |       CAST(SUM(length(text)) AS BIGINT) AS chars

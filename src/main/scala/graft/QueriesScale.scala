@@ -230,6 +230,21 @@ object QueriesScale {
             col("n_exact_groups") > 0).as("equal"))
     }),
 
+    // PPJoin-style prefix-filtered set-similarity join: candidates come
+    // only from the rarest-token prefixes (df-ascending global order), so
+    // hot tokens never generate pairs — the structural alternative to
+    // dd5's capped gram buckets. Re-keyed copies of every 10th doc
+    // guarantee Jaccard-1.0 pairs; exact Jaccard replays in SQL → full
+    // oracle.
+    "dd25_prefix_pairs" -> ((s, d) => {
+      val docs = fanOut(documents(s, d)).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 9000000L).as("doc_id"), col("text")))
+      Dedup.prefixFilteredPairs(corpus, "doc_id", "text", 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // canonicalization-aware exact dedup: every 10th doc gets an
     // uppercased, extra-punctuated re-keyed copy injected — raw-byte
     // dedup misses all of them, the canonical key catches every one.
@@ -774,6 +789,31 @@ object QueriesScale {
           sum(when(col("probe").between(col("min_y"), col("max_y")),
             1L).otherwise(0L)).as("files_read_y"))
         .orderBy(col("layout"))
+    }),
+
+    // seeded weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    // A-ES): key = u^(1/w) with u a deterministic md5-derived uniform and
+    // w = n_chars, global top-50 by key — longer docs are
+    // proportionally likelier but nothing is guaranteed in, the exact
+    // distributional contract quality-weighted corpus subsampling needs.
+    // The top-k plans as TakeOrdered (distributed heap, never a global
+    // sort); ranks attach post-limit over 50 rows. Deterministic u →
+    // full oracle.
+    "tp21_weighted_sample" -> ((s, d) => {
+      val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("-wsamp"))), 1, 8), 16, 10).cast("double") + 0.5) /
+        lit(4294967296.0)
+      val scored = fanOut(documents(s, d))
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          pow(u, lit(1.0) / col("n_chars").cast("double")).as("wkey"))
+      scored.orderBy(col("wkey").desc, col("doc_id")).limit(50)
+        .withColumn("smp_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("wkey").desc, col("doc_id"))).cast("long"))
+        .select(col("smp_rank"), col("doc_id"), col("source"),
+          col("n_chars"))
+        .orderBy(col("smp_rank"))
     }),
 
     // contiguous id assignment: dense 1..N row ids in global key order
@@ -2830,6 +2870,56 @@ object QueriesScale {
         |JOIN pairs e2 ON e2.src = e1.dst
         |JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
         .stripMargin,
+
+    "dd25_prefix_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 9000000, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM corpus),
+        |toks2 AS (SELECT * FROM toks WHERE len(tok) > 0),
+        |freq AS (SELECT tok, COUNT(*) AS df FROM toks2 GROUP BY tok),
+        |mm AS (SELECT doc_id, COUNT(*) AS m FROM toks2 GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT t.doc_id, t.tok, mm.m,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |      ORDER BY f.df, t.tok) AS rn
+        |  FROM toks2 t JOIN freq f USING (tok) JOIN mm USING (doc_id)),
+        |pfx AS (SELECT doc_id, tok FROM ranked
+        |        WHERE rn <= m - CEIL(0.6 * m) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM pfx a JOIN pfx b
+        |           ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN toks2 ta ON ta.doc_id = c.doc_a
+        |  JOIN toks2 tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT i.doc_a, i.doc_b,
+        |       ROUND(CAST(i.i AS DOUBLE)
+        |         / (ma.m + mb.m - i.i), 6) AS jaccard
+        |FROM inter i JOIN mm ma ON ma.doc_id = i.doc_a
+        |     JOIN mm mb ON mb.doc_id = i.doc_b
+        |WHERE CAST(i.i AS DOUBLE) / (ma.m + mb.m - i.i) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "tp21_weighted_sample" ->
+      """WITH sc AS (
+        |  SELECT doc_id, source, n_chars,
+        |    POW((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |           || '-wsamp'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0,
+        |        1.0 / n_chars) AS wkey
+        |  FROM documents WHERE n_chars > 0),
+        |top AS (SELECT * FROM sc ORDER BY wkey DESC, doc_id LIMIT 50)
+        |SELECT ROW_NUMBER() OVER (ORDER BY wkey DESC, doc_id)
+        |         AS smp_rank,
+        |       doc_id, source, n_chars
+        |FROM top ORDER BY smp_rank""".stripMargin,
 
     "dd24_pagerank" ->
       """WITH toks AS (

@@ -425,6 +425,61 @@ object Dedup {
       .select(col("node"), col("deg"), round(col("rank"), 6).as("rank"))
   }
 
+  /** Set-similarity join via PPJoin-style prefix filtering: for Jaccard ≥
+    * t, two token sets of sizes m_a, m_b must overlap in their first
+    * `m − ⌈t·m⌉ + 1` tokens under ANY shared global token order (pigeonhole
+    * on the ordered sets) — so candidate pairs come from joining only the
+    * short, RAREST-token prefixes (global order = ascending document
+    * frequency, token tie-break), not every token the docs share. That is
+    * the structural win over the all-gram join: hot tokens sit at the END
+    * of the order and never generate candidates, so bucket sizes shrink
+    * with df by construction instead of by a cap. Exact Jaccard then runs
+    * row-locally on the candidates' collected token arrays (the dd5
+    * barrier-once layout) — never a token×token re-join.
+    *
+    * Output: (doc_a, doc_b, jaccard) for pairs with Jaccard ≥ `threshold`,
+    * complete by the prefix-filter guarantee.
+    */
+  def prefixFilteredPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val spill = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(lower(col(textCol)), "\\s+")))
+          .as("tok"))
+      .filter(length(col("tok")) > 0)
+      .persist(spill)
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sets = toks.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tok"))).as("ts"),
+        count(lit(1)).as("m"))
+      .persist(spill)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefix = toks.join(freq, "tok")
+      .join(sets.select(col("doc_id"), col("m")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("m") - ceil(lit(threshold) * col("m")) + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta"),
+        col("m").as("ma")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb"),
+        col("m").as("mb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb")))
+        .cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("ma") + col("mb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
+        .as("jaccard"))
+  }
+
   /** Edit-distance pair matching (record linkage / fuzzy title dedup) via
     * q-gram filtering: candidate pairs come from a capped char-2-gram
     * inverted index, and the exact `levenshtein` runs ONLY on candidates —
