@@ -245,6 +245,34 @@ object QueriesScale {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // dedup threshold-survival curve — the tuning artifact run BEFORE
+    // committing to a similarity cutoff (sim15's pattern applied to
+    // dedup): from one prefix-filtered pair relation, how many pairs and
+    // how many distinct docs a cutoff of 0.6..1.0 would implicate. The
+    // 5-row threshold relation broadcasts against the rounded-jaccard
+    // pairs; everything downstream is census-sized.
+    "dd26_threshold_curve" -> ((s, d) => {
+      import s.implicits._
+      val docs = fanOut(documents(s, d)).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 9000000L).as("doc_id"), col("text")))
+      val pairs = Dedup.prefixFilteredPairs(corpus, "doc_id", "text", 0.6)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val th = Seq(0.6, 0.7, 0.8, 0.9, 1.0).toDF("t")
+      val nPairs = pairs.join(broadcast(th), col("jaccard") >= col("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
+      val nDocs = pairs
+        .select(col("jaccard"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .join(broadcast(th), col("jaccard") >= col("t"))
+        .groupBy(col("t")).agg(countDistinct(col("doc")).as("n_docs"))
+      nPairs.join(nDocs, "t")
+        .select(round(col("t"), 1).as("threshold"), col("n_pairs"),
+          col("n_docs"))
+        .orderBy(col("threshold"))
+    }),
+
     // canonicalization-aware exact dedup: every 10th doc gets an
     // uppercased, extra-punctuated re-keyed copy injected — raw-byte
     // dedup misses all of them, the canonical key catches every one.
@@ -1661,6 +1689,24 @@ object QueriesScale {
       StreamingOps.sessionize(events(s, d), "10 minutes")
         .orderBy(col("user_id"), col("session_start"))),
 
+    // the BUILT-IN session_window operator (st2's sibling): same
+    // 10-minute gap semantics as the custom sessionizer, but planned by
+    // Catalyst's native SessionWindow aggregation — one user-keyed
+    // shuffle, sessions assembled inside the aggregate. Oracled against
+    // the same gaps-and-islands SQL, so the entry pins the built-in's
+    // semantics to the custom path's.
+    "st13_session_window_builtin" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "10 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // weekly cohort retention: the product-analytics staple — users are
     // cohorted by first-active week and counted per week offset. The
     // (user, week) activity distinct, the per-user cohort min, and the
@@ -2870,6 +2916,74 @@ object QueriesScale {
         |JOIN pairs e2 ON e2.src = e1.dst
         |JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
         .stripMargin,
+
+    "st13_session_window_builtin" ->
+      """WITH o AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, value,
+        |    CASE WHEN LAG(ts::TIMESTAMP) OVER w IS NULL
+        |           OR ts::TIMESTAMP - LAG(ts::TIMESTAMP) OVER w
+        |              >= INTERVAL '10 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "dd26_threshold_curve" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 9000000, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM corpus),
+        |toks2 AS (SELECT * FROM toks WHERE len(tok) > 0),
+        |freq AS (SELECT tok, COUNT(*) AS df FROM toks2 GROUP BY tok),
+        |mm AS (SELECT doc_id, COUNT(*) AS m FROM toks2 GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT t.doc_id, t.tok, mm.m,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |      ORDER BY f.df, t.tok) AS rn
+        |  FROM toks2 t JOIN freq f USING (tok) JOIN mm USING (doc_id)),
+        |pfx AS (SELECT doc_id, tok FROM ranked
+        |        WHERE rn <= m - CEIL(0.6 * m) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM pfx a JOIN pfx b
+        |           ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN toks2 ta ON ta.doc_id = c.doc_a
+        |  JOIN toks2 tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        |  GROUP BY c.doc_a, c.doc_b),
+        |pairs AS (
+        |  SELECT i.doc_a, i.doc_b,
+        |    ROUND(CAST(i.i AS DOUBLE) / (ma.m + mb.m - i.i), 6) AS j
+        |  FROM inter i JOIN mm ma ON ma.doc_id = i.doc_a
+        |       JOIN mm mb ON mb.doc_id = i.doc_b
+        |  WHERE CAST(i.i AS DOUBLE) / (ma.m + mb.m - i.i) >= 0.6),
+        |th AS (SELECT unnest([0.6, 0.7, 0.8, 0.9, 1.0]) AS t),
+        |np AS (SELECT th.t, COUNT(*) AS n_pairs
+        |       FROM th JOIN pairs p ON p.j >= th.t GROUP BY th.t),
+        |nd AS (SELECT th.t, COUNT(DISTINCT e.doc) AS n_docs
+        |       FROM th JOIN pairs p ON p.j >= th.t,
+        |            (SELECT unnest([1, 2]) AS side) s,
+        |            LATERAL (SELECT CASE WHEN s.side = 1 THEN p.doc_a
+        |                                 ELSE p.doc_b END AS doc) e
+        |       GROUP BY th.t)
+        |SELECT ROUND(np.t, 1) AS threshold, np.n_pairs, nd.n_docs
+        |FROM np JOIN nd ON np.t = nd.t
+        |ORDER BY threshold""".stripMargin,
 
     "dd25_prefix_pairs" ->
       """WITH corpus AS (
