@@ -549,4 +549,35 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(gotBig == exp, s"missing=${exp -- gotBig} extra=${gotBig -- exp}")
   }
+
+  test("prefix-filtered pairs are COMPLETE vs brute force at the threshold") {
+    val t = 0.6
+    // brute-force truth: exact Jaccard over distinct lowercase tokens
+    val rows = docs.collect().map(r => (r.getLong(0),
+      r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSet))
+    val exp = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= t
+    } yield (ia, ib)).toSet
+    val got = Dedup.prefixFilteredPairs(docs, "doc_id", "text", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp, s"missing=${exp -- got} extra=${got -- exp}")
+    // the exact-dup pair carries Jaccard exactly 1.0
+    val j34 = Dedup.prefixFilteredPairs(docs, "doc_id", "text", t)
+      .filter("doc_a = 3 AND doc_b = 4").collect()
+    assert(j34.length == 1 && j34.head.getDouble(2) == 1.0)
+  }
+
+  test("pageRank: mass conserved, symmetric nodes tie, hub outranks leaves") {
+    // star a-hub with 3 leaves plus an isolated 2-clique
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val got = Dedup.pageRank(pairs, "a", "b", iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-3,
+      s"rank mass not conserved: ${got.values.sum}")
+    assert(got(2) == got(3) && got(3) == got(4), "leaf symmetry broken")
+    assert(got(5) == got(6), "clique symmetry broken")
+    assert(got(1) > got(2), "hub must outrank its leaves")
+  }
 }
