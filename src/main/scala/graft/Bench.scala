@@ -71,8 +71,11 @@ object Bench {
     "st1_hourly_window", "st2_sessionize", "st4_interval_join",
     "st5_user_sequences", "ev1_cohort_retention", "ev4_growth_accounting",
     "ev6_rfm_segments", "ev7_volume_anomalies", "ev8_decay_score",
-    "a13_skew_report", "dd23_scd2_history", "dd24_pagerank",
+    "ev9_mad_anomalies", "a13_skew_report", "dd23_scd2_history",
+    "dd24_pagerank", "dd25_prefix_pairs", "dd26_threshold_curve",
     "j11_bloom_filter_join", "o4_reservoir_pergroup",
+    "tp21_weighted_sample", "st13_session_window_builtin",
+    "w6_cumulative_distinct",
     "ts20_keywords", "ts21_ngram_novelty",
     "tp1_curation",
     "mm1_binary_meta", "mm4_vit_patches")

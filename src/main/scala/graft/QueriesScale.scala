@@ -2943,29 +2943,20 @@ object QueriesScale {
         |  UNION ALL
         |  SELECT doc_id + 9000000, text FROM documents
         |  WHERE doc_id % 10 = 0),
-        |toks AS (
+        |toks AS (SELECT doc_id,
+        |           string_split_regex(lower(text), '\s+') AS t
+        |         FROM corpus),
+        |grams AS (
         |  SELECT DISTINCT doc_id,
-        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
-        |  FROM corpus),
-        |toks2 AS (SELECT * FROM toks WHERE len(tok) > 0),
-        |freq AS (SELECT tok, COUNT(*) AS df FROM toks2 GROUP BY tok),
-        |mm AS (SELECT doc_id, COUNT(*) AS m FROM toks2 GROUP BY doc_id),
-        |ranked AS (
-        |  SELECT t.doc_id, t.tok, mm.m,
-        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
-        |      ORDER BY f.df, t.tok) AS rn
-        |  FROM toks2 t JOIN freq f USING (tok) JOIN mm USING (doc_id)),
-        |pfx AS (SELECT doc_id, tok FROM ranked
-        |        WHERE rn <= m - CEIL(0.6 * m) + 1),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM pfx a JOIN pfx b
-        |           ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |    unnest(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks),
+        |mm AS (SELECT doc_id, COUNT(*) AS m FROM grams GROUP BY doc_id),
         |inter AS (
-        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-        |  FROM cand c
-        |  JOIN toks2 ta ON ta.doc_id = c.doc_a
-        |  JOIN toks2 tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-        |  GROUP BY c.doc_a, c.doc_b),
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM grams a JOIN grams b
+        |    ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
         |pairs AS (
         |  SELECT i.doc_a, i.doc_b,
         |    ROUND(CAST(i.i AS DOUBLE) / (ma.m + mb.m - i.i), 6) AS j
@@ -2991,29 +2982,20 @@ object QueriesScale {
         |  UNION ALL
         |  SELECT doc_id + 9000000, text FROM documents
         |  WHERE doc_id % 10 = 0),
-        |toks AS (
+        |toks AS (SELECT doc_id,
+        |           string_split_regex(lower(text), '\s+') AS t
+        |         FROM corpus),
+        |grams AS (
         |  SELECT DISTINCT doc_id,
-        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
-        |  FROM corpus),
-        |toks2 AS (SELECT * FROM toks WHERE len(tok) > 0),
-        |freq AS (SELECT tok, COUNT(*) AS df FROM toks2 GROUP BY tok),
-        |mm AS (SELECT doc_id, COUNT(*) AS m FROM toks2 GROUP BY doc_id),
-        |ranked AS (
-        |  SELECT t.doc_id, t.tok, mm.m,
-        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
-        |      ORDER BY f.df, t.tok) AS rn
-        |  FROM toks2 t JOIN freq f USING (tok) JOIN mm USING (doc_id)),
-        |pfx AS (SELECT doc_id, tok FROM ranked
-        |        WHERE rn <= m - CEIL(0.6 * m) + 1),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM pfx a JOIN pfx b
-        |           ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |    unnest(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks),
+        |mm AS (SELECT doc_id, COUNT(*) AS m FROM grams GROUP BY doc_id),
         |inter AS (
-        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-        |  FROM cand c
-        |  JOIN toks2 ta ON ta.doc_id = c.doc_a
-        |  JOIN toks2 tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-        |  GROUP BY c.doc_a, c.doc_b)
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM grams a JOIN grams b
+        |    ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
         |SELECT i.doc_a, i.doc_b,
         |       ROUND(CAST(i.i AS DOUBLE)
         |         / (ma.m + mb.m - i.i), 6) AS jaccard

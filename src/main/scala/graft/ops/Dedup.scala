@@ -425,45 +425,60 @@ object Dedup {
       .select(col("node"), col("deg"), round(col("rank"), 6).as("rank"))
   }
 
-  /** Set-similarity join via PPJoin-style prefix filtering: for Jaccard ≥
-    * t, two token sets of sizes m_a, m_b must overlap in their first
-    * `m − ⌈t·m⌉ + 1` tokens under ANY shared global token order (pigeonhole
-    * on the ordered sets) — so candidate pairs come from joining only the
-    * short, RAREST-token prefixes (global order = ascending document
-    * frequency, token tie-break), not every token the docs share. That is
-    * the structural win over the all-gram join: hot tokens sit at the END
-    * of the order and never generate candidates, so bucket sizes shrink
-    * with df by construction instead of by a cap. Exact Jaccard then runs
-    * row-locally on the candidates' collected token arrays (the dd5
-    * barrier-once layout) — never a token×token re-join.
+  /** Set-similarity join via PPJoin-style prefix filtering over word
+    * k-shingle sets: for Jaccard ≥ t, two sets of sizes m_a, m_b must
+    * overlap in their first `m − ⌈t·m⌉ + 1` elements under ANY shared
+    * global element order (pigeonhole on the ordered sets) — so candidate
+    * pairs come from joining only the short, RAREST-gram prefixes (global
+    * order = ascending document frequency, gram tie-break), with the
+    * PPJoin length and positional filters pruning further inside the
+    * join. That is the structural win over the all-gram join: hot grams
+    * sit at the END of the order and never generate candidates, so bucket
+    * sizes shrink with df by construction instead of by a cap. Exact
+    * Jaccard then runs row-locally on the candidates' shingle arrays
+    * (the dd5 barrier-once layout) — never a gram×gram re-join. The
+    * oracle brute-forces the truth set independently, so completeness is
+    * driver-checked, not assumed.
     *
-    * Output: (doc_a, doc_b, jaccard) for pairs with Jaccard ≥ `threshold`,
-    * complete by the prefix-filter guarantee.
+    * Output: (doc_a, doc_b, jaccard) for pairs with gram-set Jaccard ≥
+    * `threshold`, complete by the prefix-filter guarantee.
     */
   def prefixFilteredPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, k: Int = 3): DataFrame = {
     val spill = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val toks = df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(split(lower(col(textCol)), "\\s+")))
-          .as("tok"))
-      .filter(length(col("tok")) > 0)
+    // set elements are word k-SHINGLES, not raw tokens: on a small word
+    // vocabulary (this corpus: 31 words, df ≈ corpus size) every token
+    // is hot and a token-prefix join degenerates to all-pairs; k-gram
+    // df collapses (sf0.1: 27k grams, max df 25) and gram-set Jaccard is
+    // the meaningful near-dup signal
+    val sets = shingleArray(df, idCol, textCol, k)
+      .select(col(idCol).as("doc_id"),
+        sort_array(col("shingles")).as("ts"),
+        size(col("shingles")).cast("long").as("m"))
       .persist(spill)
+    val toks = sets.select(col("doc_id"), col("m"),
+      explode(col("ts")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val sets = toks.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("tok"))).as("ts"),
-        count(lit(1)).as("m"))
-      .persist(spill)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
     val prefix = toks.join(freq, "tok")
-      .join(sets.select(col("doc_id"), col("m")), "doc_id")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <=
         col("m") - ceil(lit(threshold) * col("m")) + 1)
-      .select(col("doc_id"), col("tok"))
+      .select(col("doc_id"), col("tok"), col("m"), col("rn"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          // PPJoin length filter: J ≥ t ⇒ t·max(m_a,m_b) ≤ min(m_a,m_b)
+          col("b.m") >= lit(threshold) * col("a.m") &&
+          col("a.m") >= lit(threshold) * col("b.m") &&
+          // PPJoin positional filter: past this shared token, at most
+          // 1 + min(remaining suffix) elements can still overlap, and
+          // J ≥ t needs overlap ≥ ⌈t/(1+t)·(m_a+m_b)⌉
+          (lit(1L) + least(col("a.m") - col("a.rn"),
+            col("b.m") - col("b.rn"))) >=
+            ceil(lit(threshold / (1 + threshold)) *
+              (col("a.m") + col("b.m"))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand

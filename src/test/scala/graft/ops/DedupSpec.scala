@@ -551,10 +551,12 @@ class DedupSpec extends SparkSpec {
   }
 
   test("prefix-filtered pairs are COMPLETE vs brute force at the threshold") {
-    val t = 0.6
-    // brute-force truth: exact Jaccard over distinct lowercase tokens
-    val rows = docs.collect().map(r => (r.getLong(0),
-      r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSet))
+    val t = 0.5
+    // brute-force truth: exact Jaccard over distinct word 3-grams
+    val rows = docs.collect().map { r =>
+      val toks = r.getString(1).toLowerCase.split("\\s+")
+      (r.getLong(0), toks.sliding(3).map(_.mkString(" ")).toSet)
+    }
     val exp = (for {
       (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
       j = (sa & sb).size.toDouble / (sa | sb).size if j >= t
