@@ -466,6 +466,9 @@ object Dedup {
       .filter(col("rn") <=
         col("m") - ceil(lit(threshold) * col("m")) + 1)
       .select(col("doc_id"), col("tok"), col("m"), col("rn"))
+      // both sides of the self-join read this relation — persist so the
+      // df-rank window runs once, not per side
+      .persist(spill)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") &&
           col("a.doc_id") < col("b.doc_id") &&
