@@ -1130,6 +1130,29 @@ object QueriesCore {
         .orderBy(col("event_id"))
     }),
 
+    // engine extra: FORWARD as-of join (j5's mirror) — each click gets
+    // the next view at-or-after it within 2 hours, the label-construction
+    // join ("next conversion after this impression"). Same single-shuffle
+    // union+window layout with the frame flipped; per-(user, ts) view
+    // pre-aggregation keeps ties deterministic. LATERAL-replayed oracle.
+    "j12_forward_asof" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.ops.Joins.asOfJoinForward(clicks, views, "user_id", "ts",
+          Seq("view_value"), tolerance = Some("2 hours"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("value").as("click_value"),
+          date_format(col("matched_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("next_view_ts"),
+          col("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // engine extra: interval/range join — events bucketed into value bands
     "j6_range_join" -> ((s, d) => {
       import s.implicits._
@@ -2176,6 +2199,24 @@ object QueriesCore {
         |  ROUND(SUM(l_extendedprice), 2) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "j12_forward_asof" ->
+      """WITH c AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts::TIMESTAMP AS ts,
+        |        MAX(value) AS view_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  c.value AS click_value,
+        |  strftime(m.ts, '%Y-%m-%d %H:%M:%S') AS next_view_ts,
+        |  m.view_value
+        |FROM c LEFT JOIN LATERAL (
+        |  SELECT v.ts, v.view_value FROM v
+        |  WHERE v.user_id = c.user_id AND v.ts >= c.ts
+        |    AND v.ts <= c.ts + INTERVAL '2 hours'
+        |  ORDER BY v.ts, v.view_value LIMIT 1) m ON TRUE
+        |ORDER BY event_id""".stripMargin,
 
     "j6_range_join" ->
       """WITH bands(band, lo, hi) AS (

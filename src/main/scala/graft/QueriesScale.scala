@@ -717,6 +717,27 @@ object QueriesScale {
         .orderBy(col("shard"), col("bin"))
     }),
 
+    // packing-efficiency report over tp7's bins — the batch-utilization
+    // artifact a training run watches (wasted pad tokens = wasted
+    // compute): per shard, bins / sequences / packed tokens and the
+    // floor-div fill rate against the 512-token bin capacity. Bins-sized
+    // input → census-sized everything.
+    "tp22_pack_efficiency" -> ((s, d) => {
+      val chunks = TextOps.sequenceChunks(fanOut(documents(s, d)),
+        "doc_id", "text", seqLen = 32, stride = 24)
+      TextOps.packSequences(chunks, "doc_id", "seq_no", "n_tokens",
+          binTokens = 512, nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("n_seqs")).as("n_seqs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .select(col("shard"), col("n_bins"), col("n_seqs"),
+          col("n_tokens"),
+          floor(col("n_tokens").cast("double") * 10000 /
+            (col("n_bins") * 512)).cast("long").as("fill_bp"))
+        .orderBy(col("shard"))
+    }),
+
     // corpus-trained Naive-Bayes quality scorer: weak labels from the
     // heuristic quality gate (≥ 0.5), vocab-restricted log-likelihood-
     // ratio scoring — the fasttext-style classifier pass after the
@@ -2513,6 +2534,32 @@ object QueriesScale {
         |       COUNT(*) AS n_seqs, CAST(SUM(n_tokens) AS BIGINT)
         |         AS n_tokens
         |FROM off GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    "tp22_pack_efficiency" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |idx AS (SELECT unnest(generate_series(0,
+        |          (SELECT MAX(len(ws)) // 24 FROM t))) AS i),
+        |seqs AS (
+        |  SELECT doc_id, i AS seq_no,
+        |         len(ws[(i*24+1):(i*24+32)]) AS n_tokens
+        |  FROM t, idx WHERE i*24 < len(ws)),
+        |off AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, seq_no, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY doc_id % 8
+        |      ORDER BY doc_id, seq_no) - n_tokens AS start_off
+        |  FROM seqs),
+        |bins AS (
+        |  SELECT shard, CAST(FLOOR(start_off / 512) AS BIGINT) AS bin,
+        |         COUNT(*) AS n_seqs, CAST(SUM(n_tokens) AS BIGINT)
+        |           AS n_tokens
+        |  FROM off GROUP BY shard, bin)
+        |SELECT shard, COUNT(*) AS n_bins,
+        |       CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(FLOOR(CAST(SUM(n_tokens) AS DOUBLE) * 10000
+        |         / (COUNT(*) * 512)) AS BIGINT) AS fill_bp
+        |FROM bins GROUP BY shard ORDER BY shard""".stripMargin,
 
     "ts10_nb_quality" ->
       """WITH f AS (

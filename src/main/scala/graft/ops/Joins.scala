@@ -67,6 +67,50 @@ object Joins {
           valueCols.map(c => col(s"_m.$c"))): _*)
   }
 
+  /** Forward as-of join — [[asOfJoin]]'s mirror: attach the EARLIEST right
+    * row at-or-after left.ts per key, the label-construction shape
+    * ("next purchase after this impression"). Same single-shuffle
+    * union+window layout, with the frame flipped to `[current, ∞)` and
+    * `first(ignoreNulls)`; left sorts before right at equal ts →
+    * forward-inclusive. Ties among right rows at one ts resolve to the
+    * LEAST payload struct (deterministic, mirroring backward's greatest).
+    * `tolerance` nulls out matches later than `left.ts + tolerance`.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCols: Seq[String],
+      tolerance: Option[String] = None): DataFrame = {
+    val leftRest = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    val lpay = struct(leftRest.map(col): _*)
+    val rpay = struct((col(tsCol).as("_rts") +: valueCols.map(col)): _*)
+    val lpayType = left.select(lpay).schema.head.dataType
+    val rpayType = right.select(rpay).schema.head.dataType
+
+    val l = left.select(col(keyCol), col(tsCol), lit(0).as("_side"),
+      lpay.as("_lpay"), lit(null).cast(rpayType).as("_rpay"))
+    val r = right.select(col(keyCol), col(tsCol), lit(1).as("_side"),
+      lit(null).cast(lpayType).as("_lpay"), rpay.as("_rpay"))
+
+    // left (_side 0) sorts before right at equal ts → the equal-ts right
+    // row is inside the forward frame (inclusive); _rpay in the ordering
+    // makes equal-ts right rows resolve least-first
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"), col("_rpay"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = l.union(r)
+      .withColumn("_m", first(col("_rpay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+    val bounded = tolerance match {
+      case Some(t) => matched.withColumn("_m",
+        when(col("_m._rts") <= col(tsCol) + expr(s"INTERVAL '$t'"),
+          col("_m")))
+      case None => matched
+    }
+    bounded.select(
+      (col(keyCol) +: col(tsCol) +: leftRest.map(c => col(s"_lpay.$c"))) ++
+        (col("_m._rts").as("matched_ts") +:
+          valueCols.map(c => col(s"_m.$c"))): _*)
+  }
+
   /** Interval/range join: attach the dimension row whose
     * `[loCol, hiCol)` interval contains `fact.valueCol`. The dimension side
     * is explicitly broadcast — the physical plan is a
