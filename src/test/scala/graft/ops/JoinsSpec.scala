@@ -28,6 +28,33 @@ class JoinsSpec extends SparkSpec {
     assert(got("t3") == None)          // key 2 has no quotes
   }
 
+  test("asOfJoinForward: earliest right at-or-after left ts, per key") {
+    val imps = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "i1"),
+      (1L, ts("2024-01-01 10:00:30"), "i2"),
+      (2L, ts("2024-01-01 10:00:10"), "i3")
+    ).toDF("acct", "ts", "imp")
+    val convs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 99.0),   // before i1 → never matched
+      (1L, ts("2024-01-01 10:00:30"), 101.0),  // equal ts → inclusive for i2
+      (1L, ts("2024-01-01 10:00:10"), 100.0),  // first after i1
+      (3L, ts("2024-01-01 11:00:00"), 999.0)   // other key
+    ).toDF("acct", "ts", "conv")
+
+    val got = Joins.asOfJoinForward(imps, convs, "acct", "ts", Seq("conv"))
+      .collect().map(r => r.getString(2) -> Option(r.get(4))).toMap
+    assert(got("i1") == Some(100.0))   // earliest at-or-after, not 101
+    assert(got("i2") == Some(101.0))   // forward-inclusive at equal ts
+    assert(got("i3") == None)          // key 2 has no conversions
+
+    // tolerance caps the look-ahead
+    val tight = Joins.asOfJoinForward(imps, convs, "acct", "ts",
+        Seq("conv"), tolerance = Some("1 second"))
+      .collect().map(r => r.getString(2) -> Option(r.get(4))).toMap
+    assert(tight("i1") == None)        // 10:00:10 is > 1s after 10:00:05
+    assert(tight("i2") == Some(101.0)) // equal ts within any tolerance
+  }
+
   test("asOfJoin: tolerance nulls out stale matches") {
     val left = Seq((1L, ts("2024-01-01 12:00:00"), "x"))
       .toDF("k", "ts", "tag")
