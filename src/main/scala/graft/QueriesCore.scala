@@ -1329,6 +1329,38 @@ object QueriesCore {
           (abs(col("approx_nd") - col("exact_nd")).cast("double")
             / col("exact_nd") <= 0.05).as("within_tolerance"))),
 
+    // A17 — sketch set algebra: union cardinality straight from an HLL
+    // union (sketches merge across audiences without re-scanning either —
+    // the cross-source overlap report at 100 TB), intersection by
+    // inclusion-exclusion. No DuckDB oracle (estimator internals differ
+    // by engine); instead the entry carries an ENFORCED `equal` verdict
+    // against the exact counts — union within 10%, intersection within
+    // max(15%, 10 users) since differencing amplifies sketch noise.
+    "a17_hll_set_ops" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"))
+      clicks.agg(approx_count_distinct(col("user_id"), 0.02).as("a"),
+          countDistinct(col("user_id")).as("ea"))
+        .crossJoin(views.agg(
+          approx_count_distinct(col("user_id"), 0.02).as("b"),
+          countDistinct(col("user_id")).as("eb")))
+        .crossJoin(clicks.unionByName(views).agg(
+          approx_count_distinct(col("user_id"), 0.02).as("u"),
+          countDistinct(col("user_id")).as("eu")))
+        .select(
+          col("u").as("union_est"), col("eu").as("union_exact"),
+          (col("a") + col("b") - col("u")).as("inter_est"),
+          (col("ea") + col("eb") - col("eu")).as("inter_exact"),
+          ((abs(col("u") - col("eu")).cast("double") / col("eu") <= 0.1)
+            && (abs((col("a") + col("b") - col("u")) -
+                 (col("ea") + col("eb") - col("eu"))).cast("double") <=
+               greatest((col("ea") + col("eb") - col("eu"))
+                 .cast("double") * 0.15, lit(10.0)))).as("equal"))
+    }),
+
     // A8 — cardinality checks (DC:67 len()).
     "a8_counts" -> ((s, d) =>
       lineitem(s, d).agg(count(lit(1)).as("lineitem_cnt"))
