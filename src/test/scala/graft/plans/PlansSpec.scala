@@ -176,7 +176,8 @@ class PlansSpec extends SparkSpec {
   // query set), sim3 (query × broadcast centroids probe), j6 (non-equi
   // band join against a broadcast 3-row dim).
   private val allowedQuadratic = Set(
-    "a8_counts", "dd3_lsh_stats", "o2b_sample_seeded", "e1_movie_pipeline",
+    "a8_counts", "a17_hll_set_ops", "dd3_lsh_stats", "o2b_sample_seeded",
+    "e1_movie_pipeline",
     // 1-row × 1-row accounting combinations + enforced verdict scalars
     "dd15_minhash_dedup",
     "ts6_tfidf", "tp2_corpus_report", "sim1_cosine_topk", "sim3_ivf_topk",
