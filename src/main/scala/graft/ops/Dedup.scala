@@ -420,9 +420,26 @@ object Dedup {
         .agg(sum(col("rank") / col("deg")).as("m"))
         .select(col("dst").as("node"),
           (lit((1.0 - damping) / n) + lit(damping) * col("m")).as("rank"))
+        // LAZY per-round checkpoint, mirroring connectedComponents: the
+        // plan seen by round i+1 is a leaf, not i nested join+agg rounds —
+        // without it the final plan carries O(iters) exchanges and a
+        // 50-iteration production run would drown the optimizer before it
+        // drowned the cluster. Lazy (not eager) so the whole chain still
+        // computes in ONE job at the materialization below, each round's
+        // partitions checkpointing as the side effect of computing them.
+        .localCheckpoint(false)
     }
-    ranks.join(deg.select(col("src").as("node"), col("deg")), "node")
+    // materialize the node-sized result while the cached relations are
+    // still live, then drop them — otherwise every invocation leaks three
+    // MEMORY_AND_DISK relations for the session's lifetime
+    val out = ranks
+      .join(deg.select(col("src").as("node"), col("deg")), "node")
       .select(col("node"), col("deg"), round(col("rank"), 6).as("rank"))
+      .localCheckpoint(true)
+    edges.unpersist()
+    deg.unpersist()
+    withDeg.unpersist()
+    out
   }
 
   /** Set-similarity join via PPJoin-style prefix filtering over word
@@ -484,7 +501,10 @@ object Dedup {
               (col("a.m") + col("b.m"))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+    // materialize the census-sized pair relation while sets/prefix are
+    // still cached, then drop both — repeated invocations (bench rounds,
+    // the full verify sweep) must not accumulate cached blocks
+    val out = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta"),
         col("m").as("ma")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb"),
@@ -496,6 +516,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
         .as("jaccard"))
+      .localCheckpoint(true)
+    sets.unpersist()
+    prefix.unpersist()
+    out
   }
 
   /** Edit-distance pair matching (record linkage / fuzzy title dedup) via

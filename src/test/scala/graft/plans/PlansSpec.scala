@@ -331,6 +331,19 @@ class PlansSpec extends SparkSpec {
     assert(occurrences("LeftAnti") == 1, plan.take(3000))
   }
 
+  test("dd24: pageRank returns a bounded checkpointed plan, not " +
+      "O(iters) nested exchanges") {
+    // each iteration lazily localCheckpoints, so the plan the caller
+    // composes on is a leaf scan over the materialized ranks — a
+    // 50-iteration production run plans in O(1), not O(iters) exchanges
+    val plan = planOf("dd24_pagerank")
+    assert(plan.contains("Scan ExistingRDD"), plan.take(3000))
+    def occurrences(needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    assert(occurrences("Exchange") <= 2,
+      s"expected the checkpointed leaf, got: ${plan.take(3000)}")
+  }
+
   test("ts13: heuristic cleaning is row-local (no exchange in the op plan)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.ops.TextOps.heuristicClean(docs, "doc_id", "text")
