@@ -610,8 +610,7 @@ object QueriesCore {
     // The min-date literal is one driver round-trip (the data-dependent
     // predicate decision, same pattern as P1's null-ratio pruning).
     "s5_lake_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_lake_").toString
+      val tmp = Scratch.dir("lake")
       val ev = events(s, d)
         .withColumn("date", to_date(col("ts")).cast("string"))
       graft.etl.Load.partitionedParquet(ev, tmp, Seq("date"), Seq("ts"))
@@ -629,8 +628,7 @@ object QueriesCore {
     // oracle recomputes from the parquet source, so the entry proves the
     // ORC path is lossless for the projected types end to end.
     "s6_orc_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_orc_").toString
+      val tmp = Scratch.dir("orc")
       events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
         .write.mode("overwrite").orc(tmp)
@@ -651,8 +649,7 @@ object QueriesCore {
     // parquet (JSONL splits on line boundaries); schema comes from one
     // inference pass here, a user-supplied schema in production.
     "s7_jsonl_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_jsonl_").toString
+      val tmp = Scratch.dir("jsonl")
       documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
         .write.mode("overwrite").json(tmp)
@@ -672,8 +669,7 @@ object QueriesCore {
     // accounting is what the merged read must get right, and the oracle
     // recomputes it from the source with the same % 2 split.
     "s8_schema_evolution" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_evolve_").toString
+      val tmp = Scratch.dir("evolve")
       val p = part(s, d)
       p.filter(col("p_partkey") % 2 === 0)
         .select(col("p_partkey"), col("p_name"), col("p_brand"))
@@ -699,8 +695,7 @@ object QueriesCore {
     // multiLine quoting (no embedded newlines) — at scale that matters,
     // because multiLine CSV is unsplittable.
     "s9_csv_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_csv_").toString
+      val tmp = Scratch.dir("csv")
       documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
         .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -722,8 +717,7 @@ object QueriesCore {
     // — at 100 TB the runtime-built date filter skips whole partitions
     // the dim never mentions, without any literal predicate in the query.
     "j9_partition_pruned_join" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_dpp_").toString
+      val tmp = Scratch.dir("dpp")
       val ev = events(s, d)
         .withColumn("date", to_date(col("ts")).cast("string"))
       graft.etl.Load.partitionedParquet(ev, tmp, Seq("date"))
@@ -748,8 +742,7 @@ object QueriesCore {
     "j10_bucketed_join" -> ((s, d) => {
       val tag = java.util.UUID.randomUUID.toString.replace("-", "")
         .take(8)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_buckets_").toString
+      val dir = Scratch.dir("buckets")
       val oT = s"g_orders_$tag"
       val lT = s"g_lineitem_$tag"
       orders(s, d).select("o_orderkey", "o_orderpriority")
@@ -1581,10 +1574,15 @@ object QueriesCore {
     // engines), shares are floor-divided basis points computed the same
     // double way on both sides, and the expected Benford mass
     // ⌊log10(1+1/d)·10⁴⌋ rides as a per-digit constant. One scan, one
-    // 9-key aggregate.
+    // 9-key aggregate. The exponent floor adds a 1e-9 guard so a one-ulp-
+    // low log10 of an exact power of 10 (engine libm discretion) can't
+    // flip the digit from 1 to 9 on one side of the oracle compare; 1e-9
+    // is far above any double log10 ulp and far below the gap to the next
+    // representable boundary case.
     "a16_benford_audit" -> ((s, d) => {
       val digit = floor(col("o_totalprice") /
-        pow(lit(10.0), floor(log10(col("o_totalprice"))))).cast("long")
+        pow(lit(10.0),
+          floor(log10(col("o_totalprice")) + lit(1e-9)))).cast("long")
       val counts = orders(s, d).filter(col("o_totalprice") >= 1)
         .groupBy(digit.as("digit"))
         .agg(count(lit(1)).as("n"))
@@ -2440,7 +2438,8 @@ object QueriesCore {
     "a16_benford_audit" ->
       """WITH c AS (
         |  SELECT CAST(FLOOR(o_totalprice
-        |           / POW(10.0, FLOOR(LOG10(o_totalprice)))) AS BIGINT)
+        |           / POW(10.0, FLOOR(LOG10(o_totalprice) + 1e-9)))
+        |           AS BIGINT)
         |           AS digit,
         |         COUNT(*) AS n
         |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),

@@ -1477,8 +1477,7 @@ object QueriesScale {
     // pruned (zero bytes read — SimilaritySpec locks the pruned plan).
     // Same probe params as sim8 → same recall floor self-check.
     "sim9_persisted_ann" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_ann_index_").toString
+      val tmp = Scratch.dir("ann_index")
       val emb = embeddings(s, d)
       val nrm = sqrt(aggregate(col("embedding"),
         lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
@@ -2084,8 +2083,7 @@ object QueriesScale {
     // irrelevant). Self-checking `equal` verdict.
     "st9_stream_static_enrich" -> ((s, d) => {
       val tag = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_enrich_").toString
+      val tmp = Scratch.dir("enrich")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$d/events.parquet")
       for (i <- 0 until 3) {
@@ -2121,8 +2119,7 @@ object QueriesScale {
     // (tc2's machinery) exactly. equal=false withholds the dump.
     "st10_stream_decontam" -> ((s, d) => {
       val tag = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_sdecon_").toString
+      val tmp = Scratch.dir("sdecon")
       val docs = documents(s, d)
       val train = docs.filter(col("doc_id") % 97 =!= 0)
       val bench = docs.filter(col("doc_id") % 97 === 0)
@@ -2147,8 +2144,7 @@ object QueriesScale {
 
     "st4b_interval_join_stream_equiv" -> ((s, d) => {
       val tag = java.util.UUID.randomUUID().toString.take(8)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_ssjoin_").toString
+      val root = Scratch.dir("ssjoin")
       val (clicksDir, viewsDir) = (s"$root/clicks", s"$root/views")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$d/events.parquet")
@@ -2210,8 +2206,7 @@ object QueriesScale {
     // verdict (rows-only check by design).
     "st2b_stream_batch_equiv" -> ((s, d) => {
       val tag = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_landing_").toString
+      val tmp = Scratch.dir("landing")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // a time-ordered landing zone: six sequential appends (one per ts
       // sextile) give strictly increasing file modification times, and the
@@ -2271,8 +2266,7 @@ object QueriesScale {
     // the batch-distinct counts. Self-checking rows-only entry.
     "st6_stream_dedup" -> ((s, d) => {
       val tag = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_dedup_feed_").toString
+      val tmp = Scratch.dir("dedup_feed")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$d/events.parquet")
       val withB = raw.withColumn("_b",
@@ -2303,8 +2297,7 @@ object QueriesScale {
     // every source in one self-checking row.
     "st7_per_source_quota" -> ((s, d) => {
       val tag = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_docs_feed_").toString
+      val tmp = Scratch.dir("docs_feed")
       val docs = documents(s, d)
       val withB = docs.withColumn("_b",
         ntile(6).over(org.apache.spark.sql.expressions.Window
@@ -2337,10 +2330,8 @@ object QueriesScale {
     // accounting prints per batch; the self-check row proves no batch
     // was lost or double-landed.
     "st8_chunked_load" -> ((s, d) => {
-      val tmpIn = java.nio.file.Files
-        .createTempDirectory("graft_load_in_").toString
-      val tmpOut = java.nio.file.Files
-        .createTempDirectory("graft_load_out_").toString + "/out"
+      val tmpIn = Scratch.dir("load_in")
+      val tmpOut = Scratch.dir("load_out") + "/out"
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$d/events.parquet")
       val withB = raw.withColumn("_b",
