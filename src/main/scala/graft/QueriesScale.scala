@@ -1655,49 +1655,60 @@ object QueriesScale {
     }),
 
     // ---- multimodal plumbing ----------------------------------------------
+    // binary + metadata: a REAL BMP is synthesized per doc and the decode
+    // reads the actual header bytes back (magic + LE size field); the
+    // oracle replays the size/header arithmetic from the text byte length,
+    // so the hash match proves the encoded header is bit-exact.
     "mm1_binary_meta" -> ((s, d) => {
-      val media = Multimodal.withBinaryPayload(
-        fanOut(documents(s, d)), "doc_id", "text")
-      Multimodal.decodeFeaturesStub(s, media).toDF()
+      val media = Multimodal.synthesizeBmp(
+        s, fanOut(documents(s, d)), "doc_id", "text")
+      Multimodal.decodeImageFeatures(s, media).toDF()
         .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
           col("header_hex"))
         .orderBy(col("doc_id"))
     }),
 
+    // frame sampling over the real encoded payload length
     "mm2_frame_sample" -> ((s, d) => {
-      val media = Multimodal.withBinaryPayload(
-        fanOut(documents(s, d)), "doc_id", "text")
+      val media = Multimodal.synthesizeBmp(
+        s, fanOut(documents(s, d)), "doc_id", "text")
       Multimodal.sampleFrames(media, "doc_id", 64, 5)
         .orderBy(col("doc_id"), col("frame_no"))
     }),
 
-    // resize plumbing: byte-stride downsample; lengths are oracle-checked
+    // REAL nearest-neighbor resize: decode BMP → keep every 4th pixel →
+    // re-encode a valid BMP; both lengths are real encoded sizes (the
+    // oracle replays the stride arithmetic)
     "mm3_resize" -> ((s, d) => {
-      val media = Multimodal.withBinaryPayload(
-        fanOut(documents(s, d)), "doc_id", "text")
-      Multimodal.resizeStub(s, media, 4).toDF()
+      val media = Multimodal.synthesizeBmp(
+        s, fanOut(documents(s, d)), "doc_id", "text")
+      Multimodal.resizeImage(s, media, 4).toDF()
         .select(col("doc_id"), col("orig_len").cast("long").as("orig_len"),
           col("new_len").cast("long").as("new_len"))
         .orderBy(col("doc_id"))
     }),
 
-    // ViT patch-grid plumbing: per-image patch/token accounting from the
-    // (stand-in) decoded dims — the packing planner's budget input.
-    // Row-local integer arithmetic → full oracle.
+    // ViT patch-grid accounting from dims READ FROM THE BMP HEADER — the
+    // packing planner's budget input. The oracle replays the dims formula
+    // the synthesizer used; the engine's numbers come from the bytes.
     "mm4_vit_patches" -> ((s, d) => {
-      val media = Multimodal.withBinaryPayload(
-        fanOut(documents(s, d)), "doc_id", "text")
-      Multimodal.patchGrid(media, "doc_id", 16)
+      val media = Multimodal.synthesizeBmp(
+        s, fanOut(documents(s, d)), "doc_id", "text")
+      Multimodal.patchGrid(
+          Multimodal.decodeDims(s, media).toDF(), "doc_id", 16)
         .orderBy(col("doc_id"))
     }),
 
-    // audio frame-window accounting (mm4's sibling for the speech
-    // modality): 25 ms / 10 ms @ 16 kHz framing math over the stand-in
-    // PCM payload — row-local integer arithmetic → full oracle.
+    // audio frame-window accounting (mm4's sibling for speech): a real
+    // RIFF/WAVE payload is synthesized and the sample count comes from
+    // walking its chunk list — the framing math stays row-local.
     "mm5_audio_windows" -> ((s, d) => {
-      val media = Multimodal.withBinaryPayload(
-        fanOut(documents(s, d)), "doc_id", "text")
-      Multimodal.audioWindows(media, "doc_id")
+      val media = Multimodal.synthesizeWav(
+        s, fanOut(documents(s, d)), "doc_id", "text")
+      Multimodal.audioWindows(
+          Multimodal.decodeWavMeta(s, media).toDF()
+            .select(col("doc_id"), col("n_samples")),
+          "doc_id")
         .orderBy(col("doc_id"))
     }),
 
@@ -4446,41 +4457,74 @@ object QueriesScale {
         |    AS zipf_intercept
         |FROM s""".stripMargin,
 
+    // mm oracles replay the BMP/WAV size arithmetic the synthesizer used
+    // (dims from the text byte length, 24-bpp stride padding, 54-byte
+    // header; 16-bit mono PCM + 44-byte canonical header) — the engine
+    // reads the same numbers back from the ACTUAL encoded bytes, so a
+    // hash match proves the codec round trip.
     "mm4_vit_patches" ->
       """WITH b AS (SELECT doc_id,
-        |             octet_length(encode(text)) AS byte_len
+        |             octet_length(encode(text)) AS tb
         |           FROM documents),
-        |g AS (SELECT doc_id, byte_len,
-        |        64 + (byte_len % 193) AS width,
-        |        64 + ((byte_len * 31) % 129) AS height
+        |g AS (SELECT doc_id,
+        |        64 + (tb % 193) AS width,
+        |        64 + ((tb * 31) % 129) AS height
         |      FROM b)
-        |SELECT doc_id, byte_len, width, height,
+        |SELECT doc_id,
+        |       54 + ((3 * width + 3) // 4) * 4 * height AS byte_len,
+        |       width, height,
         |       width // 16 AS grid_w, height // 16 AS grid_h,
         |       (width // 16) * (height // 16) AS n_patches,
         |       (width // 16) * (height // 16) + 1 AS n_tokens
         |FROM g ORDER BY doc_id""".stripMargin,
 
     "mm1_binary_meta" ->
-      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
-        |  lower(hex(encode(substring(text, 1, 8)))) AS header_hex
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH b AS (SELECT doc_id,
+        |             octet_length(encode(text)) AS tb
+        |           FROM documents),
+        |g AS (SELECT doc_id, 64 + (tb % 193) AS w,
+        |             64 + ((tb * 31) % 129) AS h FROM b),
+        |s AS (SELECT doc_id,
+        |        54 + ((3 * w + 3) // 4) * 4 * h AS sz FROM g)
+        |SELECT doc_id, sz AS byte_len,
+        |  '424d' || printf('%02x', sz % 256)
+        |         || printf('%02x', (sz // 256) % 256)
+        |         || printf('%02x', (sz // 65536) % 256)
+        |         || printf('%02x', (sz // 16777216) % 256)
+        |         || '0000' AS header_hex
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "mm3_resize" ->
-      """SELECT doc_id, octet_length(encode(text)) AS orig_len,
-        |  CAST(CEIL(octet_length(encode(text)) / 4.0) AS BIGINT) AS new_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH b AS (SELECT doc_id,
+        |             octet_length(encode(text)) AS tb
+        |           FROM documents),
+        |g AS (SELECT doc_id, 64 + (tb % 193) AS w,
+        |             64 + ((tb * 31) % 129) AS h FROM b),
+        |r AS (SELECT doc_id, w, h,
+        |        (w + 3) // 4 AS nw, (h + 3) // 4 AS nh FROM g)
+        |SELECT doc_id,
+        |  54 + ((3 * w + 3) // 4) * 4 * h AS orig_len,
+        |  54 + ((3 * nw + 3) // 4) * 4 * nh AS new_len
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "mm2_frame_sample" ->
-      """SELECT doc_id, unnest(gs) AS frame_no,
+      """WITH b AS (SELECT doc_id,
+        |             octet_length(encode(text)) AS tb
+        |           FROM documents),
+        |g AS (SELECT doc_id, 64 + (tb % 193) AS w,
+        |             64 + ((tb * 31) % 129) AS h FROM b),
+        |s AS (SELECT doc_id,
+        |        54 + ((3 * w + 3) // 4) * 4 * h AS sz FROM g)
+        |SELECT doc_id, unnest(gs) AS frame_no,
         |       unnest(list_transform(gs, i -> i * 64)) AS byte_offset
         |FROM (SELECT doc_id,
-        |        generate_series(0, LEAST((length(text) - 1) // 64, 4)) AS gs
-        |      FROM documents)
+        |        generate_series(0, LEAST((sz - 1) // 64, 4)) AS gs
+        |      FROM s)
         |ORDER BY doc_id, frame_no""".stripMargin,
 
     "mm5_audio_windows" ->
       """WITH s AS (SELECT doc_id,
-        |             octet_length(encode(text)) // 2 AS n_samples
+        |             octet_length(encode(text)) AS n_samples
         |           FROM documents)
         |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
         |  CAST(CASE WHEN n_samples >= 400
