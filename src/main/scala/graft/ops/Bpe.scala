@@ -37,12 +37,38 @@ object Bpe {
             array(concat(element_at(acc, -1), s))))
           .otherwise(concat(acc, array(s))))
 
+  /** Symbol-boundary sentinel for the string-encoded symbol form: a word's
+    * symbols ride as `␁s1␁s2␁…␁sn␁` (U+0001 between and around symbols —
+    * stripped from source words, so it can never occur inside one). A
+    * merge of (l, r) is then ONE codegen'd linear regexp pass —
+    * `␁l␁r(?=␁)` → `␁lr` — instead of a per-element interpreted array
+    * fold: the lookahead keeps the trailing boundary unconsumed so runs
+    * like [a,b,a,b] merge at every site in a single left-to-right scan,
+    * while symbol-internal text can't false-match (every symbol edge in
+    * the pattern is a sentinel). Left-to-right non-overlapping regex
+    * semantics are exactly BPE's greedy-no-remerge convention.
+    */
+  private val SEP = "\u0001"
+
+  private def applyMergeStr(j: Column, l: String, r: String): Column =
+    regexp_replace(j,
+      lit(java.util.regex.Pattern.quote(SEP + l + SEP + r) + "(?=" + SEP +
+        ")"),
+      lit(java.util.regex.Matcher.quoteReplacement(SEP + l + r)))
+
+  private def joinedSyms: Column =
+    concat(lit(SEP), array_join(col("syms"), SEP), lit(SEP))
+
+  private def splitSyms(j: Column): Column =
+    array_remove(split(j, SEP), "")
+
   /** The word-frequency relation BPE trains on: distinct lowercased
     * whitespace words with counts and initial character-level symbol
     * arrays.
     */
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+    docs.select(explode(split(lower(col(textCol)), "\\s+")).as("w0"))
+      .select(translate(col("w0"), SEP, "").as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("syms",
@@ -62,44 +88,100 @@ object Bpe {
       .agg(sum(col("cnt")).as("c"))
 
   /** Train `numMerges` BPE merges. Returns the ordered merge table
-    * (rank, left, right, pair_count) — the tokenizer artifact — built
-    * from one 3-column driver pull per round. Stops early when no
-    * adjacent pair remains. Deterministic: ties break (count desc,
-    * left, right).
+    * (rank, left, right, pair_count) — the tokenizer artifact. Stops
+    * early when no adjacent pair remains. Deterministic: ties break
+    * (count desc, left, right).
+    *
+    * Rounds are BATCHED, greedy-EQUIVALENTLY. Each driver round pulls the
+    * top of the ranked pair list (a ≤ 2·cap+1-row pull) and accepts a
+    * consecutive prefix that provably reproduces one-merge-at-a-time
+    * greedy:
+    *  - prefix pairs must be pairwise DISJOINT — no shared symbol and no
+    *    symbol equal to an earlier prefix pair's concatenation — which
+    *    makes their counts mutually invariant (a merge of (a,b) only
+    *    destroys/creates adjacencies involving a, b, or the new string
+    *    "ab"), so each accepted pair's recorded count is its true
+    *    greedy-round count and rank order within the batch is greedy's
+    *    order;
+    *  - let cStop = the count of the first NON-accepted pair (overlap,
+    *    cap, or window edge). Every non-accepted pair starts ≤ cStop, and
+    *    one merge can raise any pair's count by at most cStop (each new
+    *    (x, ab) occurrence consumes an existing (x, a) adjacency, and
+    *    (x, a) overlaps the merge so it is itself ≤ cStop) — so after i
+    *    batch merges no unaccepted pair can exceed (i+1)·cStop. Position
+    *    i (0-based) is therefore kept only if its count is STRICTLY >
+    *    (i+1)·cStop, which also rules out lexicographic-tie upsets.
+    * Degenerate case (immediate tie or overlap) falls back to the plain
+    * 1-pair greedy step, so progress is guaranteed. A 32k-merge
+    * production vocabulary schedules ~32k/cap driver rounds instead of
+    * 32k Spark jobs on a Zipfian pair distribution; per round the cost
+    * stays one vocab-sized pair aggregate + one bounded driver pull (the
+    * k-means-centroid pattern), with `localCheckpoint` truncating
+    * per-round lineage as in [[Dedup.connectedComponents]].
     */
-  def train(docs: DataFrame, textCol: String, numMerges: Int)
-  : Seq[(Int, String, String, Long)] = {
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      batchCap: Int = 16): Seq[(Int, String, String, Long)] = {
     var words = wordTable(docs, textCol)
       .localCheckpoint(true) // one corpus scan; rounds run on vocab only
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var exhausted = false
-    for (k <- 1 to numMerges if !exhausted) {
-      val best = pairCounts(words)
-        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
-      if (best.isEmpty) exhausted = true
+    while (merges.size < numMerges && !exhausted) {
+      val want = math.min(batchCap, numMerges - merges.size)
+      val top = pairCounts(words)
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(2 * want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((k, l, r, c))
+        // maximal consecutive disjoint prefix, capped at `want`; `used`
+        // also carries each accepted pair's concatenation so no later
+        // batch pair touches a symbol an earlier merge creates
+        val used = scala.collection.mutable.Set.empty[String]
+        var m = 0
+        while (m < top.length && m < want &&
+            !used.contains(top(m)._1) && !used.contains(top(m)._2)) {
+          used += top(m)._1; used += top(m)._2
+          used += top(m)._1 + top(m)._2
+          m += 1
+        }
+        // the first non-accepted pair's count bounds (per merge applied)
+        // how high any unaccepted pair can climb — keep position i only
+        // while strictly above (i+1)·cStop
+        val cStop = if (m < top.length) top(m)._3 else 0L
+        val prefix = top.take(m)
+        val batch = {
+          val safe = prefix.zipWithIndex
+            .takeWhile { case ((_, _, c), i) => c > (i + 1) * cStop }
+            .map(_._1)
+          if (safe.nonEmpty) safe else prefix.take(1) // plain greedy step
+        }
+        batch.foreach { case (l, r, c) =>
+          merges += ((merges.size + 1, l, r, c))
+        }
+        // apply the batch on the sentinel-string form: one linear
+        // codegen'd regexp pass per merge (vs the O(n²) interpreted
+        // array fold of [[mergePair]])
         words = words
-          .withColumn("syms", mergePair(col("syms"), l, r))
+          .withColumn("syms", splitSyms(batch.foldLeft(joinedSyms) {
+            case (j, (l, r, _)) => applyMergeStr(j, l, r)
+          }))
           .localCheckpoint(true)
       }
     }
     merges.toSeq
   }
 
-  /** Apply a trained merge list to a corpus: each word's symbol array
-    * folded through every merge in rank order (the merges are plan
-    * literals — broadcast by construction, the application is entirely
-    * row-local). Output: the word relation with final `syms`.
+  /** Apply a trained merge list to a corpus: each word folded through
+    * every merge in rank order on the sentinel-string form (the merges
+    * are plan literals — broadcast by construction, the application is
+    * entirely row-local). Output: the word relation with final `syms`.
     */
   def segment(docs: DataFrame, textCol: String,
       merges: Seq[(Int, String, String, Long)]): DataFrame = {
-    val applied = merges.foldLeft(col("syms")) {
-      case (c, (_, l, r, _)) => mergePair(c, l, r)
+    val applied = merges.foldLeft(joinedSyms) {
+      case (j, (_, l, r, _)) => applyMergeStr(j, l, r)
     }
-    wordTable(docs, textCol).withColumn("syms", applied)
+    wordTable(docs, textCol).withColumn("syms", splitSyms(applied))
   }
 }

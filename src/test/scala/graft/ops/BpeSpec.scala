@@ -32,6 +32,42 @@ class BpeSpec extends SparkSpec {
     assert(got("aaaa") == List("aa", "aa"), got)
   }
 
+  test("batched rounds reproduce 1-at-a-time greedy exactly") {
+    // a corpus with colliding created symbols and tie-heavy tails — the
+    // regimes where unsafe batching diverges from greedy: merging (a,b)
+    // boosts pairs involving the created "ab" string, ties force the
+    // single-step fallback
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat saw the rat"),
+      (2L, "that thin thing thought the thick cat chased the rat"),
+      (3L, "abab abab ababab ab ab cd cd cdcd the the then than"),
+      (4L, "sat mat rat cat bat that chat what a ab abc abcd")
+    ).toDF("doc_id", "text")
+    val greedy = Bpe.train(docs, "text", numMerges = 24, batchCap = 1)
+    val batched = Bpe.train(docs, "text", numMerges = 24)
+    assert(batched == greedy,
+      s"batched diverged from greedy:\n$batched\nvs\n$greedy")
+  }
+
+  test("sentinel-string merge application equals the mergePair array fold") {
+    // overlapping runs, created-symbol collisions, symbol-internal text
+    // that must NOT false-match (xa·by under merge (a,b)): the regimes
+    // where a string-rewrite shortcut could diverge from the fold
+    val docs = Seq((1L,
+      "aaa aaaa abab ababab xaby ab ba aab abb the then")).toDF("d", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 6)
+    val viaString = Bpe.segment(docs, "text", merges)
+      .select(col("w"), col("syms").as("via_string"))
+    val viaFold = Bpe.wordTable(docs, "text")
+      .select(col("w"), merges.foldLeft(col("syms")) {
+        case (c, (_, l, r, _)) => Bpe.mergePair(c, l, r)
+      }.as("via_fold"))
+    val both = viaString.join(viaFold, "w")
+    assert(both.filter(not(col("via_string") === col("via_fold")))
+      .count() == 0,
+      both.collect().mkString("\n"))
+  }
+
   test("segment preserves concatenation and compresses the stream") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
