@@ -28,15 +28,45 @@ object QueriesScale {
         .select(col("rep_id"), col("n_dupes"))
         .orderBy(col("rep_id"))),
 
-    // minhash signatures (first 4 of 64 slots shown; hash-seeded → no oracle)
-    "dd2_minhash_sig" -> ((s, d) =>
-      Dedup.minhashSignatures(fanOut(documents(s, d)), "doc_id", "text", 3, 64)
-        .select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"))
-        .orderBy(col("doc_id"))),
+    // minhash signatures (first 4 of 64 slots shown; hash-seeded → no SQL
+    // oracle, so the entry carries an ENFORCED structural verdict instead:
+    // re-keyed exact copies of every 10th doc are injected, and `equal`
+    // demands (a) every exact-text group share ONE identical 64-slot
+    // signature (MinHash is a pure function of the shingle set) and (b)
+    // each signature be all-slots-present or all-null (nothing partially
+    // hashed). Verify.enforceSelfCheck withholds the dump on any false row.
+    "dd2_minhash_sig" -> ((s, d) => {
+      val docs = fanOut(documents(s, d)).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      val slots = (0 until 64).map(i => col(s"h$i"))
+      val sig = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 64)
+        .join(corpus.select(col("doc_id"),
+          xxhash64(col("text")).as("text_h")), "doc_id")
+        .withColumn("sig_h", xxhash64(slots: _*))
+        .withColumn("n_null",
+          slots.map(c => when(c.isNull, 1).otherwise(0)).reduce(_ + _))
+      val w = Window.partitionBy(col("text_h"))
+      sig
+        .withColumn("equal",
+          (max(col("sig_h")).over(w) === min(col("sig_h")).over(w)) &&
+            (col("n_null") === 0 || col("n_null") === 64))
+        .select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"),
+          col("equal"))
+        .orderBy(col("doc_id"))
+    }),
 
-    // full MinHash→LSH→candidate→estimate pipeline, reported as stats
+    // full MinHash→LSH→candidate→estimate pipeline, reported as stats.
+    // ENFORCED no-miss verdict (dd15's guarantee surfaced here too):
+    // injected exact copies share every band by construction, so the
+    // candidate and near-dup counts must each cover all injected pairs —
+    // `equal` false withholds the dump.
     "dd3_lsh_stats" -> ((s, d) => {
-      val docs = fanOut(documents(s, d))
+      val docs0 = fanOut(documents(s, d)).select(col("doc_id"), col("text"))
+      val docs = docs0.unionByName(
+        docs0.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
       // signatures feed the band build AND both estimate-join sides →
       // barrier so the minhash pipeline is computed once (exchange-reused)
       val sig = Dedup.barrier(
@@ -48,12 +78,35 @@ object QueriesScale {
         .crossJoin(pairs.agg(count(lit(1)).as("n_candidate_pairs")))
         .crossJoin(est.filter(col("est_jaccard") >= 0.5)
           .agg(count(lit(1)).as("n_near_dupes")))
+        .crossJoin(broadcast(docs0.filter(col("doc_id") % 10 === 0)
+          .agg(count(lit(1)).as("n_injected"))))
+        .withColumn("equal",
+          col("n_candidate_pairs") >= col("n_injected") &&
+            col("n_near_dupes") >= col("n_injected"))
     }),
 
-    // simhash fingerprints (hash-seeded → no oracle)
-    "dd4_simhash" -> ((s, d) =>
-      Dedup.simhash64(fanOut(documents(s, d)), "doc_id", "text")
-        .orderBy(col("doc_id"))),
+    // simhash fingerprints (hash-seeded → no SQL oracle; ENFORCED
+    // structural verdict instead, dd2's pattern): injected re-keyed exact
+    // copies must land on the SAME 64-bit fingerprint (SimHash is a pure
+    // function of the token multiset) — `equal` fails any group whose
+    // fingerprints diverge, and Verify withholds the dump.
+    "dd4_simhash" -> ((s, d) => {
+      val docs = fanOut(documents(s, d)).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      val sh = Dedup.simhash64(corpus, "doc_id", "text")
+        .join(corpus.select(col("doc_id"),
+          xxhash64(col("text")).as("text_h")), "doc_id")
+        // null-stable key so all-null groups still compare consistently
+        .withColumn("sim_key", xxhash64(col("simhash")))
+      val w = Window.partitionBy(col("text_h"))
+      sh
+        .withColumn("equal",
+          max(col("sim_key")).over(w) === min(col("sim_key")).over(w))
+        .select(col("doc_id"), col("simhash"), col("equal"))
+        .orderBy(col("doc_id"))
+    }),
 
     // exact n-gram Jaccard pairs via inverted index, blocked by (lang,source);
     // document-frequency cutoff 64 bounds hot-gram buckets (no-op at this
@@ -77,10 +130,27 @@ object QueriesScale {
         .orderBy(col("doc_id"))),
 
     // simhash near-dup pairs: 4×16-bit band candidates + exact Hamming ≤ 3
-    // (hash-seeded → no oracle)
-    "dd7_simhash_neardup" -> ((s, d) =>
-      Dedup.simhashNearDupPairs(fanOut(documents(s, d)), "doc_id", "text", 3)
-        .orderBy(col("id_a"), col("id_b"))),
+    // (hash-seeded → no SQL oracle; ENFORCED verdict instead): injected
+    // exact copies are Hamming-0 and share all four 16-bit bands, so every
+    // injected pair MUST be emitted — `equal` carries per-row Hamming
+    // sanity AND the global no-miss flag (1-row broadcast, a17 pattern).
+    "dd7_simhash_neardup" -> ((s, d) => {
+      val docs0 = fanOut(documents(s, d)).select(col("doc_id"), col("text"))
+      val docs = docs0.unionByName(
+        docs0.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3)
+      val expected = docs0.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 5000000L).as("id_b"))
+      val missed = expected.join(pairs, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      pairs.crossJoin(broadcast(missed))
+        .withColumn("equal",
+          col("hamming") <= 3 && col("n_missed") === 0L)
+        .select(col("id_a"), col("id_b"), col("hamming"), col("equal"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // C4-style line-level dedup: corpus-frequency blacklist (>1 occurrence)
     // over 5-word lines, docs reassembled from surviving lines in order.
