@@ -41,8 +41,41 @@ object PlanAudit {
         val plan = SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.executedPlan.toString
         val scans = count(plan, "Scan parquet") + count(plan, "Scan orc")
-        val pushedEmpty = count(plan, "PushedFilters: \\[\\]")
         val pushed = count(plan, "PushedFilters: \\[[^\\]]") // non-empty
+        // classify every empty-PushedFilters scan by whether a PUSHABLE
+        // data predicate even existed: a plain column predicate (paren
+        // depth ≤ 1, e.g. isnotnull(col), (col > 5)) that didn't push is
+        // a genuine MISS; filters over derived expressions (depth ≥ 2,
+        // e.g. isnotnull(cast(pmod(xxhash64(col))))) are inexpressible as
+        // columnar-format filters on ANY engine; no filters at all = the
+        // query semantically reads the full relation
+        def maxDepth(s: String): Int = {
+          var d = 0; var mx = 0
+          s.foreach { c =>
+            if (c == '(') { d += 1; mx = math.max(mx, d) }
+            else if (c == ')') d -= 1
+          }
+          mx
+        }
+        val scanRe =
+          ("DataFilters: \\[([^\\]]*)\\][\\s\\S]*?" +
+            "PushedFilters: \\[([^\\]]*)\\]").r
+        val (miss, unpushable, fullscan) =
+          scanRe.findAllMatchIn(plan).foldLeft((0, 0, 0)) {
+            case ((m, u, f), g) =>
+              val data = g.group(1).trim
+              val hasPushed = g.group(2).trim.nonEmpty
+              if (hasPushed) (m, u, f)
+              else if (data.isEmpty) (m, u, f + 1)
+              // a plain predicate exists somewhere in the list iff the
+              // SHALLOWEST filter is depth ≤ 1 (comma-split is unsafe
+              // inside nested calls; depth of the whole list is a sound
+              // group-level proxy: all-derived lists are uniformly deep)
+              else if (maxDepth(data) >= 2 &&
+                !data.split(", (?=[A-Za-z(])").exists(p =>
+                  p.nonEmpty && maxDepth(p) <= 1)) (m, u + 1, f)
+              else (m + 1, u, f)
+          }
         val flags = Seq(
           if (plan.contains("CartesianProduct")) Some("cartesian") else None,
           if (plan.contains("BroadcastNestedLoopJoin")) Some("bnlj")
@@ -50,7 +83,9 @@ object PlanAudit {
           if (plan.contains("DynamicPruning")) Some("dpp") else None,
           if (plan.contains("SelectedBucketsCount")) Some("bucketed")
           else None,
-          if (pushedEmpty > 0) Some(s"unpushed:$pushedEmpty") else None
+          if (miss > 0) Some(s"pushmiss:$miss") else None,
+          if (unpushable > 0) Some(s"unpushable:$unpushable") else None,
+          if (fullscan > 0) Some(s"fullscan:$fullscan") else None
         ).flatten.mkString(" ")
         Some(Row(name, scans, pushed,
           count(plan, "Exchange (hash|range|Single)"),
@@ -80,9 +115,16 @@ object PlanAudit {
       "win = window ops (incl. WindowGroupLimit); wscg = whole-stage " +
       "codegen spans; cache = in-memory relation reads; flags — dpp = " +
       "dynamic partition pruning, bucketed = bucket-pruned scan, " +
-      "bnlj/cartesian = documented broadcast-scalar or baseline ops, " +
-      "unpushed:N = scans with empty PushedFilters (metadata-only or " +
-      "post-shuffle scans).\n\n")
+      "bnlj/cartesian = documented broadcast-scalar or baseline ops. " +
+      "Empty-PushedFilters scans are CLASSIFIED: fullscan:N = scans " +
+      "with no data predicate at all — the query semantically reads the " +
+      "full relation (whole-table aggregate/pivot, preserved side of an " +
+      "outer join, window-dependent filters, synthesized corpora) and " +
+      "there is nothing to push; unpushable:N = only derived-expression " +
+      "filters (hash/cast/computed join keys) that no columnar format " +
+      "can evaluate in the scan; pushmiss:N = a plain column predicate " +
+      "exists but did not reach the scan — a genuine pushdown miss to " +
+      "investigate (zero such rows is the expected state).\n\n")
     sb.append("| query | scans | pushed | exch | bhj | smj | anti | " +
       "semi | win | wscg | cache | flags |\n")
     sb.append("|---|---|---|---|---|---|---|---|---|---|---|---|\n")
