@@ -66,7 +66,8 @@ object Bench {
     "tp11_prep_pipeline", "tp12_shard_balance", "tp13_winsorize",
     "tp14_quality_pareto", "tp15_epoch_schedule",
     "ts14_zipf_fit", "ts15_lexical_diversity",
-    "sim1_cosine_topk", "sim2_threshold_pairs", "sim4_clustered_pairs",
+    "sim1_cosine_topk", "sim2_threshold_pairs", "sim3_ivf_topk",
+    "sim4_clustered_pairs", "sim9_persisted_ann",
     "sim11_knn_classify", "sim12_centroid_drift", "sim13_scalar_quantize",
     "st1_hourly_window", "st2_sessionize", "st4_interval_join",
     "st5_user_sequences", "ev1_cohort_retention", "ev4_growth_accounting",

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal corpus generator: synthesize an N× `documents` +
+  * `embeddings` pair from an existing sf directory, for measuring how the
+  * dedup/ANN headliners scale (BENCH_SCALE.json).
+  *
+  * The replication is structure-preserving, which is what makes the
+  * scaling exponent meaningful:
+  *  - each document replica re-keys `doc_id` and suffixes EVERY token with
+  *    a replica tag, so all shingles/grams/fingerprints differ across
+  *    replicas — no cross-replica similarity is fabricated, and the
+  *    per-replica duplicate structure is exactly the source corpus's. An
+  *    N× corpus then carries exactly N× the true pairs: a linear-scaling
+  *    workload by construction, so any super-linear wall-time growth is
+  *    the ENGINE's, not the data's.
+  *  - each embedding replica re-keys `vec_id` and adds a deterministic
+  *    per-(replica, vector, component) perturbation, so vectors are not
+  *    exact clones (degenerate zero-distance stacks) but the space's
+  *    density grows uniformly.
+  *
+  * Output is written multi-file so scans parallelize like a real
+  * many-file lake table (Tables.fanOut then keeps the scan's own
+  * partitioning — the production path, not the single-file harness path).
+  *
+  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docCopies = (0 until factor).map { i =>
+      if (i == 0) docs
+      else {
+        val text = array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"_r$i"))),
+          " ")
+        docs.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          text.as("text"), col("lang"), col("source"),
+          length(text).cast("long").as("n_chars"))
+      }
+    }
+    docCopies.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embCopies = (0 until factor).map { i =>
+      if (i == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          (x + lit(0.05) * sin(col("vec_id") * 0.7 + j * 1.3 + lit(i)))
+            .cast("float")).as("embedding"),
+        col("label"))
+    }
+    embCopies.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val nd = spark.read.parquet(s"$out/documents.parquet").count()
+    val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
+    println(s"[scaleup] wrote $out: documents=$nd embeddings=$ne " +
+      s"(${factor}x of $src)")
+    spark.stop()
+  }
+}
