@@ -204,6 +204,8 @@ class PlansSpec extends SparkSpec {
     "ev8_decay_score",
     // 1-row broadcast grand-total attached to the 9-digit census
     "a16_benford_audit",
+    // 1-row broadcast no-missed-injected-pair verdict attached per pair
+    "dd7_simhash_neardup",
     // 5-row broadcast threshold relation × census-sized pair relation
     "dd26_threshold_curve",
     // inherits tfidf's 1-row broadcast corpus-size row
