@@ -395,6 +395,20 @@ object QueriesScale {
         .orderBy(col("doc_id"))
     }),
 
+    // SEMANTIC decontamination: label-0 embeddings play the eval suite,
+    // the rest the training corpus — per train vector, max cosine to any
+    // eval vector (4dp), nearest eval id, count over the 0.4 threshold,
+    // and the contamination flag. Catches the paraphrase leakage the
+    // verbatim gram/span audits (tc1/tc3) structurally miss; eval side
+    // broadcast, train side one scan + map-side-combinable agg.
+    "tc6_semantic_decontam" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.semanticContamination(
+          emb.filter(col("label") =!= 0), emb.filter(col("label") === 0),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("vec_id"))
+    }),
+
     // span-level decontamination: training docs sharing a VERBATIM
     // 8-token window with the benchmark slice — the contiguous-overlap
     // criterion (gram overlap flags idioms; spans flag real leakage).
@@ -617,6 +631,22 @@ object QueriesScale {
     "ts17_bigram_lm" -> ((s, d) =>
       TextOps.bigramLmScore(fanOut(documents(s, d)), "doc_id", "text",
           vocabSize = 20)
+        .orderBy(col("doc_id"))),
+
+    // sentence segmentation + per-doc sentence-length stats: maximal
+    // [^.!?]+[.!?]* runs (lookbehind-free → replays on RE2), row-local
+    // array algebra end to end — zero shuffles, integer-exact averages.
+    "ts22_sentence_stats" -> ((s, d) =>
+      TextOps.sentenceStats(fanOut(documents(s, d)), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // production-grade LM smoothing: interpolated Kneser-Ney (fixed
+    // D=0.75) over the same vocab — discounted seen-bigram mass backs off
+    // through CONTINUATION counts, not uniform pseudo-counts. Closed-vocab
+    // scoring keeps every denominator ≥ 1 → bit-exact full oracle.
+    "lm2_kneser_ney" -> ((s, d) =>
+      TextOps.kneserNeyScore(fanOut(documents(s, d)), "doc_id", "text",
+          vocabSize = 20, discount = 0.75)
         .orderBy(col("doc_id"))),
 
     // domain rebalancing: every lang deterministically downsampled to the
@@ -981,6 +1011,19 @@ object QueriesScale {
           "doc_id", "text", Seq("lang", "source"), 3, maxDocFreq = 64),
         "doc_a", "doc_b", iters = 5, damping = 0.85)
         .select(col("node").as("doc_id"), col("deg"), col("rank"))
+        .orderBy(col("doc_id"))),
+
+    // Synchronous label propagation over the same dup-candidate graph —
+    // the community view between dd10's components (merge anything
+    // touching) and dd24's ranks (score, don't group). Deterministic:
+    // plurality label, smallest-label tie-break, 3 fixed synchronous
+    // rounds; integer labels → bit-exact full oracle (3 chained CTEs).
+    "dd27_label_propagation" -> ((s, d) =>
+      Dedup.labelPropagation(
+        Dedup.gramCandidatePairs(fanOut(documents(s, d)),
+          "doc_id", "text", Seq("lang", "source"), 3, maxDocFreq = 64),
+        "doc_a", "doc_b", rounds = 3)
+        .select(col("node").as("doc_id"), col("label").as("community"))
         .orderBy(col("doc_id"))),
 
     // k-anonymity audit over quasi-identifiers: every (lang, source,
@@ -1434,6 +1477,16 @@ object QueriesScale {
       Similarity.thresholdPairs(
           embeddings(s, d).filter(col("vec_id") < 300),
           "vec_id", "embedding", 0.3, dim = 64)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // signed-random-projection LSH (Charikar) with DERANDOMIZED ±1
+    // hyperplanes — (73j+179d) mod 97 signs — so the exact candidate set
+    // replays in SQL: the one LSH entry with a FULL oracle rather than a
+    // recall-floor self-check. 16 bits, 4 bands of 4; candidates ∩
+    // cosine ≥ 0.4 is the standard LSH contract (recall < 1 by design).
+    "sim17_srp_lsh" -> ((s, d) =>
+      Similarity.srpCandidatePairs(embeddings(s, d), "vec_id",
+          "embedding", dim = 64, threshold = 0.4, nBits = 16, bandBits = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
     // IVF-blocked pair mining: exact cosine restricted to same-cluster
@@ -3198,6 +3251,48 @@ object QueriesScale {
         |FROM r5 JOIN deg ON deg.src = r5.node
         |ORDER BY doc_id""".stripMargin,
 
+    "dd27_label_propagation" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |hot AS (
+        |  SELECT lang, source, gram FROM grams
+        |  GROUP BY lang, source, gram HAVING COUNT(*) > 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM grams a JOIN grams b
+        |    ON a.gram = b.gram AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |    WHERE h.lang = a.lang AND h.source = a.source
+        |      AND h.gram = a.gram)),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        |c1 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+        |       FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |         SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |           ORDER BY c DESC, label) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+        |       FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |         SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |           ORDER BY c DESC, label) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+        |       FROM edges e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |         SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |           ORDER BY c DESC, label) AS rn FROM c3) WHERE rn = 1)
+        |SELECT node AS doc_id, label AS community FROM l3
+        |ORDER BY doc_id""".stripMargin,
+
     "a11_constraint_audit" ->
       """WITH a AS (SELECT COUNT(*) AS rows_total,
         |    COUNT(*) FILTER (l_quantity <= 0 OR l_quantity > 45)
@@ -3484,6 +3579,56 @@ object QueriesScale {
         |CROSS JOIN tot
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
+    "ts22_sentence_stats" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+        |                x -> trim(x) <> '') AS sents
+        |  FROM documents),
+        |w AS (SELECT doc_id, len(sents) AS n_sentences,
+        |    list_transform(sents,
+        |      x -> len(string_split_regex(trim(x), '\s+'))) AS wc
+        |  FROM s WHERE len(sents) > 0)
+        |SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(list_aggregate(wc, 'sum') AS BIGINT) AS total_words,
+        |  ROUND(CAST(list_aggregate(wc, 'sum') AS DOUBLE) / n_sentences,
+        |        4) AS avg_words,
+        |  CAST(list_aggregate(wc, 'max') AS BIGINT) AS max_words
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "lm2_kneser_ney" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |toks AS (SELECT doc_id, unnest(ws) AS term FROM t),
+        |vocab AS (SELECT term FROM (
+        |    SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+        |    ORDER BY cnt DESC, term LIMIT 20)),
+        |bg AS (SELECT doc_id,
+        |    split_part(gram, ' ', 1) AS prev,
+        |    split_part(gram, ' ', 2) AS cur
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(generate_series(1, len(ws) - 1),
+        |            i -> ws[i] || ' ' || ws[i + 1])) AS gram
+        |        FROM t WHERE len(ws) >= 2)),
+        |vb AS (SELECT doc_id, prev, cur FROM bg
+        |  WHERE prev IN (SELECT term FROM vocab)
+        |    AND cur IN (SELECT term FROM vocab)),
+        |model AS (SELECT prev, cur, COUNT(*) AS c2 FROM vb
+        |          GROUP BY prev, cur),
+        |ctx AS (SELECT prev, SUM(c2) AS c1v, COUNT(*) AS n_fwd
+        |        FROM model GROUP BY prev),
+        |cont AS (SELECT cur, COUNT(*) AS n_bwd FROM model GROUP BY cur),
+        |tt AS (SELECT COUNT(*) AS t_types FROM model)
+        |SELECT b.doc_id,
+        |  ROUND(AVG(-ln((GREATEST(m.c2 - 0.75, 0.0)
+        |      + 0.75 * x.n_fwd * (c.n_bwd * 1.0 / tt.t_types))
+        |    / x.c1v)), 4) AS avg_nll,
+        |  COUNT(*) AS n_scored
+        |FROM vb b JOIN model m ON b.prev = m.prev AND b.cur = m.cur
+        |JOIN ctx x ON b.prev = x.prev
+        |JOIN cont c ON b.cur = c.cur
+        |CROSS JOIN tt
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
     "ts7_repetition" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,
         |                  string_split(text, ' ') AS ws FROM documents),
@@ -3540,6 +3685,25 @@ object QueriesScale {
         |FROM grams g JOIN bench b USING (gram)
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "tc6_semantic_decontam" ->
+      """WITH ev AS (SELECT vec_id AS eval_id, embedding::DOUBLE[] AS e
+        |           FROM embeddings WHERE label = 0),
+        |tr AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |       FROM embeddings WHERE label <> 0),
+        |p AS (SELECT tr.vec_id, ev.eval_id,
+        |        ROUND(list_cosine_similarity(v, e), 4) AS sim
+        |      FROM tr, ev),
+        |a AS (SELECT vec_id, MAX(sim) AS max_sim,
+        |        CAST(SUM(CASE WHEN sim >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_over
+        |      FROM p GROUP BY vec_id),
+        |nn AS (SELECT p.vec_id, MIN(p.eval_id) AS nearest_eval
+        |       FROM p JOIN a ON p.vec_id = a.vec_id AND p.sim = a.max_sim
+        |       GROUP BY p.vec_id)
+        |SELECT a.vec_id, a.max_sim, nn.nearest_eval, a.n_over,
+        |       a.max_sim >= 0.4 AS contaminated
+        |FROM a JOIN nn USING (vec_id) ORDER BY a.vec_id""".stripMargin,
 
     "tc5_split_decontam" ->
       """WITH s AS (SELECT doc_id, lang, text,
@@ -4289,6 +4453,34 @@ object QueriesScale {
         |      FROM s)
         |SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim17_srp_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id, j,
+        |    CASE WHEN list_aggregate(list_transform(
+        |        generate_series(1, 64),
+        |        d -> v[d] * (CASE WHEN (73*j + 179*(d-1)) % 97 < 48
+        |                     THEN 1.0 ELSE -1.0 END)), 'sum') >= 0
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM e, (SELECT unnest(generate_series(0, 15)) AS j)),
+        |bands AS (
+        |  SELECT vec_id, j // 4 AS band_idx,
+        |    SUM(bit << (3 - (j % 4))) AS band_val
+        |  FROM bits GROUP BY vec_id, j // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |   AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |    ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+        |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+        |              JOIN e eb ON eb.vec_id = c.id_b)
+        |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "sim4_clustered_pairs" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

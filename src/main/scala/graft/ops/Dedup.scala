@@ -1097,4 +1097,58 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Synchronous label propagation over the dup-candidate graph — the
+    * community detector that groups boilerplate FAMILIES (templates that
+    * share phrasing without pairwise-exceeding a dedup threshold), where
+    * connectedComponents merges anything touching and PageRank only ranks.
+    * Classic LPA is run-order-dependent; this is the deterministic
+    * synchronous variant: every round, every node adopts the label held by
+    * the plurality of its neighbors, ties broken by SMALLEST label, all
+    * updates computed from the previous round's labels. Fixed `rounds`
+    * (no convergence test) keeps the replay bit-exact — synchronous LPA
+    * can 2-cycle on bipartite structure, so "run to convergence" is not
+    * well-defined for it anyway.
+    *
+    * Scale shape: one persisted degree-less edge relation re-joined per
+    * round; each round is a label-keyed join + a (dst, label)-keyed count
+    * + a dst-keyed `max_by` plurality pick — two partial-aggregate
+    * shuffles, no window sort. Per-round `localCheckpoint` truncates
+    * lineage exactly like [[pageRank]]; the final node-sized result is
+    * materialized before the edge cache drops.
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      rounds: Int = 3): DataFrame = {
+    val und = pairs.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        // plurality pick without a window sort: max over (count, -label)
+        // = highest count, then smallest label — labels are node ids ≥ 0,
+        // so the negation is a total order flip
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"),
+          struct(col("c"), (-col("label")).as("nl"))).as("label"))
+        .select(col("dst").as("node"), col("label"))
+        // LAZY per-round checkpoint (the pageRank convention): round i+1
+        // sees a leaf, not i nested join+agg rounds
+        .localCheckpoint(false)
+    }
+    // every node in the edge relation has degree ≥ 1, so each round
+    // relabels every node — no left-join backfill needed
+    val out = labels.localCheckpoint(true)
+    edges.unpersist()
+    out
+  }
 }

@@ -705,4 +705,101 @@ object Similarity {
           .as("pred_label"),
         max(col("n_votes")).as("n_votes"))
   }
+
+  /** Signed-random-projection LSH (Charikar's simhash for the COSINE
+    * metric, over real vectors rather than term sets): each vector gets a
+    * `nBits`-bit signature — bit j is the sign of the projection onto
+    * hyperplane j — and candidate pairs share at least one of the
+    * `nBits/bandBits` signature bands. P[bit match] = 1 − θ/π, so near
+    * pairs collide in some band with tunable probability while the far
+    * pairs that dominate an all-pairs scan never meet. The hyperplanes
+    * are DERANDOMIZED ±1 vectors — sign(j,d) = +1 iff (73j + 179d) mod 97
+    * < 48, a full-period affine sweep of a prime field (a Weyl-sequence
+    * trick) — so, unlike seeded-RNG LSH, the exact candidate set replays
+    * bit-for-bit in the SQL oracle: LSH machinery with a FULL oracle
+    * instead of a recall-floor self-check. The projection fold runs in
+    * ascending dimension order on both engines, so even sign(Σ) at a
+    * near-zero sum is deterministic cross-engine.
+    *
+    * Output: (id_a, id_b, sim) for candidate pairs with exact cosine ≥
+    * `threshold` (4dp) — the standard LSH contract: candidate recall < 1
+    * by design, tuned by nBits/bandBits; production raises recall with
+    * more bands or multiple sweeps (larger multiplier pairs).
+    *
+    * Scale shape: signatures are row-local codegen (nBits folds over the
+    * vector — no shuffle); the one wide operation is the band-bucket
+    * self-join, whose buckets shrink geometrically with bandBits; exact
+    * cosine runs only on candidates.
+    */
+  def srpCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, nBits: Int = 16, bandBits: Int = 4)
+  : DataFrame = {
+    require(nBits % bandBits == 0, "nBits must split into whole bands")
+    def bit(j: Int): Column = {
+      val proj = (0 until dim).map { d =>
+        val sign = if ((73 * j + 179 * d) % 97 < 48) 1.0 else -1.0
+        element_at(col("v"), d + 1).cast("double") * lit(sign)
+      }.reduce(_ + _)
+      when(proj >= 0, 1).otherwise(0)
+    }
+    val bands = (0 until nBits / bandBits).map { k =>
+      (0 until bandBits).map(o => bit(k * bandBits + o) * lit(1 << (bandBits - 1 - o)))
+        .reduce(_ + _).as(s"band_$k")
+    }
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select((col("id") +: col("v") +: bands): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("id"), col("v"),
+      posexplode(array((0 until nBits / bandBits).map(k => col(s"band_$k")): _*))
+        .as(Seq("band_idx", "band_val")))
+    // score BEFORE the dedup so the distinct shuffles (id, id, sim)
+    // triples, not pairs of wide vectors (sim is deterministic — equal
+    // duplicates collapse identically); multi-band collisions of the same
+    // pair are the duplicates being dropped
+    val out = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+      .localCheckpoint(true)
+    sig.unpersist()
+    out
+  }
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * gram/span audits (tc1/tc3): a training item is contaminated when its
+    * embedding sits within `threshold` cosine of ANY eval-suite embedding,
+    * catching paraphrased and templated leakage that verbatim n-gram
+    * overlap misses (the SemDeDup/"semantic contamination" criterion).
+    * Per train vector: max eval similarity (4dp — per-pair cosine is a
+    * fixed-order fold, and max is order-free, so the replay is exact),
+    * the nearest eval id (smallest id at the max), how many eval items
+    * exceed the threshold, and the flag.
+    *
+    * Scale shape: eval suites are small BY CONSTRUCTION (thousands of
+    * rows against a 100 TB corpus) — the eval side broadcasts and the
+    * train side streams through one scan + one map-side-combinable
+    * aggregate; no shuffle touches the wide vectors. A billion-row eval
+    * set would instead ride the LSH-bucketed candidate path
+    * ([[cosineCandidatePairs]]) — same output contract.
+    */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val ev = eval.select(col(idCol).as("eval_id"), col(vecCol).as("e_vec"))
+    train.select(col(idCol), col(vecCol).as("t_vec"))
+      .crossJoin(broadcast(ev))
+      .select(col(idCol),
+        col("eval_id"),
+        round(cosine(col("t_vec"), col("e_vec")), 4).as("sim"))
+      .groupBy(col(idCol))
+      .agg(
+        max(col("sim")).as("max_sim"),
+        max_by(col("eval_id"),
+          struct(col("sim"), (-col("eval_id")).as("ni"))).as("nearest_eval"),
+        sum(when(col("sim") >= threshold, 1L).otherwise(0L)).as("n_over"))
+      .withColumn("contaminated", col("max_sim") >= threshold)
+  }
 }

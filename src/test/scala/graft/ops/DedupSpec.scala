@@ -582,4 +582,23 @@ class DedupSpec extends SparkSpec {
     assert(got(5) == got(6), "clique symmetry broken")
     assert(got(1) > got(2), "hub must outrank its leaves")
   }
+
+  test("labelPropagation: synchronous 3-round plurality, hand-traced") {
+    // two triangles bridged by one edge — LPA should keep them as two
+    // communities where connected components would merge them
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val got = Dedup.labelPropagation(pairs, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand trace (synchronous, plurality, min-label ties):
+    // l1 = {1→2, 2→1, 3→1, 4→3, 5→4, 6→4}
+    // l2 = {1→1, 2→1, 3→1, 4→4, 5→3, 6→3}
+    // l3 = {1→1, 2→1, 3→1, 4→3, 5→3, 6→3}
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), got)
+    // where CC merges everything across the bridge
+    val cc = Dedup.connectedComponents(pairs, "a", "b")
+      .select("component").distinct().count()
+    assert(cc == 1, "sanity: the bridge makes one component")
+  }
 }

@@ -351,6 +351,56 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(rec(1).head - 5.0) <= halfBucket)
   }
 
+  test("srpCandidatePairs: sound, deterministic, exact dups always meet") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    def vec(): Seq[Float] = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val base = (1L to 40L).map(i => (i, vec()))
+    // 41 duplicates 7, 42 duplicates 19 — identical vectors share every
+    // signature bit, so SRP banding can never miss them
+    val df = (base ++ Seq((41L, base(6)._2), (42L, base(18)._2)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.srpCandidatePairs(df, "vec_id", "embedding",
+      dim = 16, threshold = 0.9, nBits = 16, bandBits = 4)
+    val pairs = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // soundness: every emitted pair really clears the threshold
+    assert(pairs.forall(_._3 >= 0.9), pairs.toSeq)
+    // the planted exact dups must surface with sim 1.0
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((7L, 41L)) && ids.contains((19L, 42L)), ids)
+    // candidates are a subset of the brute-force truth set
+    val truth = Similarity.thresholdPairs(df, "vec_id", "embedding",
+        0.9, dim = 16).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.subsetOf(truth), s"unsound pairs: ${ids.diff(truth)}")
+    // derandomized projections → bit-identical replay
+    val again = Similarity.srpCandidatePairs(df, "vec_id", "embedding",
+        dim = 16, threshold = 0.9, nBits = 16, bandBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSet == again.toSet)
+  }
+
+  test("semanticContamination: max/nearest/count against hand geometry") {
+    import spark.implicits._
+    val eval = Seq((100L, Seq(1f, 0f, 0f, 0f)), (101L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),    // exact dup of eval 100
+      (2L, Seq(1f, 1f, 0f, 0f)),    // cos 0.7071 to both
+      (3L, Seq(0f, 0f, 1f, 0f)))    // orthogonal to both
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(train, eval,
+        "vec_id", "embedding", threshold = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1.0, 100L, 1L, true),
+      (2L, 0.7071, 100L, 0L, false),   // tie on sim → smaller eval id
+      (3L, 0.0, 100L, 0L, false)), got.toSeq)
+  }
+
   test("thresholdPairs plan has no cartesian/nested-loop join") {
     val plan = Similarity.thresholdPairs(
         many, "vec_id", "embedding", 0.5, dim = 8)

@@ -393,4 +393,64 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getDouble(5) == BigDecimal(0.39 * 3 + 11.8 - 15.59)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, r)
   }
+
+  test("kneserNeyScore: hand-computed interpolated-KN bigram NLL") {
+    import spark.implicits._
+    // corpus: "a b a b" + "b a" → model (a,b):2, (b,a):2; each context
+    // total 2, 1 forward type, 1 backward type, 2 bigram types overall.
+    // P(b|a) = (2−0.75 + 0.75·1·(1/2)) / 2 = 0.8125 = P(a|b)
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val got = TextOps.kneserNeyScore(docs, "doc_id", "text",
+        vocabSize = 20, discount = 0.75)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val nll = BigDecimal(-math.log(0.8125))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((1L, nll, 3L), (2L, nll, 1L)), got.toSeq)
+  }
+
+  test("kneserNeyScore: discounted mass sums to 1 over each context") {
+    import spark.implicits._
+    // score single-bigram probe docs for every vocab pair over a mixed
+    // corpus; per context, Σ_cur exp(−nll) must be 1 (KN is a proper
+    // conditional distribution when every context total is positive)
+    val corpus = Seq((1L, "x y z x y x z z y x"), (2L, "y x z y y"))
+      .toDF("doc_id", "text")
+    val vocab = Seq("x", "y", "z")
+    val probes = (for {
+      (p, i) <- vocab.zipWithIndex
+      (c, j) <- vocab.zipWithIndex
+    } yield ((100 + i * 3 + j).toLong, s"$p $c")).toDF("doc_id", "text")
+    // train on corpus+probes together (the function trains on its input);
+    // probe ids are distinct so their rows read back cleanly
+    val all = corpus.unionByName(probes)
+    val scored = TextOps.kneserNeyScore(all, "doc_id", "text",
+        vocabSize = 3, discount = 0.75)
+      .filter(col("doc_id") >= 100).collect()
+      .map(r => (r.getLong(0), math.exp(-r.getDouble(1)))).toMap
+    for ((p, i) <- vocab.zipWithIndex) {
+      val mass = (0 until 3).map(j => scored((100 + i * 3 + j).toLong)).sum
+      assert(math.abs(mass - 1.0) < 1e-3,
+        s"context $p mass $mass (4dp rounding tolerance exceeded)")
+    }
+  }
+
+  test("sentenceStats: segmentation, word counts, trailing fragment") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello world. How are you today? Ok"),
+      (2L, "no terminators at all"),
+      (3L, "!!! ...")).toDF("doc_id", "text")
+    val got = TextOps.sentenceStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    // doc 1: "Hello world." | "How are you today?" | "Ok" → 2,4,1 words
+    // doc 2: one unterminated sentence of 4 words
+    // doc 3: "!!!" has no non-terminator char so no match starts there;
+    //        " ..." matches via its leading space and trims to "..." — a
+    //        surviving 1-"word" run (only whitespace-blank runs drop)
+    assert(got.toSeq == Seq((1L, 3L, 7L, 2.3333, 4L),
+      (2L, 1L, 4L, 4.0, 4L), (3L, 1L, 1L, 1.0, 1L)), got.toSeq)
+  }
 }
