@@ -79,7 +79,9 @@ object Bench {
     "w6_cumulative_distinct",
     "ts20_keywords", "ts21_ngram_novelty",
     "tp1_curation",
-    "mm1_binary_meta", "mm4_vit_patches")
+    "mm1_binary_meta", "mm4_vit_patches",
+    "dd27_label_propagation", "lm2_kneser_ney", "tc6_semantic_decontam",
+    "ts22_sentence_stats", "sim17_srp_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

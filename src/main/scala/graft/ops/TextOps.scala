@@ -285,8 +285,13 @@ object TextOps {
     val base = docs.select(col(idCol),
       split(lower(col(textCol)), "\\s+").as("ws"))
     val toks = base.select(col(idCol), explode(col("ws")).as("term"))
+    // EAGER checkpoints on the tiny vocab/model relations — each roots
+    // several broadcast subtrees (vb joins, prev_cnt, v_size), and
+    // truncation stops every broadcast re-deriving them from a fresh
+    // corpus scan (see kneserNeyScore for the same shape)
     val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+      .localCheckpoint(true)
     // sequence(1, n-1) flips to a DESCENDING range when n < 2 — gate the
     // explode on size so one-token docs emit nothing instead of garbage
     val bigrams = base.filter(size(col("ws")) >= 2)
@@ -299,6 +304,7 @@ object TextOps {
       .join(broadcast(vocab.select(col("term").as("prev"))), Seq("prev"))
       .join(broadcast(vocab.select(col("term").as("cur"))), Seq("cur"))
       .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
     val totals = vocab.agg(count(lit(1)).as("v_size"))
     bigrams
       .join(broadcast(vocab.select(col("term").as("prev"),
@@ -339,9 +345,14 @@ object TextOps {
     val base = docs.select(col(idCol),
       split(lower(col(textCol)), "\\s+").as("ws"))
     val toks = base.select(col(idCol), explode(col("ws")).as("term"))
+    // EAGER checkpoints on the two tiny relations (V and ≤V² rows): each
+    // is the root of several broadcast subtrees, and without truncation
+    // every broadcast re-derives it from a fresh corpus scan — at 100 TB
+    // that is the difference between 3 corpus reads and 6+
     val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
       .select(col("term"))
+      .localCheckpoint(true)
     val bigrams = base.filter(size(col("ws")) >= 2)
       .select(col(idCol),
         explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
@@ -355,6 +366,7 @@ object TextOps {
       .join(broadcast(vocab.select(col("term").as("cur"))), Seq("cur"))
     val model = vb.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
     val ctx = model.groupBy(col("prev"))
       .agg(sum(col("c2")).as("c1v"), count(lit(1)).as("n_fwd"))
     val cont = model.groupBy(col("cur")).agg(count(lit(1)).as("n_bwd"))
