@@ -246,10 +246,15 @@ object TextOps {
       vocabSize: Int = 1000): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(split(lower(col(textCol)), "\\s+")).as("term"))
+    // EAGER checkpoints on the V-row vocab and 1-row totals: both root
+    // broadcast subtrees, and truncation stops each broadcast re-deriving
+    // them with another full token pass (the ts17/lm2 shape)
     val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+      .localCheckpoint(true)
     val totals = toks.agg(count(lit(1)).as("t_total"))
       .crossJoin(vocab.agg(count(lit(1)).as("v_size")))
+      .localCheckpoint(true)
     toks
       .join(broadcast(vocab), Seq("term"), "left")
       .crossJoin(broadcast(totals))
@@ -526,17 +531,21 @@ object TextOps {
       labelCol.as("pos"))
     val toks = base.select(col(idCol), col("pos"),
       explode(split(col("t"), "\\s+")).as("term"))
+    // EAGER checkpoints (the ts17/lm2 shape): vocab roots two broadcast
+    // subtrees, totals one — truncation caps the corpus token passes
     val vocab = toks.groupBy(col("term"))
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("pos"), 1L).otherwise(0L)).as("pos_cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
       .withColumn("neg_cnt", col("cnt") - col("pos_cnt"))
+      .localCheckpoint(true)
     val totals = vocab
       .agg(sum(col("pos_cnt")).as("pos_toks"),
         sum(col("neg_cnt")).as("neg_toks"), count(lit(1)).as("v"))
       .crossJoin(base.agg(
         sum(when(col("pos"), 1L).otherwise(0L)).as("pos_docs"),
         count(lit(1)).as("n_docs")))
+      .localCheckpoint(true)
     toks.join(broadcast(vocab), Seq("term"))
       .crossJoin(broadcast(totals))
       .select(col(idCol),
@@ -578,9 +587,14 @@ object TextOps {
     val tf = if (cacheTf)
       tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else tf0
+    // both term-level model relations feed TWO plan sites (the scoring
+    // join and the totals row) — eager checkpoints stop the second site
+    // re-running the tf-cache pass / the target-corpus scan
     val rawCnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("raw_cnt"))
+      .localCheckpoint(true)
     val tgtCnt = toks(target).groupBy(col("term"))
       .agg(count(lit(1)).as("tgt_cnt"))
+      .localCheckpoint(true)
     val totals = rawCnt
       .agg(sum(col("raw_cnt")).as("raw_total"), count(lit(1)).as("v"))
       .crossJoin(tgtCnt.agg(sum(col("tgt_cnt")).as("tgt_total")))
