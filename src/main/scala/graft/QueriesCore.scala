@@ -709,6 +709,36 @@ object QueriesCore {
         .orderBy(col("lang"))
     }),
 
+    // S10 — small-file compaction (the lakehouse OPTIMIZE): a 64-file
+    // landing zone (the streaming-ingest pathology — every micro-batch a
+    // sliver) is rewritten into size-targeted files: file count computed
+    // FROM BYTES (ceil(total/8 MiB)), not guessed, so the same code
+    // compacts a 100 TB partition to its right width. The report carries
+    // an ENFORCED verdict: zero row drift across the rewrite and a
+    // strictly smaller file count (no fixed-SQL oracle — file layout
+    // isn't a relation).
+    "s10_compaction" -> ((s, d) => {
+      val tmp = Scratch.dir("compact")
+      documents(s, d).repartition(64)
+        .write.mode("overwrite").parquet(s"$tmp/small")
+      def parts(p: String) = new java.io.File(p).listFiles
+        .filter(_.getName.endsWith(".parquet"))
+      val small = parts(s"$tmp/small")
+      val nBefore = small.length.toLong
+      val bytes = small.map(_.length).sum
+      val target = math.max(1L,
+        math.ceil(bytes / (8.0 * 1024 * 1024)).toLong)
+      s.read.parquet(s"$tmp/small").coalesce(target.toInt)
+        .write.mode("overwrite").parquet(s"$tmp/compacted")
+      val nAfter = parts(s"$tmp/compacted").length.toLong
+      val rowsBefore = s.read.parquet(s"$tmp/small").count()
+      val rowsAfter = s.read.parquet(s"$tmp/compacted").count()
+      s.range(1).select(
+        lit(nBefore).as("files_before"), lit(nAfter).as("files_after"),
+        lit(rowsBefore).as("rows_before"), lit(rowsAfter).as("rows_after"),
+        lit(rowsBefore == rowsAfter && nAfter < nBefore).as("equal"))
+    }),
+
     // J9 — join-driven dynamic partition pruning over the lake layout:
     // the fact side is the date-partitioned parquet from the S5 sink, the
     // dim side is a filtered date list from the SOURCE table. Joining on

@@ -1026,6 +1026,39 @@ object QueriesScale {
         .select(col("node").as("doc_id"), col("label").as("community"))
         .orderBy(col("doc_id"))),
 
+    // 2-core of the dup-candidate graph — peel-to-fixpoint (no fixed-SQL
+    // replay → ENFORCED structural verdict instead): per node, the
+    // within-core degree is INDEPENDENTLY recomputed from the raw edge
+    // relation, and `equal` asserts the defining property both ways —
+    // core nodes keep ≥ k core neighbors, peeled nodes would not.
+    "dd28_kcore" -> ((s, d) => {
+      val pairs = Dedup.gramCandidatePairs(fanOut(documents(s, d)),
+          "doc_id", "text", Seq("lang", "source"), 3, maxDocFreq = 64)
+        .localCheckpoint(true) // two consumers: the peel and the audit
+      val core = Dedup.kCore(pairs, "doc_a", "doc_b", k = 2)
+      val und = pairs.select(
+          least(col("doc_a"), col("doc_b")).as("a"),
+          greatest(col("doc_a"), col("doc_b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val edges = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      val inCoreDeg = edges
+        .join(core.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      edges.select(col("src").as("doc_id")).distinct()
+        .join(inCoreDeg.select(col("src").as("doc_id"), col("core_deg")),
+          Seq("doc_id"), "left")
+        .join(core.select(col("node").as("doc_id"), lit(true).as("in_core")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+          coalesce(col("in_core"), lit(false)).as("in_core"))
+        .withColumn("equal",
+          (col("in_core") && col("core_deg") >= 2) ||
+            (!col("in_core") && col("core_deg") < 2))
+        .orderBy(col("doc_id"))
+    }),
+
     // k-anonymity audit over quasi-identifiers: every (lang, source,
     // length-bucket) equivalence class is sized, and classes below k=5
     // are the re-identification risk a corpus release report must carry.

@@ -1098,6 +1098,61 @@ object Dedup {
       .distinct()
   }
 
+  /** k-core of the dup-candidate graph: the maximal subgraph in which
+    * every node keeps ≥ k neighbors — the standard "dense template family
+    * vs incidental overlap" separator (a node surviving the 2-core sits in
+    * real duplicate structure; pendant nodes hanging off one hot shingle
+    * peel away). Computed by the classic peel: drop every node whose
+    * degree among the still-alive set is < k, repeat to fixpoint — the
+    * result is ORDER-INDEPENDENT (peeling is confluent), so no
+    * tie-breaking is needed for determinism.
+    *
+    * Scale shape: the edge relation is persisted once; each round is two
+    * alive-membership joins + one degree aggregate (the Pregel step cost),
+    * with the round's node set lazily checkpointed and materialized by the
+    * convergence count — the connectedComponents loop discipline. Rounds
+    * are bounded by the peel depth (≤ degeneracy ordering layers), not the
+    * node count.
+    *
+    * Returns (node, deg) for surviving nodes, deg = within-core degree.
+    */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      maxIters: Int = 50): DataFrame = {
+    val und = pairs.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var alive = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var nAlive = alive.count()
+    var deg: DataFrame = null
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      deg = edges
+        .join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.select(col("node").as("dst")), "dst", "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false)
+      val next = deg.filter(col("deg") >= k)
+        .select(col("src").as("node"))
+      // the count materializes next AND deg (lazy checkpoints) in one job
+      val nNext = next.count()
+      converged = nNext == nAlive
+      alive = next
+      nAlive = nNext
+      iters += 1
+    }
+    val out = deg.filter(col("deg") >= k)
+      .select(col("src").as("node"), col("deg"))
+      .localCheckpoint(true)
+    edges.unpersist()
+    out
+  }
+
   /** Synchronous label propagation over the dup-candidate graph — the
     * community detector that groups boilerplate FAMILIES (templates that
     * share phrasing without pairwise-exceeding a dedup threshold), where

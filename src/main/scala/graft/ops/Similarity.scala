@@ -749,21 +749,27 @@ object Similarity {
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .select((col("id") +: col("v") +: bands): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("id"), col("v"),
+    // the bucket join carries ONLY ids — the wide vectors never ride the
+    // band shuffle; multi-band collisions of the same pair collapse in
+    // the narrow distinct, so exact cosine runs ONCE per candidate pair,
+    // fetched by two id-keyed joins against the cached signatures (the PQ
+    // shortlist-rerank shape)
+    val banded = sig.select(col("id"),
       posexplode(array((0 until nBits / bandBits).map(k => col(s"band_$k")): _*))
         .as(Seq("band_idx", "band_val")))
-    // score BEFORE the dedup so the distinct shuffles (id, id, sim)
-    // triples, not pairs of wide vectors (sim is deterministic — equal
-    // duplicates collapse identically); multi-band collisions of the same
-    // pair are the duplicates being dropped
-    val out = banded.as("a").join(banded.as("b"),
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")), 4).as("sim"))
-      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val vecs = sig.select(col("id"), col("v"))
+    val out = cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
       .localCheckpoint(true)
     sig.unpersist()
     out

@@ -601,4 +601,17 @@ class DedupSpec extends SparkSpec {
       .select("component").distinct().count()
     assert(cc == 1, "sanity: the bridge makes one component")
   }
+
+  test("kCore: pendant chain peels away, triangle survives as the 2-core") {
+    // triangle {1,2,3} with a chain 3-7-8: 8 peels (deg 1), then 7
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 7L), (7L, 8L))
+      .toDF("a", "b")
+    val got = Dedup.kCore(pairs, "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), got)
+    // k=3: the triangle itself dissolves (needs ≥ 3 neighbors each)
+    assert(Dedup.kCore(pairs, "a", "b", k = 3).count() == 0)
+    // k=1: nothing peels — every node has a neighbor
+    assert(Dedup.kCore(pairs, "a", "b", k = 1).count() == 5)
+  }
 }
