@@ -81,7 +81,9 @@ object Bench {
     "tp1_curation",
     "mm1_binary_meta", "mm4_vit_patches",
     "dd27_label_propagation", "lm2_kneser_ney", "tc6_semantic_decontam",
-    "ts22_sentence_stats", "sim17_srp_lsh")
+    "ts22_sentence_stats", "sim17_srp_lsh",
+    "dd28_kcore", "dd29_containment", "tp23_quantile_calibration",
+    "tp24_top_p_selection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

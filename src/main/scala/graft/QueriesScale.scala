@@ -780,6 +780,48 @@ object QueriesScale {
       TextOps.winsorizedLengthStats(fanOut(documents(s, d)), "text", "lang")
         .orderBy(col("lang"))),
 
+    // cross-source score calibration: per-source percent rank of the
+    // heuristic quality — rank-normalization that makes heterogeneous
+    // sources comparable ("top decile of its own source"). Ties broken by
+    // doc_id → exact replay; one per-source window sort.
+    "tp23_quantile_calibration" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val counts = TextOps.rawCounts(col("text")).map { case (n, c) =>
+        c.as(n)
+      }
+      val scored = docs
+        .select(col("doc_id") +: col("source") +: counts: _*)
+        .withColumn("quality", TextOps.qualityScoreFromCounts(
+          col("n_chars"), col("n_words"), col("n_punct"), col("n_stops")))
+      Sampling.quantileCalibrate(scored, "quality", "source", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-lang top-p (nucleus) selection: keep the best docs until 80% of
+    // the char mass is covered — p as a rational (4/5) and integer
+    // weights make the keep predicate integer-exact. The mass-targeted
+    // complement of tp14's threshold sweep.
+    "tp24_top_p_selection" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val counts = TextOps.rawCounts(col("text")).map { case (n, c) =>
+        c.as(n)
+      }
+      val scored = docs
+        .select(col("doc_id") +: col("lang") +: counts: _*)
+        .withColumn("quality", TextOps.qualityScoreFromCounts(
+          col("n_chars"), col("n_words"), col("n_punct"), col("n_stops")))
+        .localCheckpoint(true) // two consumers: the kept side + totals
+      val kept = Sampling.topP(scored, "lang", "doc_id", "quality",
+        "n_chars", pNum = 4, pDen = 5)
+      scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .join(kept.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("kept_chars")), Seq("lang"))
+        .orderBy(col("lang"))
+    }),
+
     // quality-vs-quantity survival curve: bucket the rounded heuristic
     // quality into 20 cells and report the doc/token mass surviving each
     // keep-≥-threshold cut — the table a curation run picks its quality
@@ -1025,6 +1067,16 @@ object QueriesScale {
         "doc_a", "doc_b", rounds = 3)
         .select(col("node").as("doc_id"), col("label").as("community"))
         .orderBy(col("doc_id"))),
+
+    // directional gram-set containment join: the asymmetric near-dup
+    // predicate Jaccard misses — an excerpt wholly contained in a longer
+    // doc scores near-1 containment, near-0 Jaccard. Same inverted-index
+    // buckets/blocking/stop-gram cutoff as dd5; both directions fan out
+    // row-locally after the size join. Full oracle.
+    "dd29_containment" -> ((s, d) =>
+      Dedup.containmentPairs(fanOut(documents(s, d)), "doc_id", "text",
+          Seq("lang", "source"), 3, minContainment = 0.5, maxDocFreq = 64)
+        .orderBy(col("src_doc"), col("dst_doc"))),
 
     // 2-core of the dup-candidate graph — peel-to-fixpoint (no fixed-SQL
     // replay → ENFORCED structural verdict instead): per node, the
@@ -3284,6 +3336,39 @@ object QueriesScale {
         |FROM r5 JOIN deg ON deg.src = r5.node
         |ORDER BY doc_id""".stripMargin,
 
+    "dd29_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |hot AS (
+        |  SELECT lang, source, gram FROM grams
+        |  GROUP BY lang, source, gram HAVING COUNT(*) > 64),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ix
+        |  FROM grams a JOIN grams b
+        |    ON a.gram = b.gram AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |    WHERE h.lang = a.lang AND h.source = a.source
+        |      AND h.gram = a.gram)
+        |  GROUP BY 1, 2),
+        |dir AS (
+        |  SELECT i.doc_a AS src_doc, i.doc_b AS dst_doc,
+        |         i.ix * 1.0 / sa.sz AS c
+        |  FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+        |  UNION ALL
+        |  SELECT i.doc_b, i.doc_a, i.ix * 1.0 / sb.sz
+        |  FROM inter i JOIN sizes sb ON i.doc_b = sb.doc_id)
+        |SELECT src_doc, dst_doc, ROUND(c, 4) AS containment
+        |FROM dir WHERE c >= 0.5 ORDER BY src_doc, dst_doc""".stripMargin,
+
     "dd27_label_propagation" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, source,
@@ -4643,6 +4728,58 @@ object QueriesScale {
         |          AS DOUBLE) / 1e6 / COUNT(*), 4) AS win_mean_words
         |FROM b JOIN c USING (lang)
         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+
+    "tp23_quantile_calibration" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_words,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(the|a|of|and|is|to|in)\b')) AS n_stops,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |  FROM documents),
+        |q AS (SELECT doc_id, source,
+        |    ROUND((LEAST(n_words / 50.0, 1.0)
+        |         + LEAST((n_stops * 1.0 / n_words) * 5.0, 1.0)
+        |         + GREATEST(1.0 - (n_punct * 1.0 / n_chars) * 10.0, 0.0))
+        |         / 3.0, 4) AS quality
+        |  FROM f)
+        |SELECT doc_id, source, quality,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY source
+        |          ORDER BY quality, doc_id), 6) AS calibrated
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "tp24_top_p_selection" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_words,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(the|a|of|and|is|to|in)\b')) AS n_stops,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang, n_chars,
+        |    ROUND((LEAST(n_words / 50.0, 1.0)
+        |         + LEAST((n_stops * 1.0 / n_words) * 5.0, 1.0)
+        |         + GREATEST(1.0 - (n_punct * 1.0 / n_chars) * 10.0, 0.0))
+        |         / 3.0, 4) AS quality
+        |  FROM f),
+        |w AS (SELECT doc_id, lang, n_chars,
+        |    COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+        |        ORDER BY quality DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    SUM(n_chars) OVER (PARTITION BY lang) AS grp_total
+        |  FROM q),
+        |k AS (SELECT * FROM w WHERE cum_before * 5 < grp_total * 4)
+        |SELECT t.lang, t.n_docs, t.total_chars, kk.n_kept, kk.kept_chars
+        |FROM (SELECT lang, COUNT(*) AS n_docs,
+        |        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |      FROM q GROUP BY lang) t
+        |JOIN (SELECT lang, COUNT(*) AS n_kept,
+        |        CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |      FROM k GROUP BY lang) kk USING (lang)
+        |ORDER BY t.lang""".stripMargin,
 
     "tp14_quality_pareto" ->
       """WITH f AS (

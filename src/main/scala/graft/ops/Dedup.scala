@@ -309,6 +309,61 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Directional gram-set CONTAINMENT join: emits (src_doc, dst_doc, c)
+    * where c = |grams(src) ∩ grams(dst)| / |grams(src)| ≥ `minContainment`
+    * — the asymmetric predicate Jaccard structurally misses: a short quote
+    * or excerpt wholly CONTAINED in a long document scores near-1
+    * containment but near-0 Jaccard (the union is dominated by the long
+    * side), and excerpt-inclusion is exactly the dedup case quote-heavy
+    * web text creates. Same inverted-index bucket machinery, blocking, and
+    * `maxDocFreq` stop-gram cutoff as [[ngramJaccardPairs]] (intersections
+    * exclude hot grams, sizes keep them → reported containment is the same
+    * conservative lower bound); each unordered bucket pair fans out to its
+    * two directions row-locally after the size join.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int, minContainment: Double,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val base = barrier(
+      df.select(
+          (col(idCol) +: blockCols.map(col) :+
+            tokens(col(textCol)).as("toks")): _*)
+        .withColumn("grams", array_distinct(
+          transform(wordGrams(col("toks"), n), g => xxhash64(g))))
+        .drop("toks"),
+      idCol)
+    val sizes = base.select(col(idCol), size(col("grams")).as("sz"))
+    val grams = base
+      .select((col(idCol) +: blockCols.map(col) :+
+        explode(col("grams")).as("gram")): _*)
+    val buckets = grams
+      .groupBy((blockCols.map(col) :+ col("gram")): _*)
+      .agg(graft.functions.BoundedCollect(col(idCol), maxDocFreq).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDocFreq)
+    val inter = buckets
+      .select(explode(expr(
+        "filter(flatten(transform(docs, a -> transform(docs, " +
+          "b -> struct(a AS doc_a, b AS doc_b)))), " +
+          "p -> p.doc_a < p.doc_b)")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .select(explode(array(
+        struct(col("doc_a").as("src_doc"), col("doc_b").as("dst_doc"),
+          (col("inter").cast("double") / col("sz_a")).as("c")),
+        struct(col("doc_b").as("src_doc"), col("doc_a").as("dst_doc"),
+          (col("inter").cast("double") / col("sz_b")).as("c")))).as("e"))
+      .select(col("e.src_doc").as("src_doc"), col("e.dst_doc").as("dst_doc"),
+        col("e.c").as("containment"))
+      .filter(col("containment") >= minContainment)
+      .select(col("src_doc"), col("dst_doc"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** Candidate doc pairs sharing at least one non-hot gram — the
     * inverted-index bucket pairs of [[ngramJaccardPairs]] WITHOUT the
     * similarity arithmetic, for consumers that only need the edge

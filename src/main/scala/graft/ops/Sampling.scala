@@ -247,4 +247,49 @@ object Sampling {
           .otherwise(lit(2L * nShards - 1L) - cycle).cast("long")
           .as("shard"))
   }
+
+  /** Cross-source quantile calibration: replace each raw score by its
+    * per-group percent rank — the rank-normalization that makes quality
+    * scores COMPARABLE across heterogeneous sources (every source's
+    * scorer has its own scale and bias; "top decile of its own source" is
+    * the statement a mixture policy can actually act on). Deterministic:
+    * ties broken by id, so the replay is exact; single-row groups map
+    * to 0.0 (percent_rank's (rank−1)/(n−1) convention).
+    *
+    * Scale shape: one per-group window sort — the rank transform's
+    * irreducible cost; groups (sources) partition the corpus, so the sort
+    * parallelizes per group and no global order is imposed.
+    */
+  def quantileCalibrate(df: DataFrame, scoreCol: String, groupCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(idCol))
+    df.select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("calibrated", round(percent_rank().over(w), 6))
+  }
+
+  /** Per-group top-p (nucleus) selection: walk each group in quality-desc
+    * order and keep documents while the cumulative weight BEFORE the
+    * current one is under p of the group total — the crossing document is
+    * kept, mirroring nucleus sampling's "smallest prefix covering p mass".
+    * p is a RATIONAL (`pNum/pDen`) and weights are integers, so the keep
+    * predicate `cum_before · pDen < total · pNum` is integer-exact — no
+    * float threshold to drift cross-engine. The mass-targeted complement
+    * of [[qualityPareto]]'s threshold sweep: Pareto asks "what survives
+    * cut q", top-p asks "which docs cover the best p of the mass".
+    */
+  def topP(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, weightCol: String, pNum: Int, pDen: Int)
+  : DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val cumBefore = sum(col(weightCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val total = sum(col(weightCol))
+      .over(Window.partitionBy(col(groupCol)))
+    df.withColumn("cum_before", coalesce(cumBefore, lit(0L)))
+      .withColumn("grp_total", total)
+      .filter(col("cum_before") * pDen < col("grp_total") * pNum)
+      .drop("cum_before", "grp_total")
+  }
 }

@@ -602,6 +602,26 @@ class DedupSpec extends SparkSpec {
     assert(cc == 1, "sanity: the bridge makes one component")
   }
 
+  test("containmentPairs: excerpt scores 1.0 into its superset, not back") {
+    import spark.implicits._
+    // A's 3 trigrams are a strict subset of B's 6; C is unrelated
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g h"),
+      (3L, "x y z w v u t s")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", Seq(), 3,
+        minContainment = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(got == Map((1L, 2L) -> 1.0, (2L, 1L) -> 0.5), got)
+    // the same pair under Jaccard scores only 3/6 = 0.5 — the asymmetric
+    // signal is the point; at 0.6 only the contained direction survives
+    val strict = Dedup.containmentPairs(df, "doc_id", "text", Seq(), 3,
+        minContainment = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 2L)), strict)
+  }
+
   test("kCore: pendant chain peels away, triangle survives as the 2-core") {
     // triangle {1,2,3} with a chain 3-7-8: 8 peels (deg 1), then 7
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 7L), (7L, 8L))

@@ -143,4 +143,37 @@ class SamplingSpec extends SparkSpec {
     assert(b.values.toSeq.count(_ == "train") > 800,
       "train share should dominate")
   }
+
+  test("quantileCalibrate: per-group percent rank with id tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 20.0), (4L, "a", 40.0),
+      (5L, "b", 99.0)).toDF("doc_id", "source", "quality")
+    val got = Sampling.quantileCalibrate(df, "quality", "source", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    // ties (20, 20) split by the doc_id tie-break → distinct ranks;
+    // a single-row group calibrates to 0.0 by (rank−1)/(n−1)
+    val third = BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val twoThirds = BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((1L, 0.0), (2L, third), (3L, twoThirds),
+      (4L, 1.0), (5L, 0.0)), got.toSeq)
+  }
+
+  test("topP: strict mass boundary — the doc landing exactly on p drops") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "g", 0.9, 50L), (2L, "g", 0.8, 30L), (3L, "g", 0.7, 20L))
+      .toDF("doc_id", "grp", "quality", "w")
+    // total 100, p = 4/5: doc1 (cum_before 0), doc2 (50) kept;
+    // doc3 has cum_before 80 and 80·5 = 100·4 → NOT < → dropped
+    val kept = Sampling.topP(df, "grp", "doc_id", "quality", "w", 4, 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L), kept.toSeq)
+    // p = 1 keeps everything (cum_before < total always, strict)
+    assert(Sampling.topP(df, "grp", "doc_id", "quality", "w", 1, 1)
+      .count() == 3)
+  }
 }
