@@ -222,6 +222,11 @@ class PlansSpec extends SparkSpec {
     "sim15_nprobe_curve",
     // corpus × broadcast anchor sample (the documented brute-force side)
     "sim16_contrastive_pairs",
+    // train corpus × broadcast eval suite — eval benchmarks are bounded
+    // (~10k rows) so the scan is linear in train with a constant factor
+    "tc6_semantic_decontam",
+    // 1-row broadcast bigram-type-count scalar attached per scored bigram
+    "lm2_kneser_ney",
     // per-file zone-map stats × broadcast 16-row probe relation —
     // metadata-scale by construction (one stats row per file)
     "tp20_skipping_report",
