@@ -83,7 +83,9 @@ object Bench {
     "dd27_label_propagation", "lm2_kneser_ney", "tc6_semantic_decontam",
     "ts22_sentence_stats", "sim17_srp_lsh",
     "dd28_kcore", "dd29_containment", "tp23_quantile_calibration",
-    "tp24_top_p_selection")
+    "tp24_top_p_selection",
+    "tp25_source_cap", "ev10_gapfill_resample", "a18_countmin",
+    "dd30_corpus_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

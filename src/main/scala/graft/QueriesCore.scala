@@ -1384,6 +1384,39 @@ object QueriesCore {
                  .cast("double") * 0.15, lit(10.0)))).as("equal"))
     }),
 
+    // A18 — Count-Min sketch point queries: per-user event counts
+    // estimated from a 4×64-cell sketch built in ONE map-side-combinable
+    // pass (the fixed-memory path when the key domain outgrows exact
+    // groupBy state), probed for every key and audited against the exact
+    // counts. CMS never undercounts (each cell ≥ the key's true count by
+    // construction), so the ENFORCED `equal` verdict demands zero
+    // undercounts and a mean overcount within the ε·N envelope
+    // (ε = e/64, N = 10k at sf0.01 → slack is generous at any sf). Hash
+    // internals are engine-specific → no DuckDB oracle (rows-only).
+    "a18_countmin" -> ((s, d) => {
+      val depth = 4; val width = 64
+      val ev = events(s, d).select(col("user_id"))
+      val sk = graft.functions.CountMin.sketch(ev, "user_id", depth, width)
+      // two consumers (probe keys + audit join) — truncate the tiny
+      // per-key relation so the corpus isn't re-scanned per reference
+      val truth = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      graft.functions.CountMin
+        .estimate(sk, truth.select(col("user_id")), "user_id", depth, width)
+        .join(truth, Seq("user_id"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_events"),
+          sum(when(col("est") < col("cnt"), 1L).otherwise(0L))
+            .as("n_undercounts"),
+          max(col("est") - col("cnt")).as("max_overcount"),
+          round(avg((col("est") - col("cnt")).cast("double")), 2)
+            .as("avg_overcount"))
+        .withColumn("equal",
+          col("n_undercounts") === 0 &&
+            col("avg_overcount") <=
+              col("n_events").cast("double") * 2.718 / width)
+    }),
+
     // A8 — cardinality checks (DC:67 len()).
     "a8_counts" -> ((s, d) =>
       lineitem(s, d).agg(count(lit(1)).as("lineitem_cnt"))

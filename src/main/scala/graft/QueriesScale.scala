@@ -822,6 +822,35 @@ object QueriesScale {
         .orderBy(col("lang"))
     }),
 
+    // per-source frequency cap (the Common-Crawl domain cap): at most 10
+    // docs per source survive, best heuristic quality first (ties →
+    // doc_id), with the per-source before/after census and surviving char
+    // mass. The rank filter compiles to WindowGroupLimit — each map task
+    // keeps its local top-10 per source BEFORE the shuffle, so a skewed
+    // mega-domain costs its scan, never a fat exchange. Quality rounds
+    // once (tp23's rule) → full oracle.
+    "tp25_source_cap" -> ((s, d) => {
+      val docs = fanOut(documents(s, d))
+      val counts = TextOps.rawCounts(col("text")).map { case (n, c) =>
+        c.as(n)
+      }
+      val scored = docs
+        .select(col("doc_id") +: col("source") +: counts: _*)
+        .withColumn("quality", TextOps.qualityScoreFromCounts(
+          col("n_chars"), col("n_words"), col("n_punct"), col("n_stops")))
+        .localCheckpoint(true) // two consumers: kept side + before-census
+      val kept = Sampling.groupCap(scored, "source", "doc_id",
+        col("quality"), cap = 10)
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(col("n_chars")).as("chars_before"))
+        .join(kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"),
+            min(col("quality")).as("min_kept_quality")), Seq("source"))
+        .orderBy(col("source"))
+    }),
+
     // quality-vs-quantity survival curve: bucket the rounded heuristic
     // quality into 20 cells and report the doc/token mass surviving each
     // keep-≥-threshold cut — the table a curation run picks its quality
@@ -1077,6 +1106,19 @@ object QueriesScale {
       Dedup.containmentPairs(fanOut(documents(s, d)), "doc_id", "text",
           Seq("lang", "source"), 3, minContainment = 0.5, maxDocFreq = 64)
         .orderBy(col("src_doc"), col("dst_doc"))),
+
+    // corpus-level overlap: MinHash-estimated Jaccard between the two
+    // doc_id-parity slices' 3-shingle sets — each corpus sketched
+    // independently (per-doc sigs are row-local; the slice signature is a
+    // 128-cell component-wise-min fold), the two sketches compared without
+    // ever joining the corpora. The cross-dump audit ("how much of crawl
+    // N−1 did crawl N re-collect?") at 100 TB. Hash-seeded → no SQL
+    // oracle; the ENFORCED `equal` verdict checks the estimate against
+    // the exact set Jaccard (computed in-entry) at ±0.15 (>3σ for 128
+    // hashes).
+    "dd30_corpus_overlap" -> ((s, d) =>
+      Dedup.corpusJaccard(fanOut(documents(s, d)), "doc_id", "text",
+        id => pmod(id, lit(2)), k = 3, numHashes = 128)),
 
     // 2-core of the dup-candidate graph — peel-to-fixpoint (no fixed-SQL
     // replay → ENFORCED structural verdict instead): per node, the
@@ -2163,6 +2205,36 @@ object QueriesScale {
           when(col("mad") > 0, round(z, 4)).as("robust_z"),
           when(col("mad") > 0, abs(z) > 3.5).as("is_anomaly"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // gap-filled resample: each user's event log regularized onto a dense
+    // daily grid spanning their own activity — empty days materialize with
+    // n_events=0 and the last observed daily value FORWARD-FILLS across
+    // the gap (`last(…, ignoreNulls)` over the per-user order). The
+    // time-series regularization every downstream model needs before
+    // rolling features. Scale shape: the grid derives from a per-user
+    // min/max agg + row-local sequence-explode (grid size = active span,
+    // never calendar × users), and the fill window partitions by user —
+    // no global sort. Daily sums round once (tp10's rule) → full oracle.
+    "ev10_gapfill_resample" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("day_value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("n_events").isNull.as("is_gap"),
+          last(col("day_value"), ignoreNulls = true).over(w)
+            .as("carried_value"))
+        .orderBy(col("user_id"), col("day"))
     }),
 
     // RFM segmentation — recency/frequency/monetary quartile buckets, the
@@ -4012,6 +4084,26 @@ object QueriesScale {
         |     JOIN mad USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
 
+    "ev10_gapfill_resample" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts::TIMESTAMP AS DATE) AS day,
+        |         COUNT(*) AS n_events, ROUND(SUM(value), 4) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        |         FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM span)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        |  COALESCE(dl.n_events, 0) AS n_events,
+        |  dl.n_events IS NULL AS is_gap,
+        |  LAST_VALUE(dl.day_value IGNORE NULLS)
+        |    OVER (PARTITION BY g.user_id ORDER BY g.day) AS carried_value
+        |FROM grid g LEFT JOIN daily dl
+        |  ON g.user_id = dl.user_id AND g.day = dl.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
+
     "ev7_volume_anomalies" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts::TIMESTAMP AS DATE) AS day,
@@ -4780,6 +4872,33 @@ object QueriesScale {
         |        CAST(SUM(n_chars) AS BIGINT) AS kept_chars
         |      FROM k GROUP BY lang) kk USING (lang)
         |ORDER BY t.lang""".stripMargin,
+
+    "tp25_source_cap" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_words,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(the|a|of|and|is|to|in)\b')) AS n_stops,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, n_chars,
+        |    ROUND((LEAST(n_words / 50.0, 1.0)
+        |         + LEAST((n_stops * 1.0 / n_words) * 5.0, 1.0)
+        |         + GREATEST(1.0 - (n_punct * 1.0 / n_chars) * 10.0, 0.0))
+        |         / 3.0, 4) AS quality
+        |  FROM f),
+        |r AS (SELECT source, doc_id, n_chars, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY quality DESC, doc_id) AS rk
+        |  FROM q)
+        |SELECT source, COUNT(*) AS n_before,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_before,
+        |  COUNT(*) FILTER (WHERE rk <= 10) AS n_kept,
+        |  CAST(SUM(n_chars) FILTER (WHERE rk <= 10) AS BIGINT)
+        |    AS chars_kept,
+        |  MIN(quality) FILTER (WHERE rk <= 10) AS min_kept_quality
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "tp14_quality_pareto" ->
       """WITH f AS (

@@ -292,4 +292,21 @@ object Sampling {
       .filter(col("cum_before") * pDen < col("grp_total") * pNum)
       .drop("cum_before", "grp_total")
   }
+
+  /** Per-group frequency cap: keep at most `cap` rows of each group, best
+    * `score` first, ties broken by `idCol` — the Common-Crawl-style domain
+    * cap that stops a single over-represented source from dominating a
+    * training mixture. The `row_number ≤ cap` shape compiles to
+    * WindowGroupLimit, so each map task keeps only its local top-`cap`
+    * per group BEFORE the shuffle — the exchange carries O(groups · cap)
+    * rows, not the corpus, no matter how skewed the big sources are.
+    */
+  def groupCap(df: DataFrame, groupCol: String, idCol: String,
+      score: Column, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(score.desc, col(idCol))
+    df.withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= cap)
+      .drop("cap_rank")
+  }
 }

@@ -220,4 +220,43 @@ class FunctionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(got == JaroWinklerAlgo.similarity("martha", "marhta"))
   }
+
+  test("count_min never undercounts; exact when the sketch is wide") {
+    // 10 keys with counts 100 × (1..10)/? — skewed: key i appears i+1 times
+    val rows = (0 until 10).flatMap(i => Seq.fill((i + 1) * 7)(s"k$i"))
+      .toDF("k")
+    val truth = rows.groupBy("k").agg(count(lit(1)).as("cnt"))
+    // wide sketch: 10 keys in 4×1024 cells — some row is collision-free
+    // for every key (deterministic under xxhash64's fixed seeds)
+    val wide = CountMin.estimate(
+      CountMin.sketch(rows, "k", 4, 1024), truth.select("k"), "k", 4, 1024)
+      .join(truth, "k").collect()
+    wide.foreach { r =>
+      assert(r.getAs[Long]("est") == r.getAs[Long]("cnt"), r)
+    }
+    // cramped sketch (width 4): collisions force overcounts, but CMS can
+    // structurally never undercount
+    val tight = CountMin.estimate(
+      CountMin.sketch(rows, "k", 4, 4), truth.select("k"), "k", 4, 4)
+      .join(truth, "k").collect()
+    tight.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("cnt"), r)
+    }
+    assert(tight.map(_.getAs[Long]("est")).sum >
+      tight.map(_.getAs[Long]("cnt")).sum, "width 4 must collide")
+  }
+
+  test("count_min sketches merge by cell addition") {
+    val a = (0 until 50).map(i => s"k${i % 5}").toDF("k")
+    val b = (0 until 30).map(i => s"k${i % 3}").toDF("k")
+    val merged = CountMin.sketch(a, "k", 4, 64)
+      .unionByName(CountMin.sketch(b, "k", 4, 64))
+      .groupBy("r", "b").agg(sum(col("c")).as("c"))
+    val direct = CountMin.sketch(a.unionByName(b), "k", 4, 64)
+    val m = merged.collect().map(r =>
+      (r.getAs[Int]("r"), r.getAs[Long]("b")) -> r.getAs[Long]("c")).toMap
+    val d = direct.collect().map(r =>
+      (r.getAs[Int]("r"), r.getAs[Long]("b")) -> r.getAs[Long]("c")).toMap
+    assert(m == d, s"merged=$m direct=$d")
+  }
 }

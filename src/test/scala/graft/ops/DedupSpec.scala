@@ -634,4 +634,37 @@ class DedupSpec extends SparkSpec {
     // k=1: nothing peels — every node has a neighbor
     assert(Dedup.kCore(pairs, "a", "b", k = 1).count() == 5)
   }
+
+  test("corpusJaccard: identical slices estimate 1.0, disjoint near 0") {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    // even/odd slices carry IDENTICAL shingle sets → exact J = 1 and the
+    // two corpus sketches are equal component-wise → estimate exactly 1
+    val same = Seq(
+      (0L, "a b c d e"), (1L, "a b c d e"),
+      (2L, "f g h i j"), (3L, "f g h i j")).toDF("doc_id", "text")
+    val r1 = Dedup.corpusJaccard(same, "doc_id", "text",
+      id => pmod(id, lit(2)), k = 3, numHashes = 32).collect()(0)
+    assert(r1.getAs[Double]("exact_jaccard") == 1.0, r1)
+    assert(r1.getAs[Double]("minhash_est") == 1.0, r1)
+    assert(r1.getAs[Boolean]("equal"), r1)
+    // disjoint slices: exact J = 0; the estimate can only exceed 0 on an
+    // xxhash64 collision between distinct grams
+    val disj = Seq((0L, "a b c d e"), (1L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val r2 = Dedup.corpusJaccard(disj, "doc_id", "text",
+      id => pmod(id, lit(2)), k = 3, numHashes = 32).collect()(0)
+    assert(r2.getAs[Double]("exact_jaccard") == 0.0, r2)
+    assert(r2.getAs[Double]("minhash_est") <= 0.1, r2)
+    assert(r2.getAs[Boolean]("equal"), r2)
+    // half-overlapping shingle sets: exact J is 1/3 (3 shared of 9), and
+    // the verdict holds at the documented tolerance
+    val half = Seq(
+      (0L, "a b c d e"), (1L, "c d e f g")).toDF("doc_id", "text")
+    val r3 = Dedup.corpusJaccard(half, "doc_id", "text",
+      id => pmod(id, lit(2)), k = 3, numHashes = 256, tol = 0.2)
+      .collect()(0)
+    assert(r3.getAs[Long]("n_inter") == 1L, r3)
+    assert(r3.getAs[Long]("n_union") == 5L, r3)
+    assert(r3.getAs[Boolean]("equal"), r3)
+  }
 }

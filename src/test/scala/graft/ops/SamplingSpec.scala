@@ -20,6 +20,27 @@ class SamplingSpec extends SparkSpec {
     df.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  test("groupCap keeps at most cap rows per group, best score first") {
+    val scored = (0 until 60).map { i =>
+      (i.toLong, if (i < 40) "big" else "small", (i % 7).toDouble)
+    }.toDF("doc_id", "src", "score")
+    val kept = Sampling.groupCap(scored, "src", "doc_id", col("score"), 5)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("big") == 5 && bySrc("small") == 5, bySrc)
+    // "big" holds scores 0..6 repeating: the 5 kept must all score >= 5
+    val bigKept = kept.filter(col("src") === "big")
+      .select("doc_id", "score").collect()
+    assert(bigKept.forall(_.getDouble(1) >= 5.0), bigKept.mkString(","))
+    // ties break by id ascending: score 5 appears at ids 5,12,19,26,33 and
+    // score 6 at 6,13,20,27,34 — top-5 = all of 6's, none of 5's... both
+    // fives: 5 sixes fill the cap exactly
+    assert(bigKept.map(_.getLong(0)).sorted.toSeq ==
+      Seq(6L, 13L, 20L, 27L, 34L), bigKept.mkString(","))
+    // no cap_rank helper column leaks into the output
+    assert(kept.columns.toSeq == scored.columns.toSeq)
+  }
+
   test("rebalanceToMin flattens every group to ~the smallest") {
     val got = sizes(Sampling.rebalanceToMin(docs, "lang", "doc_id", gran))
     val minN = sizes(docs).values.min

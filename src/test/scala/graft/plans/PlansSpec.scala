@@ -227,6 +227,8 @@ class PlansSpec extends SparkSpec {
     "tc6_semantic_decontam",
     // 1-row broadcast bigram-type-count scalar attached per scored bigram
     "lm2_kneser_ney",
+    // 1-row × 1-row corpus-sketch comparison + exact-baseline combine
+    "dd30_corpus_overlap",
     // per-file zone-map stats × broadcast 16-row probe relation —
     // metadata-scale by construction (one stats row per file)
     "tp20_skipping_report",
