@@ -2372,6 +2372,37 @@ object QueriesScale {
     // must equal the batch join + aggregate exactly (doubles rounded
     // once on both sides; no watermark state → landing-zone order is
     // irrelevant). Self-checking `equal` verdict.
+    // streaming Count-Min: a18's sketch build is one commutative cell
+    // count, so the SAME CountMin.sketch code runs as a complete-mode
+    // streaming aggregation — per-micro-batch cell folding with
+    // O(depth·width) state forever, the always-on frequency monitor.
+    // Counting is order-blind (no watermark, no late-data concern), so
+    // the ENFORCED `equal` verdict demands the streamed cells be
+    // BIT-EQUAL to the batch sketch — no tolerance.
+    "st14_stream_sketch" -> ((s, d) => {
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = Scratch.dir("cms")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      for (i <- 0 until 3) {
+        raw.filter(col("event_id") % 3 === i)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/events")
+      }
+      val streamed = StreamingOps.streamCountMin(
+        s, s"$tmp/events", "user_id", 4, 64, s"st14_$tag")
+      val batch = graft.functions.CountMin.sketch(
+        events(s, d).select(col("user_id")), "user_id", 4, 64)
+      streamed.exceptAll(batch).agg(count(lit(1)).as("only_stream"))
+        .crossJoin(batch.exceptAll(streamed)
+          .agg(count(lit(1)).as("only_batch")))
+        .crossJoin(batch.agg(count(lit(1)).as("n_cells"),
+          sum(col("c")).as("cell_mass")))
+        .select(col("n_cells"), col("cell_mass"), col("only_stream"),
+          col("only_batch"),
+          (col("only_stream") === 0 && col("only_batch") === 0 &&
+            col("n_cells") > 0).as("equal"))
+    }),
+
     "st9_stream_static_enrich" -> ((s, d) => {
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val tmp = Scratch.dir("enrich")

@@ -70,10 +70,28 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // events: replicas re-key event_id AND user_id (the grid/sketch/
+    // sessionization dimensions grow linearly — user count scales with
+    // the log, matching a real fleet), keep the ts distribution so
+    // windows/watermarks see the same time density per user.
+    val ev = Tables.events(spark, src)
+    val evCopies = (0 until factor).map { i =>
+      if (i == 0) ev
+      else ev.select(
+        (col("event_id") + lit(i * 100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    evCopies.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     val nd = spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
+    val nv = spark.read.parquet(s"$out/events.parquet").count()
     println(s"[scaleup] wrote $out: documents=$nd embeddings=$ne " +
-      s"(${factor}x of $src)")
+      s"events=$nv (${factor}x of $src)")
     spark.stop()
   }
 }

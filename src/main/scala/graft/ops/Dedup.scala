@@ -556,9 +556,13 @@ object Dedup {
               (col("a.m") + col("b.m"))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // materialize the census-sized pair relation while sets/prefix are
-    // still cached, then drop both — repeated invocations (bench rounds,
-    // the full verify sweep) must not accumulate cached blocks
+    // materialize the (small, post-threshold) pair relation while
+    // sets/prefix are still cached, then drop both — repeated invocations
+    // (bench rounds, the full verify sweep) must not accumulate cached
+    // blocks. persist+count, NOT an eager localCheckpoint: the RDD
+    // checkpoint path materializes every lineage partition outside the
+    // adaptive replanning that turns this self-join's skewed tok buckets
+    // into a broadcast — measured 17x slower at sf0.1 (28 s vs 1.6 s).
     val out = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta"),
         col("m").as("ma")), "doc_a")
@@ -571,7 +575,8 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
         .as("jaccard"))
-      .localCheckpoint(true)
+      .persist(spill)
+    out.count(): Unit
     sets.unpersist()
     prefix.unpersist()
     out

@@ -420,6 +420,31 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming Count-Min sketch: the CMS build is ONE commutative cell
+    * count ([[graft.functions.CountMin.sketch]]), so the identical code
+    * runs unchanged as a complete-mode streaming aggregation — each
+    * micro-batch folds its events into the persisted cell state, which is
+    * O(depth·width) FOREVER regardless of the stream's key cardinality
+    * (the always-on frequency monitor exact per-key counting state can't
+    * be). Counting is order-blind, so no watermark is needed and the
+    * final cells are BIT-EQUAL to the batch sketch over the same data —
+    * the property the st14 entry enforces.
+    */
+  def streamCountMin(spark: SparkSession, eventsDir: String,
+      keyCol: String, depth: Int, width: Int, queryName: String)
+  : DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val src = Tables.normalizeTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(eventsDir))
+    val q = graft.functions.CountMin
+      .sketch(src.select(col(keyCol)), keyCol, depth, width)
+      .writeStream.outputMode(OutputMode.Complete).format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Chunked incremental load with progress accounting (S6): stream the
     * source in micro-batches, append each batch to a parquet sink, log
     * cumulative rows + elapsed — the reference's chunked to_sql loop.

@@ -235,7 +235,8 @@ class PlansSpec extends SparkSpec {
     // 1-row × 1-row accounting combinations over streamed-vs-batch counts
     "st2b_stream_batch_equiv", "st4b_interval_join_stream_equiv",
     "st9_stream_static_enrich", "st10_stream_decontam",
-    "st6_stream_dedup", "st7_per_source_quota", "st8_chunked_load")
+    "st6_stream_dedup", "st7_per_source_quota", "st8_chunked_load",
+    "st14_stream_sketch")
 
   test("no cartesian/nested-loop join outside documented ops") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

@@ -34,6 +34,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming count-min cells are bit-equal to the batch sketch") {
+    val streamed = StreamingOps.streamCountMin(
+      spark, eventsDir, "user_id", 4, 32, "cms_test")
+    val batch = graft.functions.CountMin.sketch(
+      Tables.events(spark, sfDir).select(col("user_id")), "user_id", 4, 32)
+    val s = streamed.collect().map(r =>
+      (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = batch.collect().map(r =>
+      (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(s == b, s"streamed cells must equal batch: ${s.size}/${b.size}")
+    assert(b.nonEmpty && b.values.sum == 4 * 1000,
+      "4 rows x 1000 events of cell mass")
+  }
+
   test("mapGroupsWithState totals accumulate across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
