@@ -1613,7 +1613,7 @@ object QueriesScale {
     // cosine ≥ 0.4 is the standard LSH contract (recall < 1 by design).
     "sim17_srp_lsh" -> ((s, d) =>
       Similarity.srpCandidatePairs(embeddings(s, d), "vec_id",
-          "embedding", dim = 64, threshold = 0.4, nBits = 16, bandBits = 4)
+          "embedding", dim = 64, threshold = 0.4, nBits = 32, bandBits = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
     // IVF-blocked pair mining: exact cosine restricted to same-cluster
@@ -4705,11 +4705,11 @@ object QueriesScale {
         |        d -> v[d] * (CASE WHEN (73*j + 179*(d-1)) % 97 < 48
         |                     THEN 1.0 ELSE -1.0 END)), 'sum') >= 0
         |    THEN 1 ELSE 0 END AS bit
-        |  FROM e, (SELECT unnest(generate_series(0, 15)) AS j)),
+        |  FROM e, (SELECT unnest(generate_series(0, 31)) AS j)),
         |bands AS (
-        |  SELECT vec_id, j // 4 AS band_idx,
-        |    SUM(bit << (3 - (j % 4))) AS band_val
-        |  FROM bits GROUP BY vec_id, j // 4),
+        |  SELECT vec_id, j // 8 AS band_idx,
+        |    SUM(bit << (7 - (j % 8))) AS band_val
+        |  FROM bits GROUP BY vec_id, j // 8),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM bands a JOIN bands b

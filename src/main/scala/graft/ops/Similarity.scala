@@ -729,10 +729,16 @@ object Similarity {
     * Scale shape: signatures are row-local codegen (nBits folds over the
     * vector — no shuffle); the one wide operation is the band-bucket
     * self-join, whose buckets shrink geometrically with bandBits; exact
-    * cosine runs only on candidates.
+    * cosine runs only on candidates. bandBits is the SCALE dial: a band
+    * has 2^bandBits buckets and chance-collision pairs grow as
+    * n²/2^bandBits, so band width must grow with corpus density — the
+    * 10× rehearsal moved the defaults from 16/4 (16 buckets/band, exp
+    * 1.10 at 10×) to 32/8 (256 buckets/band), trading tail-recall for a
+    * 16× bucket-occupancy cut; production at 100 TB wants 16-24-bit
+    * bands plus multiple sweeps to buy recall back.
     */
   def srpCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, nBits: Int = 16, bandBits: Int = 4)
+      dim: Int, threshold: Double, nBits: Int = 32, bandBits: Int = 8)
   : DataFrame = {
     require(nBits % bandBits == 0, "nBits must split into whole bands")
     def bit(j: Int): Column = {
@@ -770,7 +776,13 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
-      .localCheckpoint(true)
+      // persist+count, NOT an eager localCheckpoint — the RDD checkpoint
+      // path materializes the bucket self-join outside AQE's replanning
+      // (the dd25 lesson: measured 17x slower there); the count
+      // materializes the small post-threshold relation through the
+      // adaptive plan, after which the wide signature cache can drop
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count(): Unit
     sig.unpersist()
     out
   }
