@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Bpe, Dedup, Layout, TextOps, Similarity, Multimodal, Sampling}
+import graft.ops.{Bpe, Dedup, Joins, Layout, TextOps, Similarity, Multimodal, Sampling}
 import graft.streaming.StreamingOps
 
 /** Training-data-pipeline operator catalog: deduplication, similarity
@@ -1970,6 +1970,42 @@ object QueriesScale {
     "st2_sessionize" -> ((s, d) =>
       StreamingOps.sessionize(events(s, d), "10 minutes")
         .orderBy(col("user_id"), col("session_start"))),
+
+    // concurrent-session census via the interval-OVERLAP join: st2's
+    // sessions (as [start, last+gap) epoch-micros intervals) bucketed
+    // into 1-hour cells and equi-joined on the cell id — pairs emit once
+    // in their first shared bucket (no distinct, no pair re-shuffle),
+    // overlap is a row-local residual. Per user: how many other users
+    // were ever online simultaneously, and how many session pairs
+    // collided. Integer micros end to end → full oracle (DuckDB replays
+    // the overlap join as a plain theta self-join).
+    "j13_session_overlap" -> ((s, d) => {
+      val sess = events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "10 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+      val a = sess.select(col("user_id").as("user_a"),
+        unix_micros(col("sw.start")).as("lo_a"),
+        unix_micros(col("sw.end")).as("hi_a"))
+      val b = sess.select(col("user_id").as("user_b"),
+        unix_micros(col("sw.start")).as("lo_b"),
+        unix_micros(col("sw.end")).as("hi_b"))
+      val pairs = Joins.intervalOverlapJoin(a, b,
+          "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 3600000000L)
+        .filter(col("user_a") < col("user_b"))
+        .select(col("user_a"), col("user_b"))
+        // lazy persist, not an eager checkpoint (the plan holds the
+        // bucket join — the dd25 AQE rule); both direction legs below
+        // read the cache after the first materializes it
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.select(col("user_a").as("user_id"), col("user_b").as("other"))
+        .unionByName(pairs.select(col("user_b").as("user_id"),
+          col("user_a").as("other")))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("other")).as("n_peers"),
+          count(lit(1)).as("n_overlaps"))
+        .orderBy(col("user_id"))
+    }),
 
     // the BUILT-IN session_window operator (st2's sibling): same
     // 10-minute gap semantics as the custom sessionizer, but planned by
@@ -5157,6 +5193,34 @@ object QueriesScale {
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "j13_session_overlap" ->
+      """WITH o AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts,
+        |    CASE WHEN LAG(ts::TIMESTAMP) OVER w IS NULL
+        |           OR ts::TIMESTAMP - LAG(ts::TIMESTAMP) OVER w
+        |              >= INTERVAL '10 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, epoch_us(MIN(ts)) AS lo,
+        |         epoch_us(MAX(ts) + INTERVAL '10 minutes') AS hi
+        |  FROM s GROUP BY user_id, sid),
+        |p AS (
+        |  SELECT a.user_id AS ua, b.user_id AS ub
+        |  FROM sess a JOIN sess b
+        |    ON a.user_id < b.user_id AND a.lo < b.hi AND b.lo < a.hi)
+        |SELECT user_id, COUNT(DISTINCT other) AS n_peers,
+        |       COUNT(*) AS n_overlaps
+        |FROM (SELECT ua AS user_id, ub AS other FROM p
+        |      UNION ALL SELECT ub AS user_id, ua AS other FROM p)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

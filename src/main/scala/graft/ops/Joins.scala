@@ -148,6 +148,35 @@ object Joins {
       .drop("_bkt")
   }
 
+  /** Interval-OVERLAP join (the genomics / session-collision shape):
+    * emits (a, b) row pairs whose half-open intervals intersect —
+    * `lo_a < hi_b && lo_b < hi_a`. Both sides replicate to the integer
+    * buckets their span covers (`span/bucketWidth + 1` rows each) and the
+    * join becomes an EQUI-join on the bucket id, with overlap as a
+    * row-local residual — a hash join at any cardinality, never a nested
+    * loop. A pair sharing several buckets would duplicate, so each pair
+    * is emitted ONLY in the bucket containing `max(lo_a, lo_b)` (its
+    * first shared bucket — both sides cover it whenever the intervals
+    * overlap): the canonical-bucket trick makes the result
+    * duplicate-free WITHOUT a distinct, so the pair relation never
+    * re-shuffles. Bucket ids use integer `div` (no double rounding at
+    * epoch-micros magnitudes). The two sides must carry DISJOINT column
+    * names (rename before calling — self-joins are the common case);
+    * `bucketWidth` near the median span keeps replication O(1) per row.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      loA: String, hiA: String, loB: String, hiB: String,
+      bucketWidth: Long): DataFrame = {
+    val lb = left.withColumn("_bkt", explode(sequence(
+      expr(s"$loA div $bucketWidth"), expr(s"$hiA div $bucketWidth"))))
+    val rb = right.withColumn("_bkt", explode(sequence(
+      expr(s"$loB div $bucketWidth"), expr(s"$hiB div $bucketWidth"))))
+    lb.join(rb, Seq("_bkt"))
+      .filter(col(loA) < col(hiB) && col(loB) < col(hiA))
+      .filter(expr(s"greatest($loA, $loB) div $bucketWidth") === col("_bkt"))
+      .drop("_bkt")
+  }
+
   /** Salted equi-join for skewed key distributions: the skewed side gets a
     * uniform salt in `[0, salts)`, the other side is replicated once per
     * salt value, and the shuffle key becomes (key, salt) — a hot key's rows

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.col
 
 class JoinsSpec extends SparkSpec {
   import spark.implicits._
@@ -122,6 +123,41 @@ class JoinsSpec extends SparkSpec {
       assert(got == ref, s"width $w diverges from rangeJoin")
     }
     val plan = Joins.bucketedRangeJoin(fact, bands, "value", "lo", "hi", 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("intervalOverlapJoin: equals brute force, one row per pair, " +
+    "hash join only") {
+    import spark.implicits._
+    // spans from sub-bucket to many-bucket (width 10): exercises the
+    // canonical-first-shared-bucket dedup on pairs sharing several cells
+    val iv = Seq(
+      (1L, 0L, 5L), (2L, 3L, 40L), (3L, 38L, 42L), (4L, 40L, 45L),
+      (5L, 7L, 31L), (6L, 100L, 101L), (7L, 90L, 100L))
+      .toDF("id", "lo", "hi")
+    val a = iv.select(col("id").as("id_a"), col("lo").as("lo_a"),
+      col("hi").as("hi_a"))
+    val b = iv.select(col("id").as("id_b"), col("lo").as("lo_b"),
+      col("hi").as("hi_b"))
+    val got = Joins.intervalOverlapJoin(a, b,
+        "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 10L)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // no duplicates: 2-5 share buckets 0..3 yet must appear once
+    assert(got.size == got.toSet.size, s"duplicated pairs: $got")
+    val truth = (for {
+      x <- iv.collect(); y <- iv.collect()
+      if x.getLong(0) < y.getLong(0) &&
+        x.getLong(1) < y.getLong(2) && y.getLong(1) < x.getLong(2)
+    } yield (x.getLong(0), y.getLong(0))).toSet
+    assert(got.toSet == truth, s"got ${got.toSet} want $truth")
+    // half-open: [90,100) and [100,101) touch but do not overlap
+    assert(!got.toSet.contains((6L, 7L)))
+    val plan = Joins.intervalOverlapJoin(a, b,
+        "lo_a", "hi_a", "lo_b", "hi_b", 10L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan.take(2000))
