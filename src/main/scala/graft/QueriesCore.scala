@@ -586,13 +586,36 @@ object QueriesCore {
 
     // heavy-hitters sketch over an unbounded-domain column (approximate
     // lower-bound counts by construction → rows-only check)
-    "a4b_heavy_hitters" -> ((s, d) =>
-      events(s, d)
+    "a4b_heavy_hitters" -> ((s, d) => {
+      val ev = events(s, d)
+      val hh = ev
         .select(org.apache.spark.sql.functions.map_entries(
           graft.functions.HeavyHitters(col("event_type"), 3)).as("hh"))
         .select(explode(col("hh")).as("e"))
         .select(col("e.key").as("value"), col("e.value").as("min_count"))
-        .orderBy(col("value"))),
+      // ENFORCED Misra-Gries contract: stored counts never overcount
+      // (min_count ≤ true), deficits stay within n/(k+1), and no value
+      // heavier than n/3 may be absent from the k=3 summary — the
+      // guarantees that make the sketch usable, checked against the
+      // exact per-type counts (tiny domain; in production the exact side
+      // is the thing this sketch replaces)
+      val truth = ev.groupBy(col("event_type").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // two consumers: bound join + missing scan
+      val total = ev.agg(count(lit(1)).as("n"))
+      val missing = truth.crossJoin(broadcast(total))
+        .filter(col("cnt") * 3 > col("n"))
+        .join(hh, Seq("value"), "left_anti")
+        .agg(count(lit(1)).as("n_missing_heavy"))
+      hh.join(truth, Seq("value"))
+        .crossJoin(broadcast(total))
+        .crossJoin(broadcast(missing))
+        .select(col("value"), col("min_count"),
+          (col("min_count") <= col("cnt") &&
+            (col("cnt") - col("min_count")) * 3 <= col("n") &&
+            col("n_missing_heavy") === 0).as("equal"))
+        .orderBy(col("value"))
+    }),
 
     // ---- S: scans ---------------------------------------------------------
     // S2/S3 — projected scan: column pruning + predicate pushed to parquet.
@@ -1350,7 +1373,7 @@ object QueriesCore {
           countDistinct(col("o_custkey")).as("exact_nd"))
         .select(col("approx_nd"), col("exact_nd"),
           (abs(col("approx_nd") - col("exact_nd")).cast("double")
-            / col("exact_nd") <= 0.05).as("within_tolerance"))),
+            / col("exact_nd") <= 0.05).as("equal"))),
 
     // A17 — sketch set algebra: union cardinality straight from an HLL
     // union (sketches merge across audiences without re-scanning either —
@@ -1459,7 +1482,7 @@ object QueriesCore {
         .crossJoin(li.agg(count(lit(1)).as("n_total")))
         .select(col("n_sampled"), col("n_total"),
           (col("n_sampled").cast("double") / col("n_total"))
-            .between(0.08, 0.12).as("frac_in_range"))
+            .between(0.08, 0.12).as("equal"))
     }),
 
     // O2c — stratified sampling: per-stratum Bernoulli fractions
@@ -1478,7 +1501,7 @@ object QueriesCore {
           .agg(count(lit(1)).as("n_total")), "l_returnflag")
         .select(col("l_returnflag"), col("n_sampled"), col("n_total"),
           (abs(col("n_sampled").cast("double") / col("n_total") - target)
-            / target <= 0.25).as("frac_in_range"))
+            / target <= 0.25).as("equal"))
         .orderBy(col("l_returnflag"))
     }),
 

@@ -1557,11 +1557,22 @@ object QueriesScale {
     }),
 
     // winnowing-style rolling-hash fingerprint (xxhash64-seeded → no oracle)
-    "ts5_rolling_fp" -> ((s, d) =>
-      fanOut(documents(s, d))
-        .select(col("doc_id"),
+    // rolling-hash fingerprints are hash-seeded (no SQL replay), so the
+    // entry carries an ENFORCED purity verdict in dd2's style: the
+    // fingerprint is a pure function of the text, so every exact-text
+    // group (the corpus has planted duplicates) must share ONE
+    // fingerprint, and no fingerprint may be null
+    "ts5_rolling_fp" -> ((s, d) => {
+      val fp = fanOut(documents(s, d))
+        .select(col("doc_id"), col("text"),
           TextOps.rollingMinHash(col("text")).as("fp_roll"))
-        .orderBy(col("doc_id"))),
+      val groups = fp.groupBy(col("text"))
+        .agg(countDistinct(col("fp_roll")).as("nfp"))
+      fp.join(groups, Seq("text"))
+        .select(col("doc_id"), col("fp_roll"),
+          (col("nfp") === 1 && col("fp_roll").isNotNull).as("equal"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- similarity search -------------------------------------------------
     // exact brute-force top-5 per query vector

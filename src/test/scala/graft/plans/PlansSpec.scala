@@ -178,6 +178,8 @@ class PlansSpec extends SparkSpec {
   private val allowedQuadratic = Set(
     "a8_counts", "a17_hll_set_ops", "dd3_lsh_stats", "o2b_sample_seeded",
     "e1_movie_pipeline",
+    // 1-row broadcast total + missing-heavy verdict scalars per summary row
+    "a4b_heavy_hitters",
     // 1-row × 1-row accounting combinations + enforced verdict scalars
     "dd15_minhash_dedup",
     "ts6_tfidf", "tp2_corpus_report", "sim1_cosine_topk", "sim3_ivf_topk",
