@@ -31,15 +31,62 @@ object Bench {
 
   private val nRuns = 3
 
-  /** One query's measurement: warmup seconds + the `nRuns` timed runs.
-    * `value` (the reported number) is the min; a failed query reports
-    * -1 with empty runs.
+  /** One query's measurement: warmup seconds + the `nRuns` timed runs,
+    * plus the task-metrics profile of the last timed run (shuffle volumes
+    * are plan properties — near-constant across runs — so one snapshot
+    * suffices). `value` (the reported number) is the min; a failed query
+    * reports -1 with empty runs.
     */
-  private case class Detail(warmup: Double, times: Seq[Double]) {
+  private[graft] case class Detail(warmup: Double, times: Seq[Double],
+      metrics: Option[RunMetrics] = None) {
     def value: Double = if (times.isEmpty) -1.0 else times.min
     def json: String =
       f"""{"warmup":$warmup%.3f,"times":[${times.map(t => f"$t%.3f")
-        .mkString(",")}]}"""
+        .mkString(",")}]${metrics.fold("")("," + _.json)}}"""
+  }
+
+  /** Aggregated task metrics for one query run: total shuffle bytes
+    * written/read across all tasks, total spill (memory+disk), and the
+    * single largest per-task peak execution memory — the four numbers that
+    * say whether a plan's shuffle would survive a 100× scale-up (bytes
+    * growth rate) and whether any one task is a memory hot-spot.
+    */
+  private[graft] case class RunMetrics(shuffleReadMB: Double,
+      shuffleWriteMB: Double, spillMB: Double, peakTaskMemMB: Double) {
+    def json: String =
+      f""""shuffle_read_mb":$shuffleReadMB%.1f,""" +
+        f""""shuffle_write_mb":$shuffleWriteMB%.1f,""" +
+        f""""spill_mb":$spillMB%.1f,"peak_task_mem_mb":$peakTaskMemMB%.1f"""
+  }
+
+  /** SparkListener accumulating task metrics between [[reset]] and
+    * [[snapshot]]. Listener-bus delivery is async, so snapshot() is called
+    * after a short drain pause — late events can only undercount by the
+    * final few tasks, which is noise at the MB granularity reported.
+    */
+  private final class MetricsAgg
+      extends org.apache.spark.scheduler.SparkListener {
+    private val read = new java.util.concurrent.atomic.AtomicLong
+    private val write = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    private val peak = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peak.getAndUpdate(c => math.max(c, m.peakExecutionMemory)): Unit
+      }
+    }
+    def reset(): Unit = { read.set(0); write.set(0); spill.set(0)
+      peak.set(0) }
+    def snapshot(): RunMetrics = {
+      Thread.sleep(300) // let the async listener bus drain
+      RunMetrics(read.get / 1e6, write.get / 1e6, spill.get / 1e6,
+        peak.get / 1e6)
+    }
   }
 
   /** The bench headline set — also the scope of [[PlanAudit]]. */
@@ -181,17 +228,26 @@ object Bench {
     // cluster would see; min damps this host's up-to-5× CPU-steal spikes).
     val results = selected.map { name =>
       val spark = freshSession()
+      val agg = new MetricsAgg
+      spark.sparkContext.addSparkListener(agg)
       def once(): Double = {
         val t0 = System.nanoTime()
         all(name)(spark, sfDir).write.format("noop")
           .mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val d = try Detail(once(), Seq.fill(nRuns)(once())) catch {
+      val d = try {
+        val warm = once()
+        val timed = Seq.fill(nRuns - 1)(once())
+        agg.reset() // profile the final timed run only
+        val last = once()
+        Detail(warm, timed :+ last, Some(agg.snapshot()))
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Detail(-1.0, Nil)
       }
+      spark.sparkContext.removeSparkListener(agg)
       println(s"""{"query":"$name",${d.json.tail}""")
       // give the next query a clean runway: the dropped session's codegen
       // classes and shuffle buffers are only reclaimed on GC
@@ -206,7 +262,7 @@ object Bench {
     * sbt fork already carries the JDK-17 --add-opens set and -Xmx — same
     * classpath) scoped to one query, and parse its detail line.
     */
-  private def forkOne(name: String, sfDir: String): Detail = {
+  private[graft] def forkOne(name: String, sfDir: String): Detail = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
       .asScala.toSeq
@@ -221,12 +277,18 @@ object Bench {
     val out = scala.io.Source.fromInputStream(p.getInputStream)
       .getLines().toList
     p.waitFor()
+    // metrics group optional: a failed child emits times:[] with none
     val pat = ("\\{\"query\":\"" + java.util.regex.Pattern.quote(name) +
-      "\",\"warmup\":(-?\\d+\\.\\d+),\"times\":\\[([0-9.,]*)\\]").r
+      "\",\"warmup\":(-?\\d+\\.\\d+),\"times\":\\[([0-9.,]*)\\]" +
+      "(?:,\"shuffle_read_mb\":(-?[0-9.]+),\"shuffle_write_mb\":" +
+      "(-?[0-9.]+),\"spill_mb\":(-?[0-9.]+)," +
+      "\"peak_task_mem_mb\":(-?[0-9.]+))?").r
     out.reverseIterator
       .flatMap(l => pat.findFirstMatchIn(l).map(m => Detail(
         m.group(1).toDouble,
-        m.group(2).split(",").filter(_.nonEmpty).map(_.toDouble).toSeq)))
+        m.group(2).split(",").filter(_.nonEmpty).map(_.toDouble).toSeq,
+        Option(m.group(3)).map(_ => RunMetrics(m.group(3).toDouble,
+          m.group(4).toDouble, m.group(5).toDouble, m.group(6).toDouble)))))
       .nextOption().getOrElse {
         System.err.println(s"[bench] $name: no result from child JVM")
         Detail(-1.0, Nil)
