@@ -277,21 +277,32 @@ object Bench {
     val out = scala.io.Source.fromInputStream(p.getInputStream)
       .getLines().toList
     p.waitFor()
-    // metrics group optional: a failed child emits times:[] with none
+    parseDetailLine(name, out).getOrElse {
+      System.err.println(s"[bench] $name: no result from child JVM")
+      Detail(-1.0, Nil)
+    }
+  }
+
+  /** Parse a child JVM's per-query detail line back into a [[Detail]] —
+    * the inverse of `Detail.json` as printed by [[runInProcess]]. The
+    * metrics group is optional (a failed child emits `times:[]` with
+    * none); the LAST matching line wins, so stray log lines and earlier
+    * partial output can't shadow the final result. BenchSpec locks the
+    * round-trip.
+    */
+  private[graft] def parseDetailLine(name: String,
+      lines: List[String]): Option[Detail] = {
     val pat = ("\\{\"query\":\"" + java.util.regex.Pattern.quote(name) +
       "\",\"warmup\":(-?\\d+\\.\\d+),\"times\":\\[([0-9.,]*)\\]" +
       "(?:,\"shuffle_read_mb\":(-?[0-9.]+),\"shuffle_write_mb\":" +
       "(-?[0-9.]+),\"spill_mb\":(-?[0-9.]+)," +
       "\"peak_task_mem_mb\":(-?[0-9.]+))?").r
-    out.reverseIterator
+    lines.reverseIterator
       .flatMap(l => pat.findFirstMatchIn(l).map(m => Detail(
         m.group(1).toDouble,
         m.group(2).split(",").filter(_.nonEmpty).map(_.toDouble).toSeq,
         Option(m.group(3)).map(_ => RunMetrics(m.group(3).toDouble,
           m.group(4).toDouble, m.group(5).toDouble, m.group(6).toDouble)))))
-      .nextOption().getOrElse {
-        System.err.println(s"[bench] $name: no result from child JVM")
-        Detail(-1.0, Nil)
-      }
+      .nextOption()
   }
 }

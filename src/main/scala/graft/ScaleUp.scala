@@ -15,10 +15,19 @@ import org.apache.spark.sql.functions._
   *    N× corpus then carries exactly N× the true pairs: a linear-scaling
   *    workload by construction, so any super-linear wall-time growth is
   *    the ENGINE's, not the data's.
-  *  - each embedding replica re-keys `vec_id` and adds a deterministic
-  *    per-(replica, vector, component) perturbation, so vectors are not
-  *    exact clones (degenerate zero-distance stacks) but the space's
-  *    density grows uniformly.
+  *  - each embedding replica re-keys `vec_id` and applies a PER-REPLICA
+  *    ISOMETRY — a deterministic signed permutation of the components
+  *    (cyclic shift by the replica index + a Weyl-pattern sign flip).
+  *    A signed permutation is an orthogonal transform, so every
+  *    intra-replica cosine is EXACTLY the base corpus's (each replica is
+  *    the same point cloud in a rotated frame), while cross-replica
+  *    similarity is that of unrelated vectors. The earlier construction
+  *    (small additive perturbation) kept replicas of the same base vector
+  *    mutually near-identical — cross-replica TRUE pairs grew as
+  *    factor², and the 30× rehearsal decade showed it: sim17's LSH
+  *    buckets filled with fabricated co-replica stacks and the candidate
+  *    verify went quadratic. The data was violating the linear-workload
+  *    contract, not the engine.
   *
   * Output is written multi-file so scans parallelize like a real
   * many-file lake table (Tables.fanOut then keeps the scan's own
@@ -59,12 +68,20 @@ object ScaleUp {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embCopies = (0 until factor).map { i =>
       if (i == 0) emb
-      else emb.select(
-        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
-        transform(col("embedding"), (x, j) =>
-          (x + lit(0.05) * sin(col("vec_id") * 0.7 + j * 1.3 + lit(i)))
-            .cast("float")).as("embedding"),
-        col("label"))
+      else {
+        // signed permutation: out[j] = s(i,j) · in[(j + i) mod dim] —
+        // orthogonal, so intra-replica geometry is bit-for-bit the base
+        // corpus's; the (37i + 57j) mod 83 sign pattern is the same
+        // full-period affine-sweep trick the SRP hyperplanes use
+        val dim = size(col("embedding"))
+        emb.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          transform(col("embedding"), (_, j) =>
+            (element_at(col("embedding"), pmod(j + lit(i), dim) + 1) *
+              when(pmod(lit(37 * i) + j * 57, lit(83)) < 42, lit(1.0f))
+                .otherwise(lit(-1.0f))).cast("float")).as("embedding"),
+          col("label"))
+      }
     }
     embCopies.reduce(_ unionByName _)
       .repartition(32)
