@@ -1618,13 +1618,17 @@ object QueriesScale {
         .orderBy(col("id_a"), col("id_b"))),
 
     // signed-random-projection LSH (Charikar) with DERANDOMIZED ±1
-    // hyperplanes — (73j+179d) mod 97 signs — so the exact candidate set
-    // replays in SQL: the one LSH entry with a FULL oracle rather than a
-    // recall-floor self-check. 16 bits, 4 bands of 4; candidates ∩
-    // cosine ≥ 0.4 is the standard LSH contract (recall < 1 by design).
+    // hyperplanes — a fixed seed-searched 128×64 sign table embedded in
+    // both engines — so the exact candidate set replays in SQL: the one
+    // LSH entry with a FULL oracle rather than a recall-floor self-check.
+    // 128 bits in 16 bands of 8; candidates ∩ cosine ≥ 0.4 is the
+    // standard LSH contract (recall < 1 by design; more bands = more
+    // recall). The 30× rehearsal retired the earlier affine sign formula:
+    // its correlated planes collapsed 21% of any corpus into one bucket
+    // (see Similarity.srpCandidatePairs).
     "sim17_srp_lsh" -> ((s, d) =>
       Similarity.srpCandidatePairs(embeddings(s, d), "vec_id",
-          "embedding", dim = 64, threshold = 0.4, nBits = 32, bandBits = 8)
+          "embedding", dim = 64, threshold = 0.4, nBits = 128, bandBits = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
     // IVF-blocked pair mining: exact cosine restricted to same-cluster
@@ -4745,14 +4749,48 @@ object QueriesScale {
     "sim17_srp_lsh" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |           FROM embeddings),
+        |signs AS (SELECT [
+        |    8662188719499160259,-4353858177683018779,2598320418218638666,798157634096183985,
+        |    -917402836281507927,-8573822588641797642,-5321695084132473288,2575011224247964891,
+        |    -337307038369704444,610875658412463198,1118191882204332296,4264319363445084007,
+        |    -4936832465116258083,-8742476688671125996,3780272573231542655,-7506322039816298176,
+        |    2179449586745484792,-4238178203237696404,-2072140391354278985,6300176219860595955,
+        |    3798695383556734387,7230010512846563413,-7436681793523565175,4548290608728524424,
+        |    -5091773892753074686,7680076269836859110,-6221649150996639370,1107781761454125334,
+        |    951178407954645370,3318389318148680522,2485525089282576719,2723201397606581893,
+        |    -3762000149197409686,6943577248329738020,1588501011835015004,-8647218131037850074,
+        |    8092228408170024482,-3525652300172243032,3832137978988617962,7976198333057047073,
+        |    6778658401495113372,6099309317312063435,-3342137225355652990,8893068527085053031,
+        |    4858806668606706231,5411781828036313372,-7897081444309697283,8888083698607137603,
+        |    -6442379387067020055,5836117722786656947,3932043701783186428,-4625284494873108976,
+        |    1758098567137225126,-4196979954506566786,-1910529837107607163,-8118668342616531036,
+        |    -1181286883289845075,-2982725244219111515,5443272873301836839,3201967302902885659,
+        |    530485473279918343,-3802048262147946711,6912573887799929392,-792778336253011419,
+        |    -6095294032748202949,5253914635986282347,5636913162775944996,-2965673244356870757,
+        |    -2123671413043952032,2102835994924914836,3737328277751973534,6159952501495858074,
+        |    7432809879688336381,895204353335774102,-5275790790083593710,4938050692447711575,
+        |    -2340720887716690090,-6693845614814978922,-723583460651060045,3709754706851070772,
+        |    2994817779964610783,-181815505992725427,2801529470595732247,1069128636030162772,
+        |    -7164134026024412591,-9001388371056589367,-2575621212530336760,-341995586912411001,
+        |    9043611109639802373,-7550529134718377936,-2683055959294649644,8954466175042803203,
+        |    -3739157222604705223,-7263180252977692162,9180195807345982188,-3150933822600599983,
+        |    453465918878356648,9034373415132696507,-4028048028887170198,8667683034820712703,
+        |    4379985732740320228,1785199677706936051,-7698054652502444128,8224340693440739967,
+        |    -126582662665747691,2437633569784012910,-7984367094903449210,-7123295589906964992,
+        |    -1413638375880260250,-2087142786533170575,-3893699354030136462,-983870182256730726,
+        |    -2462538578176301705,-5731219047287531623,-8218155972891302400,-8143791031063600209,
+        |    -8976177729474446618,-5356526022105893228,-9159877912422859109,4186295541279363258,
+        |    3590319312808147891,-7110579631193606934,5690425687398648745,-3333908364042314583,
+        |    6012827673783865245,6854334296760908862,-8805882360246807198,6398368236260976470
+        |  ]::BIGINT[] AS s),
         |bits AS (
         |  SELECT vec_id, j,
         |    CASE WHEN list_aggregate(list_transform(
         |        generate_series(1, 64),
-        |        d -> v[d] * (CASE WHEN (73*j + 179*(d-1)) % 97 < 48
+        |        d -> v[d] * (CASE WHEN ((s[j+1] >> (d-1)) & 1) = 1
         |                     THEN 1.0 ELSE -1.0 END)), 'sum') >= 0
         |    THEN 1 ELSE 0 END AS bit
-        |  FROM e, (SELECT unnest(generate_series(0, 31)) AS j)),
+        |  FROM e, signs, (SELECT unnest(generate_series(0, 127)) AS j)),
         |bands AS (
         |  SELECT vec_id, j // 8 AS band_idx,
         |    SUM(bit << (7 - (j % 8))) AS band_val

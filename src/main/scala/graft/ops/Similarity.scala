@@ -706,6 +706,48 @@ object Similarity {
         max(col("n_votes")).as("n_votes"))
   }
 
+  /** The derandomized SRP hyperplane table: plane j's ±1 sign for
+    * dimension d is bit d of `SrpSigns(j)` (+1 when set). 128 planes x
+    * 64 dims, generated from a fixed seed and SEED-SEARCHED for low
+    * pairwise correlation (max |h_i . h_j| = 28, max bias 18) -- see
+    * [[srpCandidatePairs]] for why independence, not just determinism,
+    * is the load-bearing property. The SQL oracle embeds the identical
+    * constants, so the candidate set replays bit-for-bit cross-engine.
+    */
+  val SrpSigns: Array[Long] = Array(
+    8662188719499160259L, -4353858177683018779L, 2598320418218638666L, 798157634096183985L,
+    -917402836281507927L, -8573822588641797642L, -5321695084132473288L, 2575011224247964891L,
+    -337307038369704444L, 610875658412463198L, 1118191882204332296L, 4264319363445084007L,
+    -4936832465116258083L, -8742476688671125996L, 3780272573231542655L, -7506322039816298176L,
+    2179449586745484792L, -4238178203237696404L, -2072140391354278985L, 6300176219860595955L,
+    3798695383556734387L, 7230010512846563413L, -7436681793523565175L, 4548290608728524424L,
+    -5091773892753074686L, 7680076269836859110L, -6221649150996639370L, 1107781761454125334L,
+    951178407954645370L, 3318389318148680522L, 2485525089282576719L, 2723201397606581893L,
+    -3762000149197409686L, 6943577248329738020L, 1588501011835015004L, -8647218131037850074L,
+    8092228408170024482L, -3525652300172243032L, 3832137978988617962L, 7976198333057047073L,
+    6778658401495113372L, 6099309317312063435L, -3342137225355652990L, 8893068527085053031L,
+    4858806668606706231L, 5411781828036313372L, -7897081444309697283L, 8888083698607137603L,
+    -6442379387067020055L, 5836117722786656947L, 3932043701783186428L, -4625284494873108976L,
+    1758098567137225126L, -4196979954506566786L, -1910529837107607163L, -8118668342616531036L,
+    -1181286883289845075L, -2982725244219111515L, 5443272873301836839L, 3201967302902885659L,
+    530485473279918343L, -3802048262147946711L, 6912573887799929392L, -792778336253011419L,
+    -6095294032748202949L, 5253914635986282347L, 5636913162775944996L, -2965673244356870757L,
+    -2123671413043952032L, 2102835994924914836L, 3737328277751973534L, 6159952501495858074L,
+    7432809879688336381L, 895204353335774102L, -5275790790083593710L, 4938050692447711575L,
+    -2340720887716690090L, -6693845614814978922L, -723583460651060045L, 3709754706851070772L,
+    2994817779964610783L, -181815505992725427L, 2801529470595732247L, 1069128636030162772L,
+    -7164134026024412591L, -9001388371056589367L, -2575621212530336760L, -341995586912411001L,
+    9043611109639802373L, -7550529134718377936L, -2683055959294649644L, 8954466175042803203L,
+    -3739157222604705223L, -7263180252977692162L, 9180195807345982188L, -3150933822600599983L,
+    453465918878356648L, 9034373415132696507L, -4028048028887170198L, 8667683034820712703L,
+    4379985732740320228L, 1785199677706936051L, -7698054652502444128L, 8224340693440739967L,
+    -126582662665747691L, 2437633569784012910L, -7984367094903449210L, -7123295589906964992L,
+    -1413638375880260250L, -2087142786533170575L, -3893699354030136462L, -983870182256730726L,
+    -2462538578176301705L, -5731219047287531623L, -8218155972891302400L, -8143791031063600209L,
+    -8976177729474446618L, -5356526022105893228L, -9159877912422859109L, 4186295541279363258L,
+    3590319312808147891L, -7110579631193606934L, 5690425687398648745L, -3333908364042314583L,
+    6012827673783865245L, 6854334296760908862L, -8805882360246807198L, 6398368236260976470L)
+
   /** Signed-random-projection LSH (Charikar's simhash for the COSINE
     * metric, over real vectors rather than term sets): each vector gets a
     * `nBits`-bit signature — bit j is the sign of the projection onto
@@ -713,46 +755,76 @@ object Similarity {
     * `nBits/bandBits` signature bands. P[bit match] = 1 − θ/π, so near
     * pairs collide in some band with tunable probability while the far
     * pairs that dominate an all-pairs scan never meet. The hyperplanes
-    * are DERANDOMIZED ±1 vectors — sign(j,d) = +1 iff (73j + 179d) mod 97
-    * < 48, a full-period affine sweep of a prime field (a Weyl-sequence
-    * trick) — so, unlike seeded-RNG LSH, the exact candidate set replays
-    * bit-for-bit in the SQL oracle: LSH machinery with a FULL oracle
-    * instead of a recall-floor self-check. The projection fold runs in
-    * ascending dimension order on both engines, so even sign(Σ) at a
+    * are DERANDOMIZED ±1 vectors — sign(j,d) = bit d of [[SrpSigns]](j), a
+    * FIXED 128×64 sign table embedded identically in this code and in the
+    * SQL oracle — so, unlike seeded-RNG LSH, the exact candidate set
+    * replays bit-for-bit in the SQL oracle: LSH machinery with a FULL
+    * oracle instead of a recall-floor self-check. The projection fold runs
+    * in ascending dimension order on both engines, so even sign(Σ) at a
     * near-zero sum is deterministic cross-engine.
+    *
+    * An earlier revision derived the signs from an affine formula,
+    * sign(j,d) = [(73j + 179d) mod 97 < 48]. The 30× scale rehearsal
+    * exposed that family as DEGENERATE: the patterns are shifts of one
+    * residue indicator, so hyperplanes within a band are heavily
+    * correlated (mean |h_i·h_j| ≈ 28 of 64; some pairs identical) and an
+    * 8-bit band carried ~3 effective bits — 21% of every corpus landed in
+    * ONE bucket, candidate slots grew purely quadratically (1.19M → 117M
+    * → 1.06B at 1×/10×/30×), and the hot bucket was a single join key =
+    * one straggler task sorting a billion-row partition. Derandomization
+    * must preserve the INDEPENDENCE of the hyperplanes, not just their
+    * determinism; the embedded table is seed-searched for low pairwise
+    * correlation (max |dot| 28, max bias 18 over 128 planes at dim 64 —
+    * random-±1 magnitudes, no identical or complementary pairs).
     *
     * Output: (id_a, id_b, sim) for candidate pairs with exact cosine ≥
     * `threshold` (4dp) — the standard LSH contract: candidate recall < 1
-    * by design, tuned by nBits/bandBits; production raises recall with
-    * more bands or multiple sweeps (larger multiplier pairs).
+    * by design, tuned by nBits/bandBits; with honest (decorrelated)
+    * bands, P[collide in ≥1 of b bands] = 1−(1−(1−θ/π)^bandBits)^b, so
+    * recall is bought with MORE BANDS: the 128/8 default gives ~0.33 at
+    * cos 0.4, ~0.8 at 0.7, ~0.94 at 0.8 — the dedup regime LSH exists
+    * for. (The correlated family's higher apparent recall at 32 bits was
+    * the degenerate buckets catching half the corpus by accident.)
     *
     * Scale shape: signatures are row-local codegen (nBits folds over the
     * vector — no shuffle); the one wide operation is the band-bucket
     * self-join, whose buckets shrink geometrically with bandBits; exact
-    * cosine runs only on candidates. bandBits is the SCALE dial: a band
+    * cosine runs only on candidates, once per pair (multi-band collisions
+    * collapse in a narrow distinct). bandBits is the SCALE dial: a band
     * has 2^bandBits buckets and chance-collision pairs grow as
-    * n²/2^bandBits, so band width must grow with corpus density — the
-    * 10× rehearsal moved the defaults from 16/4 (16 buckets/band, exp
-    * 1.10 at 10×) to 32/8 (256 buckets/band), trading tail-recall for a
-    * 16× bucket-occupancy cut; production at 100 TB wants 16-24-bit
-    * bands plus multiple sweeps to buy recall back.
+    * n²/2^bandBits, so band width must grow with corpus density;
+    * production at 100 TB wants 16-24-bit bands, keeping the band COUNT
+    * (the recall dial) independent of the band WIDTH (the cost dial).
     */
   def srpCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, nBits: Int = 32, bandBits: Int = 8)
+      dim: Int, threshold: Double, nBits: Int = 128, bandBits: Int = 8)
   : DataFrame = {
     require(nBits % bandBits == 0, "nBits must split into whole bands")
-    def bit(j: Int): Column = {
-      val proj = (0 until dim).map { d =>
-        val sign = if ((73 * j + 179 * d) % 97 < 48) 1.0 else -1.0
-        element_at(col("v"), d + 1).cast("double") * lit(sign)
-      }.reduce(_ + _)
-      when(proj >= 0, 1).otherwise(0)
+    require(nBits <= SrpSigns.length,
+      s"at most ${SrpSigns.length} derandomized planes available")
+    // planes as ONE array-of-arrays literal + higher-order-function folds
+    // (the cosineCandidatePairs shape) — an unrolled 128×64 sum forest is
+    // 8k expression nodes, which overflows janino's method limit and
+    // silently drops the whole stage to interpreted mode. The fold visits
+    // dimensions in ascending order, so the ±1.0-multiply-then-add
+    // arithmetic is IEEE-identical to both the unrolled form and the SQL
+    // oracle's list_aggregate.
+    val planes: Seq[Seq[Double]] = (0 until nBits).map { j =>
+      (0 until dim).map(d =>
+        if (((SrpSigns(j) >> d) & 1L) == 1L) 1.0 else -1.0)
     }
+    val bits = transform(typedlit(planes), p =>
+      when(aggregate(zip_with(col("v"), p, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0))
+    // bits materialized as a real column (referenced once per band below —
+    // CollapseProject would otherwise inline the whole plane pass into
+    // every band expression)
     val bands = (0 until nBits / bandBits).map { k =>
-      (0 until bandBits).map(o => bit(k * bandBits + o) * lit(1 << (bandBits - 1 - o)))
-        .reduce(_ + _).as(s"band_$k")
+      aggregate(slice(col("bits"), k * bandBits + 1, bandBits), lit(0),
+        (acc, b) => acc * 2 + b).as(s"band_$k")
     }
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bits", bits)
       .select((col("id") +: col("v") +: bands): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the bucket join carries ONLY ids — the wide vectors never ride the
