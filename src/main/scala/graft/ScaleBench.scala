@@ -118,7 +118,7 @@ object ScaleBench {
     val json =
       s"""{
          | "protocol": {
-         |  "description": "scale rehearsal: heaviest dedup/ANN/graph/text headliners at the source scale and structure-preserving ScaleUp synth corpora (per-replica re-keyed ids, replica-suffixed tokens, perturbed embeddings, re-keyed event users) -- the workload carries exactly Nx the true pairs by construction, so growth is the engine's. Regenerate: sbt 'runMain graft.ScaleBench ${src} ${outJson}'",
+         |  "description": "scale rehearsal: heaviest dedup/ANN/graph/text headliners at the source scale and structure-preserving ScaleUp synth corpora (per-replica re-keyed ids, replica-suffixed tokens, signed-permutation isometry embedding replicas -- intra-replica geometry exact, cross-replica cosine ~random, so no similarity is fabricated -- re-keyed event users): the workload carries exactly Nx the true pairs by construction, so growth is the engine's. Regenerate: sbt 'runMain graft.ScaleBench ${src} ${outJson}'",
          | "timing": "fork-per-query, 1 warmup + min of 3 (Bench protocol)",
          |  "metrics": "task-metrics profile of the final timed run: total shuffle read/write MB, total spill MB, max per-task peak execution memory MB",
          |  "factors": [${scaleDirs.map(_._1).mkString(",")}],
