@@ -107,8 +107,9 @@ object Dedup {
   /** MinHash signatures: one row per doc, columns h0..h{n-1}, where
     * h_i = min over shingles of xxhash64(base_hash(shingle), i).
     *
-    * Computed PER ROW over the shingle array (`transform` + `array_min`,
-    * codegen'd higher-order functions) — zero shuffles, embarrassingly
+    * Computed PER ROW over the shingle array (`transform` + `array_min`
+    * builtin higher-order functions — no UDF, no shuffle; NB. HOFs are
+    * CodegenFallback, row-interpreted inside the stage) — embarrassingly
     * parallel, unlike the classic explode+groupBy formulation whose
     * doc-keyed shuffle dominates at corpus scale. Each shingle is
     * string-hashed ONCE; the n permutation hashes re-hash only the fixed

@@ -11,8 +11,10 @@ import org.apache.spark.sql.expressions.Window
   * until the per-query top-k (tiny). The IVF variant prunes the scan to the
   * nearest centroid's cluster: centroid build is one groupBy, probe is a
   * broadcast join on cluster id — the 100 TB path (scan cost / nlist).
-  * All vector math is double-accumulated `zip_with`+`aggregate` — codegen'd
-  * builtin higher-order functions, no UDF.
+  * All vector math is double-accumulated `zip_with`+`aggregate` — builtin
+  * higher-order functions, no UDF (HOFs are CodegenFallback in Spark 4.1 —
+  * row-interpreted inside the codegen'd stage — which is why the HOT pair
+  * loops use the fused native doGenCode expressions instead).
   */
 object Similarity {
 
@@ -786,8 +788,13 @@ object Similarity {
     * for. (The correlated family's higher apparent recall at 32 bits was
     * the degenerate buckets catching half the corpus by accident.)
     *
-    * Scale shape: signatures are row-local codegen (nBits folds over the
-    * vector — no shuffle); the one wide operation is the band-bucket
+    * Scale shape: signatures are row-local, one pass per row, zero
+    * shuffles (the HOF fold is CodegenFallback — interpreted inside the
+    * codegen'd stage; the trade for a plane-matrix literal the planner
+    * can hold, where the unrolled 8k-term sum forest overflows janino
+    * and drops the WHOLE stage to interpreted anyway — and why the first
+    * run pays a JIT-warmup premium the min-of-3 protocol absorbs); the
+    * one wide operation is the band-bucket
     * self-join, whose buckets shrink geometrically with bandBits; exact
     * cosine runs only on candidates, once per pair (multi-band collisions
     * collapse in a narrow distinct). bandBits is the SCALE dial: a band
