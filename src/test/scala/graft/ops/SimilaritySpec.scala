@@ -409,4 +409,27 @@ class SimilaritySpec extends SparkSpec {
       .mkString("\n"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  // The SRP sign table's LOAD-BEARING property is hyperplane
+  // independence, not just determinism: the retired affine family
+  // ((73j+179d) mod 97) was perfectly deterministic yet its correlated
+  // planes (mean |dot| ~ 28/64, some identical) collapsed 21% of any
+  // corpus into one bucket and made the band join single-key quadratic
+  // at scale. This lock fails on any future "simplification" that swaps
+  // the table for a low-entropy formula.
+  test("SrpSigns: 128 decorrelated planes, no identical/negated pairs") {
+    val t = Similarity.SrpSigns
+    assert(t.length == 128)
+    val dim = 64
+    def plane(j: Int): Array[Int] =
+      Array.tabulate(dim)(d => if (((t(j) >> d) & 1L) == 1L) 1 else -1)
+    val planes = Array.tabulate(t.length)(plane)
+    // bias: no plane is close to constant-sign (the anisotropy failure)
+    for (p <- planes) assert(math.abs(p.sum) <= 18, p.sum)
+    // pairwise correlation: random-±1 magnitude, far from ±dim
+    for (a <- planes.indices; b <- (a + 1) until planes.length) {
+      val dot = (0 until dim).map(d => planes(a)(d) * planes(b)(d)).sum
+      assert(math.abs(dot) <= 28, s"planes $a,$b correlate: dot=$dot")
+    }
+  }
 }
