@@ -60,9 +60,12 @@ object Bench {
   }
 
   /** SparkListener accumulating task metrics between [[reset]] and
-    * [[snapshot]]. Listener-bus delivery is async, so snapshot() is called
-    * after a short drain pause — late events can only undercount by the
-    * final few tasks, which is noise at the MB granularity reported.
+    * [[snapshot]]. Listener-bus delivery is async, so BOTH boundaries
+    * drain first: snapshot() so the profiled run's own tail events are
+    * counted, and reset() so still-in-flight TaskEnd events from the
+    * EARLIER timed runs can't land after the reset and inflate the
+    * profiled run's totals (late events cut both ways — undercount at
+    * snapshot, overcount at reset).
     */
   private final class MetricsAgg
       extends org.apache.spark.scheduler.SparkListener {
@@ -80,10 +83,11 @@ object Bench {
         peak.getAndUpdate(c => math.max(c, m.peakExecutionMemory)): Unit
       }
     }
-    def reset(): Unit = { read.set(0); write.set(0); spill.set(0)
-      peak.set(0) }
+    private def drain(): Unit = Thread.sleep(300)
+    def reset(): Unit = { drain()
+      read.set(0); write.set(0); spill.set(0); peak.set(0) }
     def snapshot(): RunMetrics = {
-      Thread.sleep(300) // let the async listener bus drain
+      drain()
       RunMetrics(read.get / 1e6, write.get / 1e6, spill.get / 1e6,
         peak.get / 1e6)
     }
@@ -249,8 +253,12 @@ object Bench {
       }
       spark.sparkContext.removeSparkListener(agg)
       println(s"""{"query":"$name",${d.json.tail}""")
-      // give the next query a clean runway: the dropped session's codegen
-      // classes and shuffle buffers are only reclaimed on GC
+      // give the next query a clean runway: the cache manager lives in
+      // SharedState (shared across sessions on one context), so an entry
+      // whose returned plan rides a persisted relation would otherwise
+      // stay cached into every later query; codegen classes and shuffle
+      // buffers are only reclaimed on GC
+      spark.sharedState.cacheManager.clearCache()
       System.gc()
       name -> d
     }

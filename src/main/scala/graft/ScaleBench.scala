@@ -64,7 +64,13 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(src, outJson) = args
+    val (src, outJson) = args match {
+      case Array(s, o) => (s, o)
+      case _ =>
+        System.err.println(
+          "usage: runMain graft.ScaleBench <srcSfDir> <outJson>")
+        sys.exit(2)
+    }
     val factors = sys.env.getOrElse("SPARK_GRAFT_FACTORS", "10")
       .split(",").map(_.trim.toInt).toSeq
     val deepFactor = sys.env.get("SPARK_GRAFT_DEEP_FACTOR").map(_.toInt)

@@ -67,7 +67,13 @@ object Verify {
         enforceSelfCheck(spark, name, path): Unit
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // entries whose returned plan rides a persisted relation (q2,
+        // q11, tp8, dd25, sim17, ...) leave it registered in the shared
+        // cache manager; over a 240-entry single-session sweep that
+        // accumulates — drop between entries, the dump above has already
+        // materialized everything it needs
+        spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -131,7 +131,11 @@ object Dedup {
     // NOTE: intentionally barrier-free (zero shuffles, embarrassingly
     // parallel). Compositions that reference the signatures more than once
     // (LSH band self-joins + estimate joins) should wrap the result in
-    // [[barrier]] or the pipeline is re-evaluated per reference.
+    // [[barrier]] — or, once reduced to a small relation, eager
+    // `localCheckpoint(true)` (the corpusJaccard fix: filters on a
+    // grouping key push BELOW an aggregate, so even an aggregate output
+    // re-evaluates per reference unless it is a leaf) — or the pipeline
+    // is re-evaluated per reference.
     sh.select(col(idCol) +: (0 until numHashes).map(i =>
       element_at(col("sig"), i + 1).as(s"h$i")): _*)
   }
@@ -427,12 +431,19 @@ object Dedup {
         .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    oriented.as("e1").join(oriented.as("e2"),
+    // materialize the 1-row count while the caches are live, then drop
+    // them — the pageRank idiom; without it every invocation in a
+    // long-lived session leaks two MEMORY_AND_DISK relations forever
+    val out = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(least(col("e1.dst"), col("e2.dst")).as("a"),
         greatest(col("e1.dst"), col("e2.dst")).as("b"))
       .join(und, Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true)
+    und.unpersist()
+    oriented.unpersist()
+    out
   }
 
   /** Fixed-iteration PageRank over the (undirected) dup-candidate graph —
@@ -1303,9 +1314,21 @@ object Dedup {
     // sketch path: per-doc signatures (row-local) → per-slice min fold
     val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
       .withColumn("slice", sliceOf(col(idCol)))
+    // the 2-row fold is consumed TWICE (slice-0 / slice-1 filters), and
+    // the slice predicates push BELOW the aggregate (slice is a grouping
+    // key) into the signature scan itself — making the two exchange
+    // subtrees non-identical, defeating ReuseExchange, and running the
+    // full per-doc signature pass once per reference (the exact
+    // multi-reference hazard minhashSignatures' contract warns about).
+    // An EAGER checkpoint of the (numSlices)-row fold runs the corpus
+    // pass exactly once and hands both filters a 2-row leaf; the
+    // materialization cost is the fold itself, which the estimate needs
+    // anyway. (barrier() would re-aggregate; persist() would leave a
+    // cached relation for the session's lifetime — a leaf is cleaner.)
     val corpusSig = sigs.groupBy(col("slice"))
       .agg(min(col("h0")).as("h0"),
         (1 until numHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+      .localCheckpoint(true)
     val a = corpusSig.filter(col("slice") === 0)
       .select((0 until numHashes).map(i => col(s"h$i").as(s"a$i")): _*)
     val b = corpusSig.filter(col("slice") === 1)

@@ -809,6 +809,11 @@ object Similarity {
     require(nBits % bandBits == 0, "nBits must split into whole bands")
     require(nBits <= SrpSigns.length,
       s"at most ${SrpSigns.length} derandomized planes available")
+    // each plane is ONE 64-bit sign word: past d=63 the JVM's shift
+    // wraps mod 64 and would silently reuse signs with period 64
+    // (correlated planes) while the SQL oracle's bigint shift behaves
+    // differently — fail loudly instead of diverging cross-engine
+    require(dim <= 64, "sign table is 64-bit per plane (dim <= 64)")
     // planes as ONE array-of-arrays literal + higher-order-function folds
     // (the cosineCandidatePairs shape) — an unrolled 128×64 sum forest is
     // 8k expression nodes, which overflows janino's method limit and

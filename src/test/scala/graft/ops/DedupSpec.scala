@@ -667,4 +667,37 @@ class DedupSpec extends SparkSpec {
     assert(r3.getAs[Long]("n_union") == 5L, r3)
     assert(r3.getAs[Boolean]("equal"), r3)
   }
+
+  test("graph ops leave no cached relations behind (session hygiene)") {
+    import spark.implicits._
+    // every iterative/persisting graph op must materialize its (small)
+    // result and RELEASE its MEMORY_AND_DISK intermediates before
+    // returning — a long-lived session invoking them repeatedly must not
+    // accumulate cached relations (the pageRank idiom, round-9/10 leak
+    // fixes). cacheManager is in SharedState, so residue from any prior
+    // suite on this shared session is cleared first.
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = (k4 ++ Seq((10L, 11L), (11L, 12L))).toDF("doc_a", "doc_b")
+    val scores = (1L to 12L).map(i => (i, i * 0.1)).toDF("doc_id", "q")
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "triangleCount" ->
+        (() => Dedup.triangleCount(edges, "doc_a", "doc_b")),
+      "pageRank" ->
+        (() => Dedup.pageRank(edges, "doc_a", "doc_b", iters = 3)),
+      "connectedComponents" ->
+        (() => Dedup.connectedComponents(edges, "doc_a", "doc_b")),
+      "labelPropagation" ->
+        (() => Dedup.labelPropagation(edges, "doc_a", "doc_b", rounds = 2)),
+      "kCore" -> (() => Dedup.kCore(edges, "doc_a", "doc_b", k = 2)),
+      "resolveClustersByScore" -> (() => Dedup.resolveClustersByScore(
+        edges.toDF("doc_a", "doc_b"), scores, "doc_id", "q")))
+    ops.foreach { case (name, op) =>
+      val out = op()
+      out.collect(): Unit // consume the returned relation fully
+      assert(cm.isEmpty,
+        s"$name left cached relations registered after returning")
+    }
+  }
 }

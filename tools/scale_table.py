@@ -13,7 +13,9 @@ factors = sorted({int(k[:-1]) for q in qs.values() for k in q
                   if k.endswith("x") and k[:-1].isdigit()})
 hdr = ["query"]
 for f in factors:
-    lbl = "sf0.1" if f == 1 else f"{f}x"
+    # factor 1 is whatever source dir the rehearsal ran against — the
+    # JSON doesn't record its scale, so don't guess a label for it
+    lbl = "1x (src)" if f == 1 else f"{f}x"
     hdr += [f"{lbl} s", f"{lbl} shW MB"]
 hdr += ["ratio@10x", "exponent"]
 print("| " + " | ".join(hdr) + " |")
