@@ -85,7 +85,30 @@ object PlanAudit {
           else None,
           if (miss > 0) Some(s"pushmiss:$miss") else None,
           if (unpushable > 0) Some(s"unpushable:$unpushable") else None,
-          if (fullscan > 0) Some(s"fullscan:$fullscan") else None
+          if (fullscan > 0) Some(s"fullscan:$fullscan") else None,
+          // a SortAggregateExec means some aggregate's buffer is not
+          // hash-mutable (struct max_by, first(array), …) and Spark is
+          // externally sorting the aggregate's whole input — the tc6
+          // lesson (Similarity.semanticContamination): at fan-out scale
+          // that sort IS the bottleneck. first()-only sort-aggs are the
+          // documented Dedup.barrier exchange-reuse idiom (input = one
+          // narrow row per key, sorted once — not the pair fan-out
+          // pathology) and classify separately; anything else needs a
+          // packed-scalar rewrite or a written justification
+          {
+            val sortAggs = plan.linesIterator
+              .filter(_.contains("SortAggregate")).toSeq
+            val barriers = sortAggs.count(l =>
+              "functions=\\[(partial_)?first\\(".r.findFirstIn(l).nonEmpty)
+            val other = sortAggs.size - barriers
+            Seq(
+              if (barriers > 0) Some(s"barrier:$barriers") else None,
+              if (other > 0) Some(s"sortagg:$other") else None
+            ).flatten match {
+              case Nil => None
+              case fs => Some(fs.mkString(" "))
+            }
+          }
         ).flatten.mkString(" ")
         Some(Row(name, scans, pushed,
           count(plan, "Exchange (hash|range|Single)"),
@@ -124,7 +147,16 @@ object PlanAudit {
       "filters (hash/cast/computed join keys) that no columnar format " +
       "can evaluate in the scan; pushmiss:N = a plain column predicate " +
       "exists but did not reach the scan — a genuine pushdown miss to " +
-      "investigate (zero such rows is the expected state).\n\n")
+      "investigate (zero such rows is the expected state). " +
+      "sortagg:N = SortAggregateExec count EXCLUDING first()-only " +
+      "aggregates — a non-hash-mutable buffer (struct max_by, …) " +
+      "demoted the pass to an external sort of its whole input; every " +
+      "such entry needs a packed-scalar rewrite (the tc6 lesson) or a " +
+      "written justification (zero is the expected state); barrier:N = " +
+      "first()-only sort-aggs — the documented Dedup.barrier " +
+      "exchange-reuse idiom (one narrow row per key sorted once, " +
+      "deliberately traded for computing a multi-referenced derivation " +
+      "once; not the pair-fan-out pathology).\n\n")
     sb.append("| query | scans | pushed | exch | bhj | smj | anti | " +
       "semi | win | wscg | cache | flags |\n")
     sb.append("|---|---|---|---|---|---|---|---|---|---|---|---|\n")

@@ -54,6 +54,14 @@ object Dedup {
     * Cost: one keyed shuffle; apply only where a relation is multi-referenced
     * (single-use pipelines should stay barrier-free). `keyCol` must be
     * unique per row (`first` picks the per-key survivor).
+    *
+    * The `first(array/string)` buffers are not hash-mutable, so this agg
+    * runs as SortAggregateExec — deliberately: the input is ONE narrow
+    * row per key (not a pair fan-out — the tc6 pathology does not apply),
+    * the per-partition sort is the whole extra cost, and no
+    * hash-combinable encoding exists for array payloads (ObjectHash
+    * first() would fall back to sort past its ~128-key threshold anyway
+    * on unique keys). PlanAudit classifies these as `barrier:` rows.
     */
   def barrier(df: DataFrame, keyCol: String): DataFrame = {
     val others = df.columns.filter(_ != keyCol)
@@ -976,22 +984,44 @@ object Dedup {
     * cluster (component, keep_id, n_members, keep_score).
     *
     * Scale shape: [[connectedComponents]] for the transitive closure, one
-    * id-keyed score join, one component-keyed `max_by` aggregate
-    * (map-side combined). `scoreCol` must be deterministic/rounded for
+    * id-keyed score join, one component-keyed aggregate (map-side
+    * combined). `scoreCol` must be deterministic/rounded for
     * cross-engine argmax stability.
+    *
+    * The argmax is a plain `max` over a packed long, not
+    * `max_by(id, struct(score, -id))` — a struct ordering buffer is not
+    * hash-aggregable, so max_by would demote the whole per-component
+    * pass to SortAggregateExec and externally sort every (doc, score)
+    * row (the tc6 lesson, [[graft.ops.Similarity.semanticContamination]]).
+    * Packing contract (raise_error-guarded): score is 4dp-rounded with
+    * |score| < 104 (quality/cosine domains), ids in [0, 2⁴²) — 4.4e12
+    * ids, ample for any per-corpus doc-id space this engine assigns.
     */
   def resolveClustersByScore(pairs: DataFrame, scores: DataFrame,
       idCol: String, scoreCol: String,
-      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val idMask = (1L << 42) - 1
+    val scoreKey = round(col(scoreCol) * 10000).cast("long") + (1L << 20)
+    val pk = when(
+        scoreKey.between(0L, (1L << 21) - 1) &&
+          col(idCol).between(0L, idMask),
+        scoreKey * (idMask + 1) + (lit(idMask) - col(idCol).cast("long")))
+      .otherwise(raise_error(concat(
+        lit(s"resolveClustersByScore: $scoreCol/$idCol outside the " +
+          "packed-argmax domain (|score| < 104 at 4dp, 0 <= id < 2^42): "),
+        col(scoreCol).cast("string"), lit("/"), col(idCol).cast("string"))))
     connectedComponents(pairs, aCol, bCol)
       .withColumnRenamed("id", idCol)
       .join(scores, Seq(idCol))
       .groupBy(col("component"))
       .agg(
-        max_by(col(idCol),
-          struct(col(scoreCol), (-col(idCol)).as("nid"))).as("keep_id"),
+        max(pk).as("pk"),
         count(lit(1)).as("n_members"),
         max(col(scoreCol)).as("keep_score"))
+      .select(col("component"),
+        (lit(idMask) - col("pk").bitwiseAND(idMask)).as("keep_id"),
+        col("n_members"), col("keep_score"))
+  }
 
   /** Benchmark decontamination report: for each training doc sharing at
     * least one word n-gram with the held-out benchmark set, the count of
@@ -1248,13 +1278,14 @@ object Dedup {
     *
     * Scale shape: one persisted degree-less edge relation re-joined per
     * round; each round is a label-keyed join + a (dst, label)-keyed count
-    * + a dst-keyed `max_by` plurality pick — two partial-aggregate
-    * shuffles, no window sort. Per-round `localCheckpoint` truncates
+    * + a dst-keyed packed-long plurality pick — two partial-aggregate
+    * HASH shuffles, no window sort, no sort agg. Per-round `localCheckpoint` truncates
     * lineage exactly like [[pageRank]]; the final node-sized result is
     * materialized before the edge cache drops.
     */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
       rounds: Int = 3): DataFrame = {
+    val lpMask = (1L << 41) - 1
     val und = pairs.select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
@@ -1270,13 +1301,24 @@ object Dedup {
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("c"))
-        // plurality pick without a window sort: max over (count, -label)
-        // = highest count, then smallest label — labels are node ids ≥ 0,
-        // so the negation is a total order flip
+        // plurality pick without a window sort OR a sort agg: highest
+        // count, then smallest label, as ONE hash-combinable max over a
+        // packed long (a struct max_by buffer would demote this edge-
+        // scale pass to SortAggregateExec — the tc6 lesson). Budget:
+        // counts in the top 22 bits (plurality count ≤ neighbor degree,
+        // and the candidate-pair generators cap bucket sizes well under
+        // 4.2M), node-id labels in the low 41 (2.2e12 ids);
+        // raise_error-guarded so an out-of-envelope graph fails loudly
         .groupBy(col("dst"))
-        .agg(max_by(col("label"),
-          struct(col("c"), (-col("label")).as("nl"))).as("label"))
-        .select(col("dst").as("node"), col("label"))
+        .agg(max(when(
+            col("c") < (1L << 22) && col("label").between(0L, lpMask),
+            col("c") * (lpMask + 1) +
+              (lit(lpMask) - col("label").cast("long")))
+          .otherwise(raise_error(lit(
+            "labelPropagation: count/label outside the packed-plurality " +
+              "domain (count < 2^22, 0 <= label < 2^41)")))).as("pk"))
+        .select(col("dst").as("node"),
+          (lit(lpMask) - col("pk").bitwiseAND(lpMask)).as("label"))
         // LAZY per-round checkpoint (the pageRank convention): round i+1
         // sees a leaf, not i nested join+agg rounds
         .localCheckpoint(false)

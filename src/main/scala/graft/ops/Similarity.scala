@@ -286,10 +286,15 @@ object Similarity {
     *     analysis degrade with plan size well before the real-IVF
     *     nlist=4096 × dim=64 ≈ 262k literals), assignment switches to a
     *     broadcast centroid RELATION + id-keyed argmax aggregate with the
-    *     SAME rounded tie-break (max_by on (sim, −cluster): highest sim,
-    *     then lowest cluster). Plan size is now O(1) in k; the cost is one
-    *     id-keyed shuffle per iteration whose map side partial-aggregates
-    *     the k-way fan-out down to one row per id per partition;
+    *     SAME rounded tie-break (highest sim, then lowest cluster — the
+    *     (sim·10⁶ + 10⁶) ≪ 21 | (2²¹−1−cluster) packed long, so the agg
+    *     is a plain hash-combinable `max`; a struct max_by here would
+    *     demote to SortAggregateExec and sort the whole k-way fan-out,
+    *     see [[semanticContamination]]). The fan-out is projected down to
+    *     (id, packed) BEFORE the aggregate so no vector rides it ×k; the
+    *     vectors reattach via one id-keyed join (a second corpus scan per
+    *     iteration — cheaper than externally sorting k duplicated copies
+    *     of every vector). Plan size is O(1) in k;
     *   - recompute reuses the [[centroids]] shuffle (posexplode keyed by
     *     (cluster, pos) with map-side combine), then pulls k·dim doubles
     *     to the driver for the next iteration — the MLlib pattern; empty
@@ -325,12 +330,18 @@ object Similarity {
         base.withColumn("cluster", assignCol(cents))
       else {
         val centsDf = broadcast(cents.toDF("cluster", "centroid"))
-        base.crossJoin(centsDf)
-          .withColumn("sim", round(cosine(col(vecCol), col("centroid")), 6))
+        val cMask = (1L << 21) - 1
+        val simKey = round(round(cosine(col(vecCol), col("centroid")), 6)
+          * 1000000).cast("long") + 1000000L
+        val pick = base.crossJoin(centsDf)
+          .select(col(idCol), (simKey * (cMask + 1) +
+            (lit(cMask) - col("cluster").cast("long"))).as("pk"))
           .groupBy(col(idCol))
-          .agg(first(col(vecCol)).as(vecCol),
-            max_by(col("cluster"),
-              struct(col("sim"), (-col("cluster")).as("nc"))).as("cluster"))
+          .agg(max(col("pk")).as("pk"))
+          .select(col(idCol),
+            (lit(cMask) - col("pk").bitwiseAND(cMask)).cast("int")
+              .as("cluster"))
+        base.join(pick, Seq(idCol))
       }
 
     var cents: Seq[(Int, Seq[Double])] = base
@@ -682,7 +693,7 @@ object Similarity {
     * over an unlabeled corpus (fasttext-style label spreading, but purely
     * geometric). Ties → smallest label, so the vote is deterministic and
     * fully oracle-replayable; output is integer-only (query_id,
-    * pred_label, n_votes).
+    * pred_label as long, n_votes).
     *
     * Scale shape: neighbor search is pluggable — this form rides
     * [[bruteForceTopK]] (broadcast queries × one corpus scan, per-query
@@ -697,15 +708,21 @@ object Similarity {
     val nbrs = bruteForceTopK(corpus, queries, idCol, vecCol, k)
       .join(corpus.select(col(idCol).as("neighbor_id"),
         col(labelCol).as("nbr_label")), Seq("neighbor_id"))
+    // plurality pick as a packed-long hash max (votes ≤ k < 2¹⁵ by
+    // construction, labels in [0, 2⁴⁸)) — struct max_by would demote
+    // this pass to SortAggregateExec (the tc6 lesson)
+    val lMask = (1L << 48) - 1
     nbrs
       .groupBy(col("query_id"), col("nbr_label"))
       .agg(count(lit(1)).as("n_votes"))
       .groupBy(col("query_id"))
       .agg(
-        max_by(col("nbr_label"),
-          struct(col("n_votes"), (-col("nbr_label")).as("nl")))
-          .as("pred_label"),
+        max(col("n_votes") * (lMask + 1) +
+          (lit(lMask) - col("nbr_label").cast("long"))).as("pk"),
         max(col("n_votes")).as("n_votes"))
+      .select(col("query_id"),
+        (lit(lMask) - col("pk").bitwiseAND(lMask)).as("pred_label"),
+        col("n_votes"))
   }
 
   /** The derandomized SRP hyperplane table: plane j's ±1 sign for
@@ -887,21 +904,38 @@ object Similarity {
     * aggregate; no shuffle touches the wide vectors. A billion-row eval
     * set would instead ride the LSH-bucketed candidate path
     * ([[cosineCandidatePairs]]) — same output contract.
+    *
+    * The nearest-id aggregate is a plain `max` over a packed long, not
+    * `max_by(eval_id, struct(sim, -eval_id))`: a struct-typed ordering
+    * buffer is not hash-aggregable, so max_by demotes the whole plan to
+    * SortAggregateExec — Spark then SORTS every (train × eval) pair
+    * instead of folding them map-side (measured: the 30× rehearsal
+    * corpus thrashed for 18+ min where ~20 s of hash aggregation was
+    * expected). sim is already 4dp, so (sim·10⁴ + 10⁴) ∈ [0, 2·10⁴]
+    * packs exactly into the bits above 48, and (2⁴⁸−1 − eval_id) in the
+    * low 48 makes lexicographic (sim desc, eval_id asc) = numeric max.
+    * Ids must fit 48 bits — ample for any corpus this runs on (2.8·10¹⁴).
     */
   def semanticContamination(train: DataFrame, eval: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val idMask = (1L << 48) - 1
     val ev = eval.select(col(idCol).as("eval_id"), col(vecCol).as("e_vec"))
     train.select(col(idCol), col(vecCol).as("t_vec"))
       .crossJoin(broadcast(ev))
       .select(col(idCol),
         col("eval_id"),
         round(cosine(col("t_vec"), col("e_vec")), 4).as("sim"))
+      .select(col(idCol), col("sim"),
+        ((round(col("sim") * 10000).cast("long") + 10000L) * (idMask + 1) +
+          (lit(idMask) - col("eval_id").cast("long"))).as("pk"))
       .groupBy(col(idCol))
       .agg(
         max(col("sim")).as("max_sim"),
-        max_by(col("eval_id"),
-          struct(col("sim"), (-col("eval_id")).as("ni"))).as("nearest_eval"),
+        max(col("pk")).as("pk"),
         sum(when(col("sim") >= threshold, 1L).otherwise(0L)).as("n_over"))
-      .withColumn("contaminated", col("max_sim") >= threshold)
+      .select(col(idCol), col("max_sim"),
+        (lit(idMask) - col("pk").bitwiseAND(idMask)).as("nearest_eval"),
+        col("n_over"),
+        (col("max_sim") >= threshold).as("contaminated"))
   }
 }

@@ -463,6 +463,35 @@ class DedupSpec extends SparkSpec {
       10L -> ((10L, 2L, 0.7))))
   }
 
+  test("resolveClustersByScore aggregates hash-side, never sort-side") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val scores = Seq((1L, 0.3), (2L, 0.9)).toDF("doc_id", "quality")
+    val plan = Dedup.resolveClustersByScore(pairs, scores, "doc_id",
+        "quality")
+      .queryExecution.executedPlan.toString
+    // the packed-long argmax must keep every aggregate in this op
+    // hash-combinable; a struct max_by buffer silently demotes the
+    // component pass to SortAggregateExec (externally sorts every doc)
+    assert(plan.contains("HashAggregate"), plan.linesIterator.take(8)
+      .mkString("\n"))
+    assert(!plan.contains("SortAggregate"), plan.linesIterator.take(8)
+      .mkString("\n"))
+  }
+
+  test("resolveClustersByScore rejects scores outside the packed domain") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val scores = Seq((1L, 1.0e6), (2L, 0.9)).toDF("doc_id", "quality")
+    val ex = intercept[Exception] {
+      Dedup.resolveClustersByScore(pairs, scores, "doc_id", "quality")
+        .collect()
+    }
+    assert(ex.getMessage.contains("packed-argmax domain") ||
+      Option(ex.getCause).exists(_.getMessage
+        .contains("packed-argmax domain")), ex.getMessage)
+  }
+
   test("span decontaminate drops only docs sharing a verbatim window") {
     import spark.implicits._
     val train = Seq(

@@ -312,11 +312,11 @@ class SimilaritySpec extends SparkSpec {
     // broken by id) → majority label 1 with 2 votes
     val k3 = Similarity.knnClassify(vecs, q, "vec_id", "embedding",
       "label", 3).collect().head
-    assert((k3.getInt(1), k3.getLong(2)) == ((1, 2L)), k3)
+    assert((k3.getLong(1), k3.getLong(2)) == ((1L, 2L)), k3)
     // k=2: one vote each for labels 0 and 1 → smaller label wins
     val k2 = Similarity.knnClassify(vecs, q, "vec_id", "embedding",
       "label", 2).collect().head
-    assert((k2.getInt(1), k2.getLong(2)) == ((0, 1L)), k2)
+    assert((k2.getLong(1), k2.getLong(2)) == ((0L, 1L)), k2)
   }
 
   test("scalarQuantize: affine [0,255] codes, max clamps, constant dim 0") {
@@ -399,6 +399,24 @@ class SimilaritySpec extends SparkSpec {
       (1L, 1.0, 100L, 1L, true),
       (2L, 0.7071, 100L, 0L, false),   // tie on sim → smaller eval id
       (3L, 0.0, 100L, 0L, false)), got.toSeq)
+  }
+
+  test("semanticContamination aggregates hash-side, never sort-side") {
+    import spark.implicits._
+    val eval = Seq((100L, Seq(1f, 0f)), (101L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.semanticContamination(train, eval,
+        "vec_id", "embedding", threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    // a struct-ordered max_by buffer silently demotes the agg to
+    // SortAggregateExec (sorts every train×eval pair); the packed-long
+    // encoding must keep it a map-side-combinable hash aggregate
+    assert(plan.contains("HashAggregate"), plan.linesIterator.take(8)
+      .mkString("\n"))
+    assert(!plan.contains("SortAggregate"), plan.linesIterator.take(8)
+      .mkString("\n"))
   }
 
   test("thresholdPairs plan has no cartesian/nested-loop join") {
