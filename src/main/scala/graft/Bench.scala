@@ -257,12 +257,17 @@ object Bench {
       // SharedState (shared across sessions on one context), so an entry
       // whose returned plan rides a persisted relation would otherwise
       // stay cached into every later query; codegen classes and shuffle
-      // buffers are only reclaimed on GC
-      spark.sharedState.cacheManager.clearCache()
+      // buffers are only reclaimed on GC. If the context itself died
+      // mid-query (e.g. executor-thread OOM stops it in local mode), the
+      // failure Detail above is already printed — don't let cleanup's
+      // IllegalStateException erase it by crashing the child
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: IllegalStateException => }
       System.gc()
       name -> d
     }
-    freshSession().stop()
+    try freshSession().stop()
+    catch { case _: IllegalStateException => }
     results
   }
 

@@ -22,9 +22,14 @@ import java.nio.file.{Files, Paths}
   *
   * Usage: runMain graft.ScaleBench <srcSfDir> <outJson>
   *  - SPARK_GRAFT_FACTORS: comma list of ScaleUp factors (default "10")
-  *  - SPARK_GRAFT_DEEP_FACTOR / SPARK_GRAFT_DEEP_QUERIES: one extra,
-  *    larger factor run only for the named queries (third decade for the
-  *    headliners without paying it for all 18)
+  *  - SPARK_GRAFT_DEEP_FACTORS / SPARK_GRAFT_DEEP_QUERIES: extra, larger
+  *    factors run only for the named queries (third/fourth decades for
+  *    the headliners without paying them for all 18). The legacy
+  *    singular SPARK_GRAFT_DEEP_FACTOR still works. The 100x corpus
+  *    needs SPARK_DRIVER_MEM=24g — the default 8g fork heap dies
+  *    mid-query (single-JVM local mode carries all 32 executor threads'
+  *    shuffle + the persisted corpus on one heap; a real cluster spreads
+  *    this over executors)
   *  - SPARK_GRAFT_ONLY: narrow the query set (same contract as Bench)
   * Synthesized corpora land under target/scale_sf<factor> and are reused
   * if already present.
@@ -73,7 +78,9 @@ object ScaleBench {
     }
     val factors = sys.env.getOrElse("SPARK_GRAFT_FACTORS", "10")
       .split(",").map(_.trim.toInt).toSeq
-    val deepFactor = sys.env.get("SPARK_GRAFT_DEEP_FACTOR").map(_.toInt)
+    val deepFactors = sys.env.get("SPARK_GRAFT_DEEP_FACTORS")
+      .orElse(sys.env.get("SPARK_GRAFT_DEEP_FACTOR"))
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
     val deepQueries = sys.env.get("SPARK_GRAFT_DEEP_QUERIES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -82,11 +89,11 @@ object ScaleBench {
 
     val scaleDirs: Seq[(Int, String)] =
       (1, src) +: factors.map(f => f -> ensureCorpus(src, f))
-    val deepDir = deepFactor.map(f => f -> ensureCorpus(src, f))
+    val deepDirs = deepFactors.map(f => f -> ensureCorpus(src, f))
 
     val perQuery = selected.map { name =>
       val dirs = scaleDirs ++
-        (if (deepQueries.contains(name)) deepDir.toSeq else Nil)
+        (if (deepQueries.contains(name)) deepDirs else Nil)
       val measured = dirs.map { case (factor, dir) =>
         System.err.println(s"[scalebench] $name @ ${factor}x ($dir)")
         (factor, Bench.forkOne(name, dir))
@@ -128,9 +135,10 @@ object ScaleBench {
          | "timing": "fork-per-query, 1 warmup + min of 3 (Bench protocol)",
          |  "metrics": "task-metrics profile of the final timed run: total shuffle read/write MB, total spill MB, max per-task peak execution memory MB",
          |  "factors": [${scaleDirs.map(_._1).mkString(",")}],
-         |  "deep": ${deepFactor.fold("null")(f =>
-            s"""{"factor":$f,"queries":[${deepQueries.map("\"" + _ + "\"")
-              .mkString(",")}]}""")},
+         |  "deep": ${if (deepFactors.isEmpty) "null"
+            else s"""{"factors":[${deepFactors.mkString(",")}],""" +
+              s""""queries":[${deepQueries.map("\"" + _ + "\"")
+                .mkString(",")}]}"""},
          |  "exponent": "least-squares slope of log10(sec) vs log10(factor); 1.0 = linear, >1.301 = the >2x-super-linear flag"
          | },
          | "queries": {
