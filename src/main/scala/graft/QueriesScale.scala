@@ -4826,11 +4826,17 @@ object QueriesScale {
         |  SELECT vec_id, j // 8 AS band_idx,
         |    SUM(bit << (7 - (j % 8))) AS band_val
         |  FROM bits GROUP BY vec_id, j // 8),
+        |kept AS (
+        |  SELECT vec_id, band_idx, band_val,
+        |    ROW_NUMBER() OVER (PARTITION BY band_idx, band_val
+        |                       ORDER BY vec_id) AS rn
+        |  FROM bands),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM bands a JOIN bands b
+        |  FROM kept a JOIN kept b
         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-        |   AND a.vec_id < b.vec_id),
+        |   AND a.vec_id < b.vec_id
+        |  WHERE a.rn <= 512 AND b.rn <= 512),
         |scored AS (
         |  SELECT c.id_a, c.id_b,
         |    ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS sim

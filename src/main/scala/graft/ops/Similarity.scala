@@ -103,14 +103,13 @@ object Similarity {
   def cosineCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, seed: Long = 42L): DataFrame = {
     val (r, b) = lshParams(threshold)
-    val planes = typedlit(hyperplanes(r * b, dim, seed))
     // bits materialized as a real column (referenced b times below —
     // CollapseProject keeps non-cheap multi-referenced projections apart,
-    // so the hyperplane pass runs once per row, not once per band)
-    val bits = transform(planes, p =>
-      when(aggregate(zip_with(col(vecCol), p,
-          (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v) >= 0, 1L).otherwise(0L))
+    // so the hyperplane pass runs once per row, not once per band); the
+    // projection itself is the fused native SignBits expression — one
+    // codegen'd loop instead of r·b interpreted HOF folds per row
+    val bits = graft.functions.SignBits(col(vecCol),
+      hyperplanes(r * b, dim, seed))
     val buckets = transform(sequence(lit(0), lit(b - 1)), j =>
       struct(j.cast("int").as("band"),
         aggregate(slice(col("bits"), j * r + 1, lit(r)), lit(0L),
@@ -806,12 +805,10 @@ object Similarity {
     * the degenerate buckets catching half the corpus by accident.)
     *
     * Scale shape: signatures are row-local, one pass per row, zero
-    * shuffles (the HOF fold is CodegenFallback — interpreted inside the
-    * codegen'd stage; the trade for a plane-matrix literal the planner
-    * can hold, where the unrolled 8k-term sum forest overflows janino
-    * and drops the WHOLE stage to interpreted anyway — and why the first
-    * run pays a JIT-warmup premium the min-of-3 protocol absorbs); the
-    * one wide operation is the band-bucket
+    * shuffles, and fully codegen'd — the whole plane matrix runs inside
+    * one fused native loop ([[graft.functions.SignBits]]) rather than as
+    * interpreted HOF folds or an 8k-node unrolled sum forest (janino
+    * method-limit overflow); the one wide operation is the band-bucket
     * self-join, whose buckets shrink geometrically with bandBits; exact
     * cosine runs only on candidates, once per pair (multi-band collisions
     * collapse in a narrow distinct). bandBits is the SCALE dial: a band
@@ -819,9 +816,22 @@ object Similarity {
     * n²/2^bandBits, so band width must grow with corpus density;
     * production at 100 TB wants 16-24-bit bands, keeping the band COUNT
     * (the recall dial) independent of the band WIDTH (the cost dial).
+    * `maxBucket` is the guard rail BELOW that dial — the same degenerate-
+    * bucket cap every other LSH path here carries (MinHash banding's
+    * BoundedCollect, SimHash's maxBucket): each (band, bucket) keeps its
+    * `maxBucket` smallest ids (deterministic → still SQL-replayable, the
+    * entry's whole point), so join cost is bounded by
+    * bands × 2^bandBits × maxBucket² no matter the corpus density. The
+    * 4-decade rehearsal motivated it: UNCAPPED, the chance-collision
+    * quadratic reached a 386 s first-build at 30× (9 G candidate slots)
+    * and out-ran local disk at 100× — while true near-dup clusters are
+    * tens of rows, so a 512 cap only ever truncates chance-dominated
+    * buckets (a true pair needs BOTH members inside the cap in just one
+    * of its 16 shared bands).
     */
   def srpCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, nBits: Int = 128, bandBits: Int = 8)
+      dim: Int, threshold: Double, nBits: Int = 128, bandBits: Int = 8,
+      maxBucket: Int = 512)
   : DataFrame = {
     require(nBits % bandBits == 0, "nBits must split into whole bands")
     require(nBits <= SrpSigns.length,
@@ -831,20 +841,20 @@ object Similarity {
     // (correlated planes) while the SQL oracle's bigint shift behaves
     // differently — fail loudly instead of diverging cross-engine
     require(dim <= 64, "sign table is 64-bit per plane (dim <= 64)")
-    // planes as ONE array-of-arrays literal + higher-order-function folds
-    // (the cosineCandidatePairs shape) — an unrolled 128×64 sum forest is
-    // 8k expression nodes, which overflows janino's method limit and
-    // silently drops the whole stage to interpreted mode. The fold visits
-    // dimensions in ascending order, so the ±1.0-multiply-then-add
-    // arithmetic is IEEE-identical to both the unrolled form and the SQL
-    // oracle's list_aggregate.
+    // the whole 128×64 projection pass is ONE fused native expression
+    // ([[graft.functions.SignBits]], whole-stage codegen) — an unrolled
+    // 128×64 sum forest of builtin expressions would be 8k nodes (janino
+    // method-limit overflow), and the HOF-fold formulation it replaces
+    // ran interpreted (CodegenFallback) at ~400 s for the 30× corpus's
+    // one-time signature pass. SignBits accumulates each plane in
+    // ascending dimension order with a 0.0 double seed, so the
+    // ±1.0-multiply-then-add arithmetic is IEEE-identical to the fold it
+    // replaced and to the SQL oracle's list_aggregate.
     val planes: Seq[Seq[Double]] = (0 until nBits).map { j =>
       (0 until dim).map(d =>
         if (((SrpSigns(j) >> d) & 1L) == 1L) 1.0 else -1.0)
     }
-    val bits = transform(typedlit(planes), p =>
-      when(aggregate(zip_with(col("v"), p, (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0))
+    val bits = graft.functions.SignBits(col("v"), planes)
     // bits materialized as a real column (referenced once per band below —
     // CollapseProject would otherwise inline the whole plane pass into
     // every band expression)
@@ -864,16 +874,36 @@ object Similarity {
     val banded = sig.select(col("id"),
       posexplode(array((0 until nBits / bandBits).map(k => col(s"band_$k")): _*))
         .as(Seq("band_idx", "band_val")))
+      // degenerate-bucket cap: keep each bucket's maxBucket smallest ids.
+      // The window shuffles by the SAME (band, bucket) key the self-join
+      // hashes on, so the exchange is reused, and the cap is a total-order
+      // rule the DuckDB oracle replays verbatim (ROW_NUMBER ... ORDER BY id)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band_idx"), col("band_val"))
+          .orderBy(col("id"))))
+      .filter(col("rn") <= maxBucket).drop("rn")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // the verify stage fetches BOTH vectors per candidate pair; left to
+    // the planner, a vector relation past the 10 MB auto-broadcast
+    // threshold sort-merge-joins the (huge, narrow) candidate set twice
+    // with 4·dim-byte payloads attached — measured ~100 GB of sort spill
+    // at the 100× rehearsal decade (disk-out) for a 52 MB vector side.
+    // Size-gate an explicit broadcast instead (the Dedup blacklist idiom):
+    // under the gate the candidates stream through two hash lookups and
+    // the threshold filter in one stage; past it (true 100 TB corpora)
+    // the shuffled join is the only correct shape anyway.
     val vecs = sig.select(col("id"), col("v"))
+    val vecBytes = sig.count() * (4L * dim + 24L)
+    val gate: DataFrame => DataFrame =
+      if (vecBytes <= (256L << 20)) broadcast else identity
     val out = cand
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .join(gate(vecs.select(col("id").as("id_a"), col("v").as("va"))), "id_a")
+      .join(gate(vecs.select(col("id").as("id_b"), col("v").as("vb"))), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 4).as("sim"))
       .filter(col("sim") >= threshold)

@@ -63,6 +63,44 @@ class FunctionsSpec extends SparkSpec {
     assert(interpreted.count() == 2)
   }
 
+  test("sign_bits is bit-equal to the interpreted HOF-fold formulation") {
+    val rnd = new scala.util.Random(20260814L)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(24)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (1L to 50L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1))) ++
+      // NaN projection: Spark's >= orders NaN above every double → bit 1;
+      // the native loop must agree
+      Seq((51L, Seq.fill(16)(Float.NaN)), (52L, Seq.fill(16)(0f)))
+    val df = vecs.toDF("id", "v")
+    val hof = transform(typedlit(planes), p =>
+      when(aggregate(zip_with(col("v"), p, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x) >= 0, 1).otherwise(0))
+    val rows = df.select(SignBits(col("v"), planes).as("native"),
+      hof.as("ref")).collect()
+    rows.foreach(r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1), r.toString))
+  }
+
+  test("sign_bits nulls on mismatch/null element and drops from banding") {
+    val planes: Seq[Seq[Double]] = Seq(Seq(1.0, 1.0), Seq(1.0, -1.0))
+    val df = Seq(
+      (1L, Array[java.lang.Float](1.0f, 2.0f)),       // well-formed
+      (2L, Array[java.lang.Float](1.0f)),             // wrong length
+      (3L, Array[java.lang.Float](1.0f, null)),       // null element
+      (4L, null.asInstanceOf[Array[java.lang.Float]])) // null vector
+      .toDF("id", "v")
+    val got = df.select(col("id"), SignBits(col("v"), planes).as("bits"))
+    assert(got.filter(col("bits").isNull).select("id").as[Long].collect()
+      .toSet == Set(2L, 3L, 4L))
+    // the malformed rows' band keys go null too, so equi-joins drop them —
+    // the candidacy contract cosineCandidatePairs documents
+    val bands = got.select(col("id"),
+      aggregate(slice(col("bits"), 1, 2), lit(0), (a, b) => a * 2 + b)
+        .as("band"))
+    assert(bands.filter(col("band").isNotNull).count() == 1)
+  }
+
   test("heavy_hitters merge keeps a heavy key arriving as one partial") {
     // the ADVICE r1 scenario: one partition holds the heavy key, others only
     // light keys; a buggy merge that decrements by the FULL incoming count

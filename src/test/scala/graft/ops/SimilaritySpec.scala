@@ -381,6 +381,22 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSet == again.toSet)
   }
 
+  test("srpCandidatePairs caps degenerate buckets deterministically") {
+    import spark.implicits._
+    // 10 identical vectors land in ONE bucket of every band; with
+    // maxBucket=4 each bucket keeps the 4 smallest ids, so candidates are
+    // exactly the C(4,2)=6 pairs among ids 1..4 — the same total-order
+    // rule the DuckDB oracle replays (ROW_NUMBER ... ORDER BY id <= cap)
+    val v = Seq(0.5f, -0.25f, 1f, 0.75f)
+    val df = (1L to 10L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val got = Similarity.srpCandidatePairs(df, "vec_id", "embedding",
+        dim = 4, threshold = 0.9, nBits = 16, bandBits = 4, maxBucket = 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toSet
+    assert(got == expect, got)
+  }
+
   test("semanticContamination: max/nearest/count against hand geometry") {
     import spark.implicits._
     val eval = Seq((100L, Seq(1f, 0f, 0f, 0f)), (101L, Seq(0f, 1f, 0f, 0f)))
