@@ -91,16 +91,6 @@ object ScaleBench {
       (1, src) +: factors.map(f => f -> ensureCorpus(src, f))
     val deepDirs = deepFactors.map(f => f -> ensureCorpus(src, f))
 
-    val perQuery = selected.map { name =>
-      val dirs = scaleDirs ++
-        (if (deepQueries.contains(name)) deepDirs else Nil)
-      val measured = dirs.map { case (factor, dir) =>
-        System.err.println(s"[scalebench] $name @ ${factor}x ($dir)")
-        (factor, Bench.forkOne(name, dir))
-      }
-      name -> measured
-    }
-
     def fmtQuery(name: String,
         measured: Seq[(Int, Bench.Detail)]): String = {
       val pts = measured.filter(_._2.value > 0)
@@ -121,6 +111,12 @@ object ScaleBench {
         s""""super_linear_2x":$flag,$scales}"""
     }
 
+    // Flushed after EVERY completed query, not once at the end: a scale
+    // run is tens of minutes, and losing the whole artifact to a killed
+    // JVM (observed twice at session boundaries) costs more than the
+    // redundant small-file writes.
+    def writeJson(perQuery: Seq[(String, Seq[(Int, Bench.Detail)])])
+        : Unit = {
     val flagged = perQuery.collect {
       case (n, m) if {
         val pts = m.filter(_._2.value > 0)
@@ -153,5 +149,20 @@ object ScaleBench {
          |""".stripMargin
     Files.write(Paths.get(outJson), json.getBytes(StandardCharsets.UTF_8))
     System.err.println(s"[scalebench] wrote $outJson")
+    }
+
+    val perQuery =
+      scala.collection.mutable.ArrayBuffer
+        .empty[(String, Seq[(Int, Bench.Detail)])]
+    selected.foreach { name =>
+      val dirs = scaleDirs ++
+        (if (deepQueries.contains(name)) deepDirs else Nil)
+      val measured = dirs.map { case (factor, dir) =>
+        System.err.println(s"[scalebench] $name @ ${factor}x ($dir)")
+        (factor, Bench.forkOne(name, dir))
+      }
+      perQuery += (name -> measured)
+      writeJson(perQuery.toSeq)
+    }
   }
 }
