@@ -132,7 +132,7 @@ object Bench {
     "tp1_curation",
     "mm1_binary_meta", "mm4_vit_patches",
     "dd27_label_propagation", "lm2_kneser_ney", "tc6_semantic_decontam",
-    "ts22_sentence_stats", "sim17_srp_lsh",
+    "tc7_semantic_screen", "ts22_sentence_stats", "sim17_srp_lsh",
     "dd28_kcore", "dd29_containment", "tp23_quantile_calibration",
     "tp24_top_p_selection",
     "tp25_source_cap", "ev10_gapfill_resample", "a18_countmin",

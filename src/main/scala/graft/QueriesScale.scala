@@ -409,6 +409,27 @@ object QueriesScale {
         .orderBy(col("vec_id"))
     }),
 
+    // the same audit through the IVF SCREEN — tc6's scan-fraction scale
+    // path for when the eval suite itself is big: deterministic k-means
+    // (k=16, 2 Lloyd's rounds, sim5's machinery) clusters the eval side
+    // once, every train vector exact-cosines only its 2 nearest clusters'
+    // members (k + |eval|/8 dots per row instead of |eval|). Stats are
+    // probe-restricted (max_sim ≤ brute force, no false positives);
+    // everything deterministic → the full oracle replays the unrolled
+    // k-means, the probe ranks, and the screen aggregate.
+    "tc7_semantic_screen" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val eval = emb.filter(col("label") === 0)
+        .select(col("vec_id"), col("embedding"))
+      val members = eval.join(
+        Similarity.kmeansAssign(eval, "vec_id", "embedding", 16, 2),
+        Seq("vec_id"))
+      Similarity.semanticContaminationScreen(
+          emb.filter(col("label") =!= 0), members,
+          "vec_id", "embedding", "cluster", threshold = 0.4, nprobe = 2)
+        .orderBy(col("vec_id"))
+    }),
+
     // span-level decontamination: training docs sharing a VERBATIM
     // 8-token window with the benchmark slice — the contiguous-overlap
     // criterion (gram overlap flags idioms; spans flag real leakage).
@@ -4004,6 +4025,68 @@ object QueriesScale {
         |nn AS (SELECT p.vec_id, MIN(p.eval_id) AS nearest_eval
         |       FROM p JOIN a ON p.vec_id = a.vec_id AND p.sim = a.max_sim
         |       GROUP BY p.vec_id)
+        |SELECT a.vec_id, a.max_sim, nn.nearest_eval, a.n_over,
+        |       a.max_sim >= 0.4 AS contaminated
+        |FROM a JOIN nn USING (vec_id) ORDER BY a.vec_id""".stripMargin,
+
+    // unrolled 2-iteration Lloyd's on the eval slice (sim5's replay
+    // pattern, k=16), final member assignment + final centroids, probe
+    // rank <= 2 per train vector, screen aggregate over probed members
+    "tc7_semantic_screen" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |ev AS (SELECT vec_id, v FROM e WHERE label = 0),
+        |tr AS (SELECT vec_id, v FROM e WHERE label <> 0),
+        |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+        |              v AS centroid
+        |       FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT 16)),
+        |a1 AS (SELECT vec_id, v, cluster FROM (
+        |         SELECT ev.vec_id, ev.v, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY ev.vec_id
+        |             ORDER BY ROUND(list_cosine_similarity(ev.v, c.centroid),
+        |                            6) DESC, c.cluster) AS rk
+        |         FROM ev, c0 c) WHERE rk = 1),
+        |c1 AS (SELECT cluster, list(cavg ORDER BY i) AS centroid FROM (
+        |         SELECT cluster, i, avg(v[i]) AS cavg FROM (
+        |           SELECT cluster, unnest(generate_series(1, len(v))) AS i, v
+        |           FROM a1) GROUP BY cluster, i) GROUP BY cluster),
+        |a2 AS (SELECT vec_id, v, cluster FROM (
+        |         SELECT ev.vec_id, ev.v, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY ev.vec_id
+        |             ORDER BY ROUND(list_cosine_similarity(ev.v, c.centroid),
+        |                            6) DESC, c.cluster) AS rk
+        |         FROM ev, c1 c) WHERE rk = 1),
+        |c2 AS (SELECT cluster, list(cavg ORDER BY i) AS centroid FROM (
+        |         SELECT cluster, i, avg(v[i]) AS cavg FROM (
+        |           SELECT cluster, unnest(generate_series(1, len(v))) AS i, v
+        |           FROM a2) GROUP BY cluster, i) GROUP BY cluster),
+        |afin AS (SELECT vec_id, v, cluster FROM (
+        |         SELECT ev.vec_id, ev.v, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY ev.vec_id
+        |             ORDER BY ROUND(list_cosine_similarity(ev.v, c.centroid),
+        |                            6) DESC, c.cluster) AS rk
+        |         FROM ev, c2 c) WHERE rk = 1),
+        |cfin AS (SELECT cluster, list(cavg ORDER BY i) AS centroid FROM (
+        |         SELECT cluster, i, avg(v[i]) AS cavg FROM (
+        |           SELECT cluster, unnest(generate_series(1, len(v))) AS i, v
+        |           FROM afin) GROUP BY cluster, i) GROUP BY cluster),
+        |probe AS (SELECT vec_id, v, cluster FROM (
+        |         SELECT t.vec_id, t.v, c.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+        |             ORDER BY ROUND(list_cosine_similarity(t.v, c.centroid),
+        |                            6) DESC, c.cluster) AS rk
+        |         FROM tr t, cfin c) WHERE rk <= 2),
+        |cand AS (SELECT p.vec_id, m.vec_id AS eval_id,
+        |           ROUND(list_cosine_similarity(p.v, m.v), 4) AS sim
+        |         FROM probe p JOIN afin m ON m.cluster = p.cluster),
+        |a AS (SELECT vec_id, MAX(sim) AS max_sim,
+        |        CAST(SUM(CASE WHEN sim >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_over
+        |      FROM cand GROUP BY vec_id),
+        |nn AS (SELECT c.vec_id, MIN(c.eval_id) AS nearest_eval
+        |       FROM cand c JOIN a ON c.vec_id = a.vec_id
+        |        AND c.sim = a.max_sim
+        |       GROUP BY c.vec_id)
         |SELECT a.vec_id, a.max_sim, nn.nearest_eval, a.n_over,
         |       a.max_sim >= 0.4 AS contaminated
         |FROM a JOIN nn USING (vec_id) ORDER BY a.vec_id""".stripMargin,

@@ -44,8 +44,9 @@ object ScaleBench {
     "dd16_quality_dedup", "sim3_ivf_topk", "sim9_persisted_ann",
     "dd24_pagerank", "ts21_ngram_novelty", "dd25_prefix_pairs",
     "dd27_label_propagation", "lm2_kneser_ney", "tc6_semantic_decontam",
-    "sim17_srp_lsh", "dd28_kcore", "dd29_containment",
-    "ev10_gapfill_resample", "a18_countmin", "dd30_corpus_overlap")
+    "tc7_semantic_screen", "sim17_srp_lsh", "dd28_kcore",
+    "dd29_containment", "ev10_gapfill_resample", "a18_countmin",
+    "dd30_corpus_overlap")
 
   private def ensureCorpus(src: String, factor: Int): String = {
     val out = s"target/scale_sf$factor"

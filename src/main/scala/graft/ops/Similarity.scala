@@ -968,4 +968,79 @@ object Similarity {
         col("n_over"),
         (col("max_sim") >= threshold).as("contaminated"))
   }
+
+  /** IVF-screened semantic decontamination — the scan-fraction scale path
+    * [[semanticContamination]]'s scaladoc points at for the regime where
+    * the eval suite itself is too large to scan per train row: the eval
+    * side arrives pre-clustered (any deterministic clustering —
+    * [[kmeansAssign]], a label column), each train vector scores only the
+    * k final cluster centroids row-locally and exact-cosines against the
+    * members of its `nprobe` nearest clusters. Per-train work drops from
+    * |eval| dots to k + (nprobe/k)·|eval| — the IVF scan-fraction dial
+    * (production sizes k ∝ √|eval|, shrinking the fraction as the suite
+    * grows).
+    *
+    * SCREEN semantics: max_sim / nearest_eval / n_over are over the probed
+    * candidates only, so per row max_sim ≤ the brute-force value,
+    * `contaminated` never false-positives, and misses are exactly the
+    * pairs whose eval member sits outside the train vector's nprobe
+    * nearest clusters (SimilaritySpec measures the recall). Everything is
+    * deterministic — centroid scoring reuses kmeansAssign's rounded
+    * tie-break (6dp sim desc, lowest cluster wins) — so DuckDB replays the
+    * whole screen as a full oracle (tc7).
+    *
+    * Scale shape: centroids ride the plan as literals (k·dim doubles — the
+    * probe table every IVF deployment serves from memory); the train side
+    * is one scan with a row-local nprobe-fold (zero shuffle, no window),
+    * the member join broadcasts the eval suite, and the only shuffle is
+    * the final map-side-combinable aggregate over (id, sim, packed-long)
+    * rows — the packed argmax of [[semanticContamination]], which keeps
+    * the pass hash-aggregable (a struct max_by would demote it to a full
+    * external sort of the candidate fan-out).
+    */
+  def semanticContaminationScreen(train: DataFrame, evalClustered: DataFrame,
+      idCol: String, vecCol: String, clusterCol: String, threshold: Double,
+      nprobe: Int = 2): DataFrame = {
+    val idMask = (1L << 48) - 1
+    val members = evalClustered.select(
+      col(clusterCol).cast("int").as("cluster"),
+      col(idCol).as("eval_id"), col(vecCol).as("e_vec"))
+    val cents = centroids(members, "cluster", "e_vec")
+      .select(col("cluster"), col("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    require(cents.nonEmpty,
+      "evalClustered is empty - nothing to screen against")
+    val centArr = array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("cluster"), typedlit(v).as("centroid"))
+    }: _*)
+    // row-local probe: score every centroid, keep the nprobe nearest —
+    // array_sort on (-sim, cluster) = sim desc then lowest cluster,
+    // kmeansAssign's own rounded tie-break; no shuffle, no window
+    val probed = slice(array_sort(transform(centArr, c =>
+      struct((-round(cosine(col(vecCol), c.getField("centroid")), 6))
+          .as("neg_sim"),
+        c.getField("cluster").as("cluster")))), 1, nprobe)
+    train
+      .select(col(idCol), col(vecCol).as("t_vec"),
+        explode(probed).as("p"))
+      .select(col(idCol), col("t_vec"), col("p.cluster").as("cluster"))
+      .join(broadcast(members), Seq("cluster"))
+      .select(col(idCol),
+        round(cosine(col("t_vec"), col("e_vec")), 4).as("sim"),
+        col("eval_id"))
+      .select(col(idCol), col("sim"),
+        ((round(col("sim") * 10000).cast("long") + 10000L) * (idMask + 1) +
+          (lit(idMask) - col("eval_id").cast("long"))).as("pk"))
+      .groupBy(col(idCol))
+      .agg(
+        max(col("sim")).as("max_sim"),
+        max(col("pk")).as("pk"),
+        sum(when(col("sim") >= threshold, 1L).otherwise(0L)).as("n_over"))
+      .select(col(idCol), col("max_sim"),
+        (lit(idMask) - col("pk").bitwiseAND(idMask)).as("nearest_eval"),
+        col("n_over"),
+        (col("max_sim") >= threshold).as("contaminated"))
+  }
 }

@@ -435,6 +435,85 @@ class SimilaritySpec extends SparkSpec {
       .mkString("\n"))
   }
 
+  test("semanticContaminationScreen: probe-restricted hand geometry") {
+    import spark.implicits._
+    // singleton clusters → centroid = member, probe order = member sim
+    val members = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f), 0),
+      (101L, Seq(0f, 1f, 0f, 0f), 1),
+      (102L, Seq(0f, 0f, 1f, 0f), 2))
+      .toDF("vec_id", "embedding", "cluster")
+    val train = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),      // dup of eval 100; probes {0, 1}
+      (2L, Seq(0f, 0.6f, 0.8f, 0f)),  // probes {2 (0.8), 1 (0.6)}
+      (3L, Seq(0.6f, 0f, 0.8f, 0f)))  // probes {2 (0.8), 0 (0.6)}
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticContaminationScreen(train, members,
+        "vec_id", "embedding", "cluster", threshold = 0.9, nprobe = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1.0, 100L, 1L, true),   // tie (101/102 both sim 0) → cluster 1
+      (2L, 0.8, 102L, 0L, false),
+      (3L, 0.8, 102L, 0L, false)), got.toSeq)
+    // nprobe=1: train 1 sees only cluster 0's member
+    val one = Similarity.semanticContaminationScreen(train, members,
+        "vec_id", "embedding", "cluster", threshold = 0.9, nprobe = 1)
+      .filter(col("vec_id") === 1L).collect().head
+    assert(one.getDouble(1) == 1.0 && one.getLong(3) == 1L)
+  }
+
+  test("semanticContaminationScreen is a sound screen of brute force") {
+    // screen stats are over a candidate SUBSET: per train row max_sim and
+    // n_over never exceed brute force, contaminated never false-positives,
+    // and every train row is present (probed clusters are never empty)
+    val eval = many.filter(col("vec_id") < 10)
+    val train = many.filter(col("vec_id") >= 10)
+    val members = eval.join(
+      Similarity.kmeansAssign(eval, "vec_id", "embedding", 4, 2),
+      Seq("vec_id"))
+    val screen = Similarity.semanticContaminationScreen(train, members,
+      "vec_id", "embedding", "cluster", threshold = 0.3, nprobe = 2)
+    val bf = Similarity.semanticContamination(train, eval,
+      "vec_id", "embedding", threshold = 0.3)
+    assert(screen.count() == train.count())
+    val joined = screen.select(col("vec_id"), col("max_sim").as("s_max"),
+        col("n_over").as("s_over"), col("contaminated").as("s_flag"))
+      .join(bf.select(col("vec_id"), col("max_sim").as("b_max"),
+        col("n_over").as("b_over"), col("contaminated").as("b_flag")),
+        Seq("vec_id"))
+    assert(joined.count() == train.count())
+    assert(joined.filter(col("s_max") > col("b_max")).count() == 0)
+    assert(joined.filter(col("s_over") > col("b_over")).count() == 0)
+    assert(joined.filter(col("s_flag") && !col("b_flag")).count() == 0)
+    // where the screen's max equals brute force's, the nearest id agrees
+    val agree = screen.select(col("vec_id"), col("max_sim"),
+        col("nearest_eval").as("s_nn"))
+      .join(bf.select(col("vec_id"), col("max_sim"),
+        col("nearest_eval").as("b_nn")), Seq("vec_id", "max_sim"))
+    assert(agree.filter(col("s_nn") =!= col("b_nn")).count() == 0)
+  }
+
+  test("semanticContaminationScreen plan: hash agg, broadcast, no sort") {
+    import spark.implicits._
+    val members = Seq((100L, Seq(1f, 0f), 0), (101L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "cluster")
+    val train = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.semanticContaminationScreen(train, members,
+        "vec_id", "embedding", "cluster", threshold = 0.9, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.linesIterator.take(8)
+      .mkString("\n"))
+    assert(!plan.contains("SortAggregate"), plan.linesIterator.take(8)
+      .mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(8)
+      .mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(8)
+      .mkString("\n"))
+  }
+
   test("thresholdPairs plan has no cartesian/nested-loop join") {
     val plan = Similarity.thresholdPairs(
         many, "vec_id", "embedding", 0.5, dim = 8)
