@@ -948,13 +948,31 @@ object Similarity {
     */
   def semanticContamination(train: DataFrame, eval: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val idMask = (1L << 48) - 1
     val ev = eval.select(col(idCol).as("eval_id"), col(vecCol).as("e_vec"))
-    train.select(col(idCol), col(vecCol).as("t_vec"))
-      .crossJoin(broadcast(ev))
-      .select(col(idCol),
-        col("eval_id"),
-        round(cosine(col("t_vec"), col("e_vec")), 4).as("sim"))
+    contaminationVerdict(
+      train.select(col(idCol), col(vecCol).as("t_vec"))
+        .crossJoin(broadcast(ev))
+        .select(col(idCol),
+          col("eval_id"),
+          round(cosine(col("t_vec"), col("e_vec")), 4).as("sim")),
+      idCol, threshold)
+  }
+
+  /** Shared verdict tail of the semantic-contamination audits: from
+    * (idCol, eval_id, sim 4dp-rounded) candidate rows, per train id the
+    * max sim, the SMALLEST eval id at that max, the count over
+    * `threshold`, and the flag. The nearest-id argmax is a packed long —
+    * (sim·10⁴ + 10⁴) in the bits above 48, (2⁴⁸−1 − eval_id) below — so
+    * the aggregate stays a map-side-combinable hash `max` (a struct
+    * max_by buffer is not hash-aggregable and demotes the whole pass to
+    * an external sort of the candidate fan-out; see the measured note in
+    * [[semanticContamination]]). Ids must fit 48 bits — ample for any
+    * corpus this runs on (2.8·10¹⁴).
+    */
+  private def contaminationVerdict(cands: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val idMask = (1L << 48) - 1
+    cands
       .select(col(idCol), col("sim"),
         ((round(col("sim") * 10000).cast("long") + 10000L) * (idMask + 1) +
           (lit(idMask) - col("eval_id").cast("long"))).as("pk"))
@@ -969,39 +987,41 @@ object Similarity {
         (col("max_sim") >= threshold).as("contaminated"))
   }
 
-  /** IVF-screened semantic decontamination — the scan-fraction scale path
-    * [[semanticContamination]]'s scaladoc points at for the regime where
-    * the eval suite itself is too large to scan per train row: the eval
-    * side arrives pre-clustered (any deterministic clustering —
-    * [[kmeansAssign]], a label column), each train vector scores only the
-    * k final cluster centroids row-locally and exact-cosines against the
-    * members of its `nprobe` nearest clusters. Per-train work drops from
-    * |eval| dots to k + (nprobe/k)·|eval| — the IVF scan-fraction dial
-    * (production sizes k ∝ √|eval|, shrinking the fraction as the suite
-    * grows).
+  /** IVF-screened semantic decontamination — [[semanticContamination]]'s
+    * COMPUTE scale path for a large eval suite: the eval side arrives
+    * pre-clustered (any deterministic clustering — [[kmeansAssign]], a
+    * label column), each train vector scores only the k final cluster
+    * centroids row-locally and exact-cosines against the members of its
+    * `nprobe` nearest clusters. Per-train work drops from |eval| dots to
+    * k + (nprobe/k)·|eval| — the IVF scan-fraction dial (production sizes
+    * k ∝ √|eval|, shrinking the fraction as the suite grows). The MEMORY
+    * ceiling is unchanged: the member join still broadcasts every eval
+    * vector, exactly like the brute force — the screen buys CPU, not
+    * broadcast headroom. An eval suite too big to broadcast at all needs
+    * the bucketed-pair path ([[cosineCandidatePairs]] /
+    * [[gridThresholdPairs]]) instead.
     *
     * SCREEN semantics: max_sim / nearest_eval / n_over are over the probed
     * candidates only, so per row max_sim ≤ the brute-force value,
     * `contaminated` never false-positives, and misses are exactly the
     * pairs whose eval member sits outside the train vector's nprobe
-    * nearest clusters (SimilaritySpec measures the recall). Everything is
-    * deterministic — centroid scoring reuses kmeansAssign's rounded
-    * tie-break (6dp sim desc, lowest cluster wins) — so DuckDB replays the
-    * whole screen as a full oracle (tc7).
+    * nearest clusters (SimilaritySpec asserts soundness and a measured
+    * recall floor on its fixture). Everything is deterministic — centroid
+    * scoring reuses kmeansAssign's rounded tie-break (6dp sim desc,
+    * lowest cluster wins) — so DuckDB replays the whole screen as a full
+    * oracle (tc7).
     *
     * Scale shape: centroids ride the plan as literals (k·dim doubles — the
     * probe table every IVF deployment serves from memory); the train side
     * is one scan with a row-local nprobe-fold (zero shuffle, no window),
-    * the member join broadcasts the eval suite, and the only shuffle is
-    * the final map-side-combinable aggregate over (id, sim, packed-long)
-    * rows — the packed argmax of [[semanticContamination]], which keeps
-    * the pass hash-aggregable (a struct max_by would demote it to a full
-    * external sort of the candidate fan-out).
+    * and the only shuffle is the final [[contaminationVerdict]] hash
+    * aggregate over (id, sim, packed-long) rows.
     */
   def semanticContaminationScreen(train: DataFrame, evalClustered: DataFrame,
       idCol: String, vecCol: String, clusterCol: String, threshold: Double,
       nprobe: Int = 2): DataFrame = {
-    val idMask = (1L << 48) - 1
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe) - nprobe=0 " +
+      "would silently report an empty audit")
     val members = evalClustered.select(
       col(clusterCol).cast("int").as("cluster"),
       col(idCol).as("eval_id"), col(vecCol).as("e_vec"))
@@ -1022,25 +1042,15 @@ object Similarity {
       struct((-round(cosine(col(vecCol), c.getField("centroid")), 6))
           .as("neg_sim"),
         c.getField("cluster").as("cluster")))), 1, nprobe)
-    train
-      .select(col(idCol), col(vecCol).as("t_vec"),
-        explode(probed).as("p"))
-      .select(col(idCol), col("t_vec"), col("p.cluster").as("cluster"))
-      .join(broadcast(members), Seq("cluster"))
-      .select(col(idCol),
-        round(cosine(col("t_vec"), col("e_vec")), 4).as("sim"),
-        col("eval_id"))
-      .select(col(idCol), col("sim"),
-        ((round(col("sim") * 10000).cast("long") + 10000L) * (idMask + 1) +
-          (lit(idMask) - col("eval_id").cast("long"))).as("pk"))
-      .groupBy(col(idCol))
-      .agg(
-        max(col("sim")).as("max_sim"),
-        max(col("pk")).as("pk"),
-        sum(when(col("sim") >= threshold, 1L).otherwise(0L)).as("n_over"))
-      .select(col(idCol), col("max_sim"),
-        (lit(idMask) - col("pk").bitwiseAND(idMask)).as("nearest_eval"),
-        col("n_over"),
-        (col("max_sim") >= threshold).as("contaminated"))
+    contaminationVerdict(
+      train
+        .select(col(idCol), col(vecCol).as("t_vec"),
+          explode(probed).as("p"))
+        .select(col(idCol), col("t_vec"), col("p.cluster").as("cluster"))
+        .join(broadcast(members), Seq("cluster"))
+        .select(col(idCol),
+          col("eval_id"),
+          round(cosine(col("t_vec"), col("e_vec")), 4).as("sim")),
+      idCol, threshold)
   }
 }

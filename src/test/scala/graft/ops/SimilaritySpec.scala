@@ -493,6 +493,16 @@ class SimilaritySpec extends SparkSpec {
       .join(bf.select(col("vec_id"), col("max_sim"),
         col("nearest_eval").as("b_nn")), Seq("vec_id", "max_sim"))
     assert(agree.filter(col("s_nn") =!= col("b_nn")).count() == 0)
+    // measured recall floor: probing 2 of 4 clusters must recover most of
+    // the brute-force contaminations on the (deterministic) fixture — a
+    // probe/tie-break regression that silently drops flags fails here
+    val bfFlagged = bf.filter(col("contaminated")).select("vec_id")
+    val nBf = bfFlagged.count()
+    assert(nBf > 0, "fixture produces no contaminations - recall untestable")
+    val nHit = screen.filter(col("contaminated")).select("vec_id")
+      .join(bfFlagged, Seq("vec_id")).count()
+    assert(nHit.toDouble / nBf >= 0.75,
+      s"screen recall $nHit/$nBf below the fixture floor")
   }
 
   test("semanticContaminationScreen plan: hash agg, broadcast, no sort") {
