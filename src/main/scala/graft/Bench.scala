@@ -212,7 +212,7 @@ object Bench {
     def freshSession(): org.apache.spark.sql.SparkSession = {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
-      val s = org.apache.spark.sql.SparkSession.builder()
+      val builder = org.apache.spark.sql.SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
@@ -222,7 +222,16 @@ object Bench {
         // parallel
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      // SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — ad-hoc overrides for
+      // isolating a plan dial (A/B-ing AQE coalescing, broadcast
+      // thresholds) without touching the measured defaults. Forked
+      // children inherit the parent env, so it applies either mode.
+      sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
+        _.split(";").filter(_.contains("=")).foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          builder.config(k.trim, v.trim)
+        })
+      val s = builder.getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
     }

@@ -615,8 +615,17 @@ object QueriesScale {
     // grams) and its join-back — the tfidf df layout. Integer counts +
     // one exact division → full oracle.
     "ts21_ngram_novelty" -> ((s, d) => {
+      // gram keys hashed to 8 bytes before the shuffle (the dd10/dd12
+      // idiom): novelty only needs gram IDENTITY, and the string-keyed
+      // form shuffled 1.1 GB of text at the 100x decade and built a
+      // 1.2 GB single-task hash map at 30x (AQE's SMJ->SHJ conversion
+      // over the string build side — measured, not coalescing). The
+      // DuckDB oracle keys by the raw strings; xxhash64 is
+      // collision-free at any realistic gram cardinality, so counts
+      // replay exactly.
       val grams = Dedup.docShingles(fanOut(documents(s, d)),
-        "doc_id", "text", 3)
+          "doc_id", "text", 3)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       val first = grams.groupBy(col("shingle"))
         .agg(min(col("doc_id")).as("first_doc"))
       grams.join(first, "shingle")

@@ -911,11 +911,14 @@ object Dedup {
     * all equi-keyed; nothing quadratic. Rounds are bounded by component
     * diameter, and near-dup graphs are shallow (cliques and short chains
     * from banding), so convergence is a handful of rounds; `maxIters` is a
-    * hard stop. Each round's labels are persisted and `localCheckpoint`ed
-    * (truncating lineage so the plan does not grow by one join per round —
-    * the standard iterative-algorithm pattern, same reason GraphX
-    * checkpoints Pregel state); the previous round is unpersisted once the
-    * convergence count materializes the new one. Only nodes appearing in
+    * hard stop. Each round's labels are `localCheckpoint`ed (truncating
+    * lineage so the plan does not grow by one join per round — the
+    * standard iterative-algorithm pattern, same reason GraphX checkpoints
+    * Pregel state); once the convergence count materializes the new
+    * round, the previous round's checkpoint RDD becomes unreachable and
+    * the ContextCleaner frees its blocks (label relations are one narrow
+    * row per node — far smaller than the edge relation, which IS
+    * explicitly persisted and unpersisted). Only nodes appearing in
     * `pairs` are emitted — singletons are not duplicates by definition.
     *
     * Output: (id, component) where component = min reachable id.
