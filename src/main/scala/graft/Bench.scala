@@ -9,15 +9,31 @@ import scala.jdk.CollectionConverters._
   * plan execution incl. projected columns — `count()` would let Spark prune
   * the very expressions being measured).
   *
-  * Each query is timed in a FRESH JVM (forked child running this same
-  * main): a single long-lived session accumulating all headline queries
-  * degrades 3-5× on later queries on this host (codegen cache + GC
-  * pressure), and round 4 showed the degradation lives in the shared
-  * SparkContext, not just the session — a fresh-session-per-query sweep
-  * still reported ts6 at 4.4 s where an isolated run gives 1.5 s. A fresh
-  * JVM per query makes every reported number reproducible in isolation by
-  * construction; min-of-3 after a warmup run damps the host's CPU-steal
-  * spikes. `SPARK_GRAFT_FORK=0` forces the old in-process mode.
+  * Queries are timed in forked child JVMs (running this same main), a
+  * small GROUP per fork: a single long-lived session accumulating all
+  * headline queries degrades 3-5× on later queries on this host (codegen
+  * cache + GC pressure), and round 4 showed the degradation lives in the
+  * shared SparkContext, not just the session — a fresh-session-per-query
+  * sweep still reported ts6 at 4.4 s where an isolated run gives 1.5 s.
+  * Strict fork-per-query fixed that but paid a fresh JVM + Spark startup
+  * + JIT warmup per query — round 10's 109-query sweep spent 1296 s on
+  * warmups + ~900 s on JVM startups against 652 s of timed runs, overran
+  * the driver's wall-clock window, and produced NO artifact (rc 124).
+  * Grouping a handful of queries per fork (SPARK_GRAFT_FORK_GROUP,
+  * default 6; 1 = old strict isolation) amortizes that overhead while
+  * keeping accumulation bounded: each query still gets a fresh session,
+  * a cache purge and a GC inside the fork, and the group is small enough
+  * that the round-4 pathology (which needed dozens of accumulated
+  * queries) can't rebuild. min-of-3 after a warmup run damps the host's
+  * CPU-steal spikes. `SPARK_GRAFT_FORK=0` forces the in-process mode.
+  *
+  * A wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 2100)
+  * guarantees the final JSON line is ALWAYS emitted: the parent stops
+  * launching forks once the budget is spent and records the unmeasured
+  * queries in a `skipped` list, and each child gets the remaining budget
+  * as a hard timeout (a hung child is killed, its completed queries
+  * already parsed from the captured stdout). A partial-but-parseable
+  * artifact beats a complete run the harness never sees.
   *
   * The JSON carries the measurement protocol alongside the headline
   * numbers: a `protocol` object (runs per query, warmup runs, isolation
@@ -151,13 +167,56 @@ object Bench {
 
     val inProcess = sys.env.contains("SPARK_GRAFT_FORKED") ||
       sys.env.get("SPARK_GRAFT_FORK").contains("0")
-    val results =
-      if (inProcess) runInProcess(selected, sfDir, cpus)
-      else selected.map(name => name -> forkOne(name, sfDir))
+    val groupSize = math.max(1, sys.env.get("SPARK_GRAFT_FORK_GROUP")
+      .flatMap(_.toIntOption).getOrElse(6))
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .flatMap(_.toLongOption).getOrElse(2100L)
+    val t0 = System.nanoTime()
+    def elapsedSec: Long = (System.nanoTime() - t0) / 1000000000L
 
-    val isolation = if (inProcess) "fresh-session-per-query"
-    else "fork-per-query"
-    val total = results.map(_._2.value).sum
+    // ADVICE r10: a stray SPARK_GRAFT_EXTRA_CONF would silently alter the
+    // "measured defaults" — surface it on stderr and stamp it into the
+    // protocol object so a tainted artifact is identifiable.
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").filter(_.nonEmpty)
+    extraConf.foreach(c =>
+      System.err.println(s"[bench] EXTRA_CONF overrides active: $c"))
+
+    val (results, skipped) =
+      if (inProcess) (runInProcess(selected, sfDir, cpus), Nil)
+      else {
+        val done = Seq.newBuilder[(String, Detail)]
+        val skip = Seq.newBuilder[String]
+        selected.grouped(groupSize).foreach { g =>
+          val remaining = budgetSec - elapsedSec
+          // under ~30 s left a fork can't even finish session startup —
+          // skip rather than launch a doomed child
+          if (remaining <= 30) skip ++= g
+          else done ++= forkGroup(g, sfDir, remaining)
+        }
+        (done.result(), skip.result())
+      }
+
+    val isolation =
+      if (inProcess) "fresh-session-per-query"
+      else if (groupSize == 1) "fork-per-query"
+      else s"fork-per-group"
+    // failed/killed queries report -1 — they must not subtract from total
+    val total = results.map(_._2.value).filter(_ >= 0).sum
+    // Protocol annotations: full skipped-name list only in the detail
+    // file (it could blow the compact line's length cap); the compact
+    // stdout line carries just the count.
+    val protoBase = {
+      val group = if (inProcess) "" else s""","fork_group":$groupSize"""
+      val conf = extraConf.fold("")(c =>
+        s""","extra_conf":"${c.replace("\"", "'")}"""")
+      group + conf
+    }
+    val protoExtra = protoBase + (
+      if (skipped.isEmpty) ""
+      else skipped.map("\"" + _ + "\"")
+        .mkString(""","skipped":[""", ",", "]"))
+    val protoCompact = protoBase + (
+      if (skipped.isEmpty) "" else s""","n_skipped":${skipped.size}""")
 
     // The harness that snapshots this run keeps only a SHORT TAIL of the
     // combined output (~2000 chars) and parses the headline JSON out of
@@ -174,7 +233,7 @@ object Bench {
     val detail =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":""" +
         s"""{"n_runs":$nRuns,"warmup_runs":1,"report":"min",""" +
-        s""""isolation":"$isolation"},"runs":$runs,"sf":"$sfDir"}"""
+        s""""isolation":"$isolation"$protoExtra},"runs":$runs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -191,7 +250,8 @@ object Bench {
       }.mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
         s""""protocol":{"n_runs":$nRuns,"warmup_runs":1,"report":"min",""" +
-        s""""isolation":"$isolation","detail":"BENCH_DETAIL.json"},""" +
+        s""""isolation":"$isolation"$protoCompact,""" +
+        s""""detail":"BENCH_DETAIL.json"},""" +
         s""""n_queries":${results.size},"sf":"$sfDir"}"""
     }
     val maxLen = 1500
@@ -282,9 +342,13 @@ object Bench {
 
   /** Parent path: re-launch this main in a child JVM (same JVM args — the
     * sbt fork already carries the JDK-17 --add-opens set and -Xmx — same
-    * classpath) scoped to one query, and parse its detail line.
+    * classpath) scoped to a GROUP of queries, and parse each query's
+    * detail line back out of the child's stdout. The child gets a hard
+    * wall-clock timeout: stdout is drained on a daemon thread into a
+    * buffer, so queries that completed before a kill still report.
     */
-  private[graft] def forkOne(name: String, sfDir: String): Detail = {
+  private[graft] def forkGroup(names: Seq[String], sfDir: String,
+      timeoutSec: Long): Seq[(String, Detail)] = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
       .asScala.toSeq
@@ -292,18 +356,38 @@ object Bench {
       Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
     val pb = new ProcessBuilder(cmd.asJava)
     pb.environment().put("SPARK_GRAFT_FORKED", "1")
-    pb.environment().put("SPARK_GRAFT_ONLY", name)
+    pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
     pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val p = pb.start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream)
-      .getLines().toList
-    p.waitFor()
-    parseDetailLine(name, out).getOrElse {
-      System.err.println(s"[bench] $name: no result from child JVM")
-      Detail(-1.0, Nil)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() =>
+      try scala.io.Source.fromInputStream(p.getInputStream).getLines()
+        .foreach(buf.add)
+      catch { case _: java.io.IOException => () }) // stream dies on kill
+    reader.setDaemon(true)
+    reader.start()
+    val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) {
+      System.err.println(s"[bench] group [${names.mkString(",")}]: " +
+        s"child exceeded $timeoutSec s budget, killing")
+      p.destroyForcibly()
+      p.waitFor()
     }
+    reader.join(2000)
+    val out = buf.asScala.toList
+    names.map(n => n -> parseDetailLine(n, out).getOrElse {
+      System.err.println(s"[bench] $n: no result from child JVM")
+      Detail(-1.0, Nil)
+    })
   }
+
+  /** Single-query fork (ScaleBench's entry point): a one-element group
+    * with an effectively unbounded timeout — scale rehearsals manage
+    * their own budget.
+    */
+  private[graft] def forkOne(name: String, sfDir: String): Detail =
+    forkGroup(Seq(name), sfDir, timeoutSec = 86400L).head._2
 
   /** Parse a child JVM's per-query detail line back into a [[Detail]] —
     * the inverse of `Detail.json` as printed by [[runInProcess]]. The

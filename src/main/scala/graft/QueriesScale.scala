@@ -615,20 +615,26 @@ object QueriesScale {
     // grams) and its join-back — the tfidf df layout. Integer counts +
     // one exact division → full oracle.
     "ts21_ngram_novelty" -> ((s, d) => {
-      // gram keys hashed to 8 bytes before the shuffle (the dd10/dd12
-      // idiom): novelty only needs gram IDENTITY, and the string-keyed
-      // form shuffled 1.1 GB of text at the 100x decade and built a
-      // 1.2 GB single-task hash map at 30x (AQE's SMJ->SHJ conversion
-      // over the string build side — measured, not coalescing). The
-      // DuckDB oracle keys by the raw strings; xxhash64 is
-      // collision-free at any realistic gram cardinality, so counts
-      // replay exactly.
+      // gram keys hashed before the shuffle (the dd10/dd12 idiom):
+      // novelty only needs gram IDENTITY, and the string-keyed form
+      // shuffled 1.1 GB of text at the 100x decade and built a 1.2 GB
+      // single-task hash map at 30x (AQE's SMJ->SHJ conversion over the
+      // string build side — measured, not coalescing). A single 64-bit
+      // key is NOT collision-free at the deep end — birthday bound
+      // ~n^2/2^65 is a few percent at 10^9 distinct grams and
+      // near-certain at the 10^12 grams a 100 TB corpus holds, and one
+      // collision merges two grams and skews the novelty census — so the
+      // key is TWO independently-seeded xxhash64 columns (128 bits,
+      // ~4e-15 at 10^12 grams): one extra row-local hash and 8 more
+      // bytes per shuffled row, still ~an order below the string key.
+      // The DuckDB oracle keys by the raw strings; counts replay exactly.
       val grams = Dedup.docShingles(fanOut(documents(s, d)),
           "doc_id", "text", 3)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      val first = grams.groupBy(col("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("g1"),
+          xxhash64(lit(1), col("shingle")).as("g2"))
+      val first = grams.groupBy(col("g1"), col("g2"))
         .agg(min(col("doc_id")).as("first_doc"))
-      grams.join(first, "shingle")
+      grams.join(first, Seq("g1", "g2"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))

@@ -1015,11 +1015,18 @@ object Similarity {
     * probe table every IVF deployment serves from memory); the train side
     * is one scan with a row-local nprobe-fold (zero shuffle, no window),
     * and the only shuffle is the final [[contaminationVerdict]] hash
-    * aggregate over (id, sim, packed-long) rows.
+    * aggregate over (id, sim, packed-long) rows. Past `literalBudget`
+    * total literal values the k-element `array(struct(...))` spelling —
+    * k·dim separate plan nodes, the same codegen/analysis degradation
+    * [[kmeansAssign]] gates — collapses to a SINGLE `typedlit` Literal
+    * (array data in the codegen references, plan size O(1) in k). A
+    * relation join can't replace the probe here: "nprobe nearest clusters
+    * PER ROW" via a join is a k-way fan-out + per-id top-n shuffle,
+    * strictly worse than the row-local fold every IVF serving node runs.
     */
   def semanticContaminationScreen(train: DataFrame, evalClustered: DataFrame,
       idCol: String, vecCol: String, clusterCol: String, threshold: Double,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, literalBudget: Int = 10000): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe) - nprobe=0 " +
       "would silently report an empty audit")
     val members = evalClustered.select(
@@ -1032,9 +1039,18 @@ object Similarity {
       .sortBy(_._1)
     require(cents.nonEmpty,
       "evalClustered is empty - nothing to screen against")
-    val centArr = array(cents.map { case (cid, v) =>
-      struct(lit(cid).as("cluster"), typedlit(v).as("centroid"))
-    }: _*)
+    val centArr =
+      if (cents.iterator.map(_._2.size + 1).sum <= literalBudget)
+        array(cents.map { case (cid, v) =>
+          struct(lit(cid).as("cluster"), typedlit(v).as("centroid"))
+        }: _*)
+      else
+        // one Literal node for the whole probe table; rename the tuple's
+        // _1/_2 so the probe lambda below is path-agnostic
+        transform(
+          typedlit(cents.toSeq.map { case (cid, v) => (cid, v) }),
+          c => struct(c.getField("_1").as("cluster"),
+            c.getField("_2").as("centroid")))
     // row-local probe: score every centroid, keep the nprobe nearest —
     // array_sort on (-sim, cluster) = sim desc then lowest cluster,
     // kmeansAssign's own rounded tie-break; no shuffle, no window

@@ -505,6 +505,27 @@ class SimilaritySpec extends SparkSpec {
       s"screen recall $nHit/$nBf below the fixture floor")
   }
 
+  test("semanticContaminationScreen single-literal path equals default") {
+    import spark.implicits._
+    // literalBudget=0 forces the one-typedlit probe table (the large-k
+    // path); results must be bit-identical to the unrolled-literal default
+    val members = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f), 0),
+      (101L, Seq(0f, 1f, 0f, 0f), 1),
+      (102L, Seq(0f, 0f, 1f, 0f), 2))
+      .toDF("vec_id", "embedding", "cluster")
+    val train = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 0.6f, 0.8f, 0f)),
+      (3L, Seq(0.6f, 0f, 0.8f, 0f)))
+      .toDF("vec_id", "embedding")
+    def run(budget: Int) = Similarity.semanticContaminationScreen(train,
+        members, "vec_id", "embedding", "cluster", threshold = 0.9,
+        nprobe = 2, literalBudget = budget)
+      .orderBy("vec_id").collect().toSeq
+    assert(run(0) == run(10000))
+  }
+
   test("semanticContaminationScreen plan: hash agg, broadcast, no sort") {
     import spark.implicits._
     val members = Seq((100L, Seq(1f, 0f), 0), (101L, Seq(0f, 1f), 1))

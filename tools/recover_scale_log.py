@@ -30,8 +30,17 @@ for line in open(log_path):
     if m and pending:
         obj = json.loads(m.group(1))
         name, factor = pending
+        # Bench also prints a compact summary line ({"metric":"total"...}
+        # with "queries" but no "runs" — e.g. a SPARK_GRAFT_FORK=0 run or
+        # captured child stdout); only the detail line carries this query
+        if "runs" not in obj or name not in obj["runs"]:
+            continue
         detail = obj["runs"][name]
-        queries.setdefault(name, []).append((factor, obj["value"], detail))
+        # a restarted run appended to the same log can repeat a (name,
+        # factor) pair — keep the last occurrence, not both
+        rows = queries.setdefault(name, [])
+        rows[:] = [r for r in rows if r[0] != factor]
+        rows.append((factor, obj["value"], detail))
         pending = None
 
 
