@@ -41,7 +41,9 @@ import scala.jdk.CollectionConverters._
   * run. This host shows up to 5× CPU-steal variance between identical
   * runs — the raw spread is what lets a reader separate host noise from a
   * real regression without re-deriving it from git history; `queries`
-  * stays the plain name→min-seconds map.
+  * stays the plain name→min-seconds map. Each timed run also carries its
+  * GC and host-steal seconds (`gc_sec`/`steal_sec`, parallel to `times`)
+  * so an outlier run is attributable without a re-run.
   */
 object Bench {
 
@@ -52,13 +54,32 @@ object Bench {
     * are plan properties — near-constant across runs — so one snapshot
     * suffices). `value` (the reported number) is the min; a failed query
     * reports -1 with empty runs.
+    *
+    * `gcSec`/`stealSec`/`iowaitSec` decompose each timed run's wall clock
+    * (parallel to `times`): whole-JVM GC seconds during the run (GC MXBean
+    * delta — in local mode executors share the driver JVM, so this IS the
+    * query's GC), host CPU-steal seconds, and host iowait seconds (both
+    * /proc/stat deltas; iowait flags page-cache-evicted corpus re-reads).
+    * They exist to make outlier runs attributable from the artifact alone:
+    * this host shows isolated 10-30× spikes between identical back-to-back
+    * runs, and without the split every spike costs a manual re-run to
+    * classify as GC pressure (ours, fixable) vs steal/IO (host's,
+    * min-of-3 damps it).
     */
   private[graft] case class Detail(warmup: Double, times: Seq[Double],
-      metrics: Option[RunMetrics] = None) {
+      metrics: Option[RunMetrics] = None, gcSec: Seq[Double] = Nil,
+      stealSec: Seq[Double] = Nil, iowaitSec: Seq[Double] = Nil) {
     def value: Double = if (times.isEmpty) -1.0 else times.min
+    private def arr(xs: Seq[Double]): String =
+      xs.map(t => f"$t%.3f").mkString(",")
+    def attributionJson: String =
+      if (gcSec.isEmpty && stealSec.isEmpty) ""
+      else s""","gc_sec":[${arr(gcSec)}],"steal_sec":[${arr(stealSec)}]""" +
+        (if (iowaitSec.isEmpty) ""
+         else s""","iowait_sec":[${arr(iowaitSec)}]""")
     def json: String =
-      f"""{"warmup":$warmup%.3f,"times":[${times.map(t => f"$t%.3f")
-        .mkString(",")}]${metrics.fold("")("," + _.json)}}"""
+      f"""{"warmup":$warmup%.3f,"times":[${arr(times)}]${metrics
+        .fold("")("," + _.json)}$attributionJson}"""
   }
 
   /** Aggregated task metrics for one query run: total shuffle bytes
@@ -108,6 +129,27 @@ object Bench {
         peak.get / 1e6)
     }
   }
+
+  /** Cumulative whole-JVM GC milliseconds (all collectors). */
+  private def gcMillis(): Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ > 0).sum
+
+  /** Cumulative host (steal, iowait) jiffies from /proc/stat's aggregate
+    * `cpu` line (fields 8 and 5); (0,0) where the proc file is absent or
+    * short (non-Linux, containers without the accounting). Both are
+    * host-wide sums over all CPUs — what matters for attribution is the
+    * DELTA during one run vs the runs around it, not the absolute value.
+    */
+  private def hostJiffies(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val t = src.getLines().next().split("\\s+")
+        def f(i: Int) = t.lift(i).flatMap(_.toLongOption).getOrElse(0L)
+        (f(8), f(5))
+      } finally src.close()
+    } catch { case _: Exception => (0L, 0L) }
 
   /** The bench headline set — also the scope of [[PlanAudit]]. */
   val headlineQueries: Seq[String] = Seq(
@@ -303,18 +345,30 @@ object Bench {
       val spark = freshSession()
       val agg = new MetricsAgg
       spark.sparkContext.addSparkListener(agg)
-      def once(): Double = {
+      // (wall, gc, steal, iowait) per run: GC from the whole-JVM MXBean
+      // total (synchronous — no listener-bus lag; local mode keeps
+      // executors in this JVM so it captures task GC too), steal/iowait
+      // from /proc/stat (USER_HZ=100 jiffies; host-wide, but a bench owns
+      // the box). iowait catches page-cache-evicted corpus re-reads —
+      // the third spike source GC and steal alone leave unexplained.
+      def once(): (Double, Double, Double, Double) = {
+        val g0 = gcMillis(); val (s0, w0) = hostJiffies()
         val t0 = System.nanoTime()
         all(name)(spark, sfDir).write.format("noop")
           .mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (s1, w1) = hostJiffies()
+        (wall, (gcMillis() - g0) / 1e3, (s1 - s0) / 100.0,
+          (w1 - w0) / 100.0)
       }
       val d = try {
-        val warm = once()
+        val warm = once()._1
         val timed = Seq.fill(nRuns - 1)(once())
         agg.reset() // profile the final timed run only
         val last = once()
-        Detail(warm, timed :+ last, Some(agg.snapshot()))
+        val runs = timed :+ last
+        Detail(warm, runs.map(_._1), Some(agg.snapshot()),
+          runs.map(_._2), runs.map(_._3), runs.map(_._4))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -402,13 +456,19 @@ object Bench {
       "\",\"warmup\":(-?\\d+\\.\\d+),\"times\":\\[([0-9.,]*)\\]" +
       "(?:,\"shuffle_read_mb\":(-?[0-9.]+),\"shuffle_write_mb\":" +
       "(-?[0-9.]+),\"spill_mb\":(-?[0-9.]+)," +
-      "\"peak_task_mem_mb\":(-?[0-9.]+))?").r
+      "\"peak_task_mem_mb\":(-?[0-9.]+))?" +
+      "(?:,\"gc_sec\":\\[([0-9.,]*)\\],\"steal_sec\":\\[([0-9.,]*)\\]" +
+      "(?:,\"iowait_sec\":\\[([0-9.,]*)\\])?)?").r
+    def nums(s: String): Seq[Double] =
+      s.split(",").filter(_.nonEmpty).map(_.toDouble).toSeq
     lines.reverseIterator
       .flatMap(l => pat.findFirstMatchIn(l).map(m => Detail(
-        m.group(1).toDouble,
-        m.group(2).split(",").filter(_.nonEmpty).map(_.toDouble).toSeq,
+        m.group(1).toDouble, nums(m.group(2)),
         Option(m.group(3)).map(_ => RunMetrics(m.group(3).toDouble,
-          m.group(4).toDouble, m.group(5).toDouble, m.group(6).toDouble)))))
+          m.group(4).toDouble, m.group(5).toDouble, m.group(6).toDouble)),
+        Option(m.group(7)).fold(Seq.empty[Double])(nums),
+        Option(m.group(8)).fold(Seq.empty[Double])(nums),
+        Option(m.group(9)).fold(Seq.empty[Double])(nums))))
       .nextOption()
   }
 }

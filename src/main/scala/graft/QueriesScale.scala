@@ -628,10 +628,20 @@ object QueriesScale {
       // ~4e-15 at 10^12 grams): one extra row-local hash and 8 more
       // bytes per shuffled row, still ~an order below the string key.
       // The DuckDB oracle keys by the raw strings; counts replay exactly.
+      // repartition FIRST so one exchange serves both consumers: the
+      // min-aggregate's distribution is satisfied (no second shuffle of
+      // ~the same rows — (doc, gram) pairs are per-doc-distinct, so
+      // map-side combine on the agg exchange saved almost nothing) and
+      // the join-back is co-located. Without this the shingle fan-out is
+      // COMPUTED TWICE (agg build + probe) and shuffled twice; with it,
+      // once each, and the round-10 AQE finding (re-planning forgoing
+      // the exchange reuse, 439 MB vs 84 MB peak at 30x) is moot because
+      // both consumers read the SAME materialized shuffle stage.
       val grams = Dedup.docShingles(fanOut(documents(s, d)),
           "doc_id", "text", 3)
         .select(col("doc_id"), xxhash64(col("shingle")).as("g1"),
           xxhash64(lit(1), col("shingle")).as("g2"))
+        .repartition(col("g1"), col("g2"))
       val first = grams.groupBy(col("g1"), col("g2"))
         .agg(min(col("doc_id")).as("first_doc"))
       grams.join(first, Seq("g1", "g2"))

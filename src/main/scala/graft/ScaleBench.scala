@@ -103,7 +103,8 @@ object ScaleBench {
       val scales = measured.map { case (f, d) =>
         val m = d.metrics.fold("")("," + _.json)
         f""""${f}x":{"sec":${d.value}%.3f,"runs":[${d.times
-          .map(t => f"$t%.3f").mkString(",")}],"warmup":${d.warmup}%.3f$m}"""
+          .map(t => f"$t%.3f").mkString(",")}],"warmup":${d.warmup}%.3f$m${
+          d.attributionJson}}"""
       }.mkString(",")
       val expS = if (exp.isNaN) "null" else f"$exp%.3f"
       val ratioS = if (ratio.isNaN) "null" else f"$ratio%.2f"
@@ -130,7 +131,7 @@ object ScaleBench {
          | "protocol": {
          |  "description": "scale rehearsal: heaviest dedup/ANN/graph/text headliners at the source scale and structure-preserving ScaleUp synth corpora (per-replica re-keyed ids, replica-suffixed tokens, signed-permutation isometry embedding replicas -- intra-replica geometry exact, cross-replica cosine ~random, so no similarity is fabricated -- re-keyed event users): the workload carries exactly Nx the true pairs by construction, so growth is the engine's. Regenerate: sbt 'runMain graft.ScaleBench ${src} ${outJson}'",
          | "timing": "fork-per-query, 1 warmup + min of 3 (Bench protocol)",
-         |  "metrics": "task-metrics profile of the final timed run: total shuffle read/write MB, total spill MB, max per-task peak execution memory MB",
+         |  "metrics": "task-metrics profile of the final timed run: total shuffle read/write MB, total spill MB, max per-task peak execution memory MB; gc_sec/steal_sec decompose each timed run's wall clock (whole-JVM GC + host CPU-steal) so outlier runs are attributable without a re-run",
          |  "factors": [${scaleDirs.map(_._1).mkString(",")}],
          |  "deep": ${if (deepFactors.isEmpty) "null"
             else s"""{"factors":[${deepFactors.mkString(",")}],""" +

@@ -45,6 +45,39 @@ class BenchSpec extends AnyFunSuite {
       List(emit("q6_revenue_deltaX", d))).isEmpty)
   }
 
+  test("round-trips gc/steal/iowait attribution arrays with metrics") {
+    val d = Bench.Detail(5.2, Seq(1.5, 1.2, 1.1),
+      Some(Bench.RunMetrics(10.0, 5.0, 0.0, 8.0)),
+      gcSec = Seq(0.12, 0.034, 0.02), stealSec = Seq(0.0, 0.5, 0.0),
+      iowaitSec = Seq(0.0, 12.35, 0.1))
+    assert(Bench.parseDetailLine("ts21_ngram_novelty",
+      List(emit("ts21_ngram_novelty", d))).contains(d))
+    // pre-r11 lines (no attribution group) still parse: empty arrays
+    val legacy = Bench.Detail(5.2, Seq(1.5), Some(
+      Bench.RunMetrics(10.0, 5.0, 0.0, 8.0)))
+    assert(Bench.parseDetailLine("a2_pivot",
+      List(emit("a2_pivot", legacy))).contains(legacy))
+    // gc/steal without iowait (the brief r11 intermediate form) parses
+    val mid = Bench.Detail(5.2, Seq(1.5), None,
+      gcSec = Seq(0.1), stealSec = Seq(0.2))
+    assert(Bench.parseDetailLine("q6_revenue_delta",
+      List(emit("q6_revenue_delta", mid))).contains(mid))
+  }
+
+  test("a grouped child's stdout parses per query, missing one is None") {
+    // fork-per-group: one child emits several queries' lines interleaved
+    // with logs; each parses independently, a killed-before-it-ran query
+    // yields None (the parent substitutes the -1 sentinel)
+    val a = Bench.Detail(3.0, Seq(1.5, 1.2, 1.1),
+      Some(Bench.RunMetrics(1.0, 1.0, 0.0, 8.0)))
+    val b = Bench.Detail(1.1, Seq(0.6, 0.5, 0.5))
+    val out = List("spark warn", emit("a2_pivot", a), "noise",
+      emit("x7_parse_dollars", b))
+    assert(Bench.parseDetailLine("a2_pivot", out).contains(a))
+    assert(Bench.parseDetailLine("x7_parse_dollars", out).contains(b))
+    assert(Bench.parseDetailLine("j1_inner_join", out).isEmpty)
+  }
+
   test("every scale-rehearsal query is a real catalog headline") {
     ScaleBench.scaleQueries.foreach { q =>
       assert(Bench.headlineQueries.contains(q), s"$q not in headline set")

@@ -375,4 +375,38 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan") ||
       plan.contains("InMemoryRelation"), plan.take(3000))
   }
+
+  test("ts21: one gram exchange serves both consumers (ReusedExchange)") {
+    // scale bug 7: with the gram relation feeding two consumers
+    // (min-aggregate + join probe), AQE's re-planner forwent the static
+    // exchange reuse — the shingle fan-out computed and shuffled twice
+    // (439 vs 84 MB peak at 30x). The explicit repartition(g1, g2) makes
+    // the reuse planner-independent; this locks it in the AQE FINAL plan
+    // (executed first — adaptive reuse only materializes at runtime).
+    // a cached docs relation left by an earlier test breaks the lock for
+    // a reason that is NOT the production shape: cache substitution
+    // re-aliases the InMemoryTableScan's pushed predicates with fresh
+    // lambda-variable ids per consumer, the two gram subtrees stop being
+    // canonically equal, and AQE (correctly, by its rules) declines the
+    // reuse. Bench/Verify sessions never cache the scan — judge the
+    // uncached plan.
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("ts21_ngram_novelty")(spark, sf)
+    // collect() (not a noop write — that plans a SEPARATE QueryExecution)
+    // so THIS df's adaptive plan finalizes
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    // the adaptive toString carries Final and Initial sections; judge the
+    // final one only
+    val plan = full.split("== Initial Plan ==")(0)
+    // a ReusedExchange line repeats the referenced exchange's description,
+    // so judge line-wise: exactly one MATERIALIZED gram exchange, exactly
+    // one reuse of it
+    val lines = plan.linesIterator.toSeq
+    assert(lines.count(l => l.contains("REPARTITION_BY_COL") &&
+        !l.contains("ReusedExchange")) == 1,
+      s"expected exactly one materialized gram exchange: ${plan.take(3000)}")
+    assert(lines.count(_.contains("ReusedExchange")) == 1,
+      s"the second consumer must reuse it: ${plan.take(3000)}")
+  }
 }
