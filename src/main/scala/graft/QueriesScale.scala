@@ -172,12 +172,15 @@ object QueriesScale {
 
     // duplicate clusters: transitive closure over the gram-sharing pair
     // graph (3-gram buckets blocked by (lang, source), df cap 64 — the
-    // dd5 candidate relation, emitted by gramCandidatePairs without the
-    // jaccard arithmetic) via iterative min-label propagation. The
-    // fixpoint (per-component min doc_id) is unique → deterministic →
-    // full oracle (DuckDB recursive CTE over the same edge set).
+    // dd5 candidate blocking) via iterative min-label propagation. The
+    // edge relation is the STAR form ([[Dedup.gramStarEdges]]): CC only
+    // needs connectivity, so each bucket ships k−1 edges instead of the
+    // k(k−1)/2 clique — same components, up to 32× fewer shuffled pair
+    // rows at the df cap. The fixpoint (per-component min doc_id) is
+    // unique → deterministic → full oracle (DuckDB recursive CTE over
+    // the CLIQUE edge set — components are identical by construction).
     "dd10_dup_clusters" -> ((s, d) => {
-      val pairs = Dedup.gramCandidatePairs(fanOut(documents(s, d)),
+      val pairs = Dedup.gramStarEdges(fanOut(documents(s, d)),
         "doc_id", "text", Seq("lang", "source"), 3, maxDocFreq = 64)
       Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .orderBy(col("id"))
@@ -203,7 +206,9 @@ object QueriesScale {
     // quality-aware cluster resolution: dd10's gram-sharing clusters,
     // but each cluster keeps its HIGHEST-quality member (tie → smallest
     // id) instead of the arbitrary min id — what a production dedup
-    // actually keeps. Deterministic (4-dp quality) → full oracle.
+    // actually keeps. Star edges like dd10 (the resolve is CC + argmax —
+    // connectivity is all it reads). Deterministic (4-dp quality) →
+    // full oracle.
     "dd16_quality_dedup" -> ((s, d) => {
       // both the quality scoring and the gram pair generation scan the
       // fanned-out corpus — persist so the scan+repartition runs once
@@ -216,7 +221,7 @@ object QueriesScale {
         .withColumn("quality", TextOps.qualityScoreFromCounts(
           col("n_chars"), col("n_words"), col("n_punct"), col("n_stops")))
         .select(col("doc_id"), col("quality"))
-      val pairs = Dedup.gramCandidatePairs(docs, "doc_id", "text",
+      val pairs = Dedup.gramStarEdges(docs, "doc_id", "text",
         Seq("lang", "source"), 3, maxDocFreq = 64)
       Dedup.resolveClustersByScore(pairs, scored, "doc_id", "quality")
         .select(col("component"), col("keep_id"), col("n_members"),

@@ -408,6 +408,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Connectivity-equivalent replacement for [[gramCandidatePairs]] when
+    * the pairs feed ONLY a connected-components pass (dd10, dd16): each
+    * gram bucket emits a STAR — min doc → every other doc, k−1 edges —
+    * instead of the full k(k−1)/2 clique. Any two docs sharing a gram are
+    * joined through the bucket's min doc, so components and membership
+    * are IDENTICAL to the clique relation's (the star-contraction
+    * observation behind MapReduce CC formulations, e.g. Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14), while the
+    * exploded row count drops up to (k−1)/2× per bucket — at maxDocFreq
+    * 64 that is a 32× cap on the worst bucket, and near-dup corpora sit
+    * near the cap because duplicates share MOST of their grams. NOT valid
+    * for consumers that read the graph's structure (triangles, PageRank,
+    * label propagation, k-core, degree profiles): a star has no
+    * triangles and hub-degree k−1, so those stay on the clique relation.
+    * Bucket selection (hot-gram cap, ≥2 docs) is byte-identical to
+    * [[gramCandidatePairs]]; DuckDB oracles that compare component
+    * output replay unchanged.
+    */
+  def gramStarEdges(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int, maxDocFreq: Int = 1000)
+  : DataFrame = {
+    val grams = df
+      .select((col(idCol) +: blockCols.map(col) :+
+        tokens(col(textCol)).as("toks")): _*)
+      .select((col(idCol) +: blockCols.map(col) :+
+        explode(array_distinct(
+          transform(wordGrams(col("toks"), n), g => xxhash64(g))))
+          .as("gram")): _*)
+    grams
+      .groupBy((blockCols.map(col) :+ col("gram")): _*)
+      .agg(graft.functions.BoundedCollect(col(idCol), maxDocFreq)
+        .as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDocFreq)
+      .select(explode(expr(
+        "filter(transform(docs, b -> " +
+          "struct(array_min(docs) AS doc_a, b AS doc_b)), " +
+          "p -> p.doc_a < p.doc_b)")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+  }
+
   /** Degree-oriented triangle counting over a pair relation — the
     * clustering-structure probe for near-dup graphs (triangle-dense
     * components are boilerplate families; triangle-free stars are hub

@@ -343,6 +343,26 @@ class DedupSpec extends SparkSpec {
     assert(direct == viaJaccard && direct.nonEmpty, (direct, viaJaccard))
   }
 
+  test("gramStarEdges: same components and membership as the clique " +
+      "relation, strictly fewer or equal edges") {
+    val corpus = docs.withColumn("lang", lit("en"))
+      .withColumn("source", lit("s1"))
+    val clique = Dedup.gramCandidatePairs(corpus, "doc_id", "text",
+      Seq("lang", "source"), 3)
+    val star = Dedup.gramStarEdges(corpus, "doc_id", "text",
+      Seq("lang", "source"), 3)
+    def comps(p: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(p, "doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comps(star) == comps(clique) && comps(star).nonEmpty)
+    // star never emits MORE edges than the clique, and every star edge
+    // is a clique edge (min-doc pairs are a subset of all pairs)
+    def edges(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (se, ce) = (edges(star), edges(clique))
+    assert(se.subsetOf(ce) && se.size <= ce.size, (se.size, ce.size))
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged; " +
       "hash and raw content paths agree") {
     val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
