@@ -276,10 +276,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, minJaccard: Double,
       maxDocFreq: Int = 1000): DataFrame = {
-    // per-row distinct gram-hash arrays: per-doc set sizes come for free
+    // per-row distinct gram-key arrays: per-doc set sizes come for free
     // (size(array), no shuffle) and no global DISTINCT is needed — grams
-    // are already unique within a doc. Hashing grams to 64-bit keeps the
-    // bucket shuffle narrow; collisions are ~0 at any realistic corpus size.
+    // are already unique within a doc. Keys are [[blockedGramKeys]]'s
+    // block-folded 64-bit form: the bucket shuffle ships (long, long)
+    // rows instead of block strings + a key (width trade quantified
+    // there — a merged bucket here inflates two intersection counts by
+    // one gram, a ratio nudge orders below the threshold's own
+    // fuzziness). Block cols are constant per doc, so per-doc distinct
+    // and set sizes are the distinct-gram counts the oracle computes
+    // from the raw strings.
     // the gram arrays are referenced by three branches below (the explode
     // and both size joins) → [[barrier]] computes them once, exchange-reused
     val base = barrier(
@@ -287,19 +293,19 @@ object Dedup {
           (col(idCol) +: blockCols.map(col) :+
             tokens(col(textCol)).as("toks")): _*)
         .withColumn("grams", array_distinct(
-          transform(wordGrams(col("toks"), n), g => xxhash64(g))))
-        .drop("toks"),
+          transform(wordGrams(col("toks"), n),
+            g => xxhash64((blockCols.map(col) :+ g): _*))))
+        .select(col(idCol), col("grams")),
       idCol)
     val sizes = base.select(col(idCol), size(col("grams")).as("sz"))
     val grams = base
-      .select((col(idCol) +: blockCols.map(col) :+
-        explode(col("grams")).as("gram")): _*)
+      .select(col(idCol), explode(col("grams")).as("bk"))
     // intersection counts via gram buckets: group docs per (block, gram),
     // emit upper-triangle pairs in-task, partial-aggregate before the
     // (doc_a, doc_b) shuffle — one shuffle of the gram relation instead of
     // a two-sided hash join, same exact counts
     val buckets = grams
-      .groupBy((blockCols.map(col) :+ col("gram")): _*)
+      .groupBy(col("bk"))
       .agg(graft.functions.BoundedCollect(col(idCol), maxDocFreq).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDocFreq)
     val inter = buckets
@@ -337,20 +343,21 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, minContainment: Double,
       maxDocFreq: Int = 1000): DataFrame = {
+    // same block-folded 64-bit gram keys as [[ngramJaccardPairs]]
     val base = barrier(
       df.select(
           (col(idCol) +: blockCols.map(col) :+
             tokens(col(textCol)).as("toks")): _*)
         .withColumn("grams", array_distinct(
-          transform(wordGrams(col("toks"), n), g => xxhash64(g))))
-        .drop("toks"),
+          transform(wordGrams(col("toks"), n),
+            g => xxhash64((blockCols.map(col) :+ g): _*))))
+        .select(col(idCol), col("grams")),
       idCol)
     val sizes = base.select(col(idCol), size(col("grams")).as("sz"))
     val grams = base
-      .select((col(idCol) +: blockCols.map(col) :+
-        explode(col("grams")).as("gram")): _*)
+      .select(col(idCol), explode(col("grams")).as("bk"))
     val buckets = grams
-      .groupBy((blockCols.map(col) :+ col("gram")): _*)
+      .groupBy(col("bk"))
       .agg(graft.functions.BoundedCollect(col(idCol), maxDocFreq).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDocFreq)
     val inter = buckets
@@ -377,26 +384,49 @@ object Dedup {
         round(col("containment"), 4).as("containment"))
   }
 
+  /** Per-doc distinct (id, bk) gram-key rows for the bucket-pair
+    * generators: the block columns and the raw gram string are FOLDED
+    * into one 64-bit xxhash64 key before the shuffle, so the bucket
+    * exchange ships (long, long) rows instead of block strings plus a
+    * gram key. Width is a measured trade, not an oversight: a 64-bit
+    * key collides with probability ~n²/2⁶⁵ over n distinct
+    * (block, gram) triples — negligible through 10⁹, ~27k expected
+    * merges at the 10¹² a 100 TB corpus holds — and a merge creates
+    * spurious candidate pairs (for CC consumers, a spurious component
+    * merge), i.e. ~10⁴ mis-clustered docs among 10⁹+, orders below the
+    * gram-sharing heuristic's own false-positive rate. Widening to the
+    * two-seed 128-bit form (ts21's census-exact pattern) was measured
+    * at +20-27% COMPRESSED shuffle and +10-20% wall on the five
+    * gram-bucket headliners: the second seed is 8 incompressible
+    * random bytes per row, while the block strings it displaces
+    * compress to almost nothing — candidate generation keeps the
+    * narrow key, ts21 keeps the wide one because its novelty COUNTS
+    * replay an exact census. DuckDB oracles key the same buckets by
+    * the raw strings; at verification scales the bucket partition is
+    * identical.
+    */
+  private def blockedGramKeys(df: DataFrame, idCol: String,
+      textCol: String, blockCols: Seq[String], n: Int): DataFrame =
+    df.select((col(idCol) +: blockCols.map(col) :+
+        tokens(col(textCol)).as("toks")): _*)
+      .select(col(idCol), explode(array_distinct(
+        transform(wordGrams(col("toks"), n),
+          g => xxhash64((blockCols.map(col) :+ g): _*)))).as("bk"))
+
   /** Candidate doc pairs sharing at least one non-hot gram — the
     * inverted-index bucket pairs of [[ngramJaccardPairs]] WITHOUT the
     * similarity arithmetic, for consumers that only need the edge
     * relation (duplicate-cluster resolution). Single-consumer gram
     * arrays → no barrier, no per-doc size branch, no join-back: one
-    * bucket-keyed shuffle and the in-task upper-triangle emission,
-    * `maxDocFreq`-capped like every bucket op here.
+    * bucket-keyed shuffle ([[blockedGramKeys]] — block cols folded into
+    * the key, never shipped) and the in-task upper-triangle
+    * emission, `maxDocFreq`-capped like every bucket op here.
     */
   def gramCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, maxDocFreq: Int = 1000)
   : DataFrame = {
-    val grams = df
-      .select((col(idCol) +: blockCols.map(col) :+
-        tokens(col(textCol)).as("toks")): _*)
-      .select((col(idCol) +: blockCols.map(col) :+
-        explode(array_distinct(
-          transform(wordGrams(col("toks"), n), g => xxhash64(g))))
-          .as("gram")): _*)
-    grams
-      .groupBy((blockCols.map(col) :+ col("gram")): _*)
+    blockedGramKeys(df, idCol, textCol, blockCols, n)
+      .groupBy(col("bk"))
       .agg(graft.functions.BoundedCollect(col(idCol), maxDocFreq)
         .as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDocFreq)
@@ -429,15 +459,8 @@ object Dedup {
   def gramStarEdges(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, maxDocFreq: Int = 1000)
   : DataFrame = {
-    val grams = df
-      .select((col(idCol) +: blockCols.map(col) :+
-        tokens(col(textCol)).as("toks")): _*)
-      .select((col(idCol) +: blockCols.map(col) :+
-        explode(array_distinct(
-          transform(wordGrams(col("toks"), n), g => xxhash64(g))))
-          .as("gram")): _*)
-    grams
-      .groupBy((blockCols.map(col) :+ col("gram")): _*)
+    blockedGramKeys(df, idCol, textCol, blockCols, n)
+      .groupBy(col("bk"))
       .agg(graft.functions.BoundedCollect(col(idCol), maxDocFreq)
         .as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDocFreq)
