@@ -55,20 +55,25 @@ object Bench {
     * suffices). `value` (the reported number) is the min; a failed query
     * reports -1 with empty runs.
     *
-    * `gcSec`/`stealSec`/`iowaitSec` decompose each timed run's wall clock
-    * (parallel to `times`): whole-JVM GC seconds during the run (GC MXBean
-    * delta — in local mode executors share the driver JVM, so this IS the
-    * query's GC), host CPU-steal seconds, and host iowait seconds (both
-    * /proc/stat deltas; iowait flags page-cache-evicted corpus re-reads).
-    * They exist to make outlier runs attributable from the artifact alone:
-    * this host shows isolated 10-30× spikes between identical back-to-back
-    * runs, and without the split every spike costs a manual re-run to
-    * classify as GC pressure (ours, fixable) vs steal/IO (host's,
-    * min-of-3 damps it).
+    * `gcSec`/`stealSec`/`iowaitSec`/`cpuSec` decompose each timed run's
+    * wall clock (parallel to `times`): whole-JVM GC seconds during the
+    * run (GC MXBean delta — in local mode executors share the driver
+    * JVM, so this IS the query's GC), host CPU-steal seconds, host
+    * iowait seconds (both /proc/stat deltas; iowait flags
+    * page-cache-evicted corpus re-reads), and this PROCESS's user+sys
+    * CPU seconds (/proc/self/stat delta — a slow run whose cpu_sec
+    * scales with its wall was COMPUTING more, i.e. JIT/codegen churn or
+    * a changed plan; one whose cpu_sec stays flat was waiting). They
+    * exist to make outlier runs attributable from the artifact alone:
+    * this host shows isolated 10-30× spikes between identical
+    * back-to-back runs, and without the split every spike costs a
+    * manual re-run to classify as ours (fixable) vs the host's
+    * (min-of-3 damps it).
     */
   private[graft] case class Detail(warmup: Double, times: Seq[Double],
       metrics: Option[RunMetrics] = None, gcSec: Seq[Double] = Nil,
-      stealSec: Seq[Double] = Nil, iowaitSec: Seq[Double] = Nil) {
+      stealSec: Seq[Double] = Nil, iowaitSec: Seq[Double] = Nil,
+      cpuSec: Seq[Double] = Nil) {
     def value: Double = if (times.isEmpty) -1.0 else times.min
     private def arr(xs: Seq[Double]): String =
       xs.map(t => f"$t%.3f").mkString(",")
@@ -76,7 +81,9 @@ object Bench {
       if (gcSec.isEmpty && stealSec.isEmpty) ""
       else s""","gc_sec":[${arr(gcSec)}],"steal_sec":[${arr(stealSec)}]""" +
         (if (iowaitSec.isEmpty) ""
-         else s""","iowait_sec":[${arr(iowaitSec)}]""")
+         else s""","iowait_sec":[${arr(iowaitSec)}]""" +
+           (if (cpuSec.isEmpty) ""
+            else s""","cpu_sec":[${arr(cpuSec)}]"""))
     def json: String =
       f"""{"warmup":$warmup%.3f,"times":[${arr(times)}]${metrics
         .fold("")("," + _.json)}$attributionJson}"""
@@ -150,6 +157,21 @@ object Bench {
         (f(8), f(5))
       } finally src.close()
     } catch { case _: Exception => (0L, 0L) }
+
+  /** Cumulative THIS-process user+sys jiffies (/proc/self/stat utime +
+    * stime — fields 14/15, read after the `(comm)` field so an exotic
+    * process name can't shift them); 0 off-Linux.
+    */
+  private def procCpuJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      try {
+        val line = src.getLines().next()
+        val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
+        def f(i: Int) = rest.lift(i).flatMap(_.toLongOption).getOrElse(0L)
+        f(11) + f(12) // utime, stime (0-indexed from the state field)
+      } finally src.close()
+    } catch { case _: Exception => 0L }
 
   /** The bench headline set — also the scope of [[PlanAudit]]. */
   val headlineQueries: Seq[String] = Seq(
@@ -351,15 +373,16 @@ object Bench {
       // from /proc/stat (USER_HZ=100 jiffies; host-wide, but a bench owns
       // the box). iowait catches page-cache-evicted corpus re-reads —
       // the third spike source GC and steal alone leave unexplained.
-      def once(): (Double, Double, Double, Double) = {
+      def once(): (Double, Double, Double, Double, Double) = {
         val g0 = gcMillis(); val (s0, w0) = hostJiffies()
+        val c0 = procCpuJiffies()
         val t0 = System.nanoTime()
         all(name)(spark, sfDir).write.format("noop")
           .mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         val (s1, w1) = hostJiffies()
         (wall, (gcMillis() - g0) / 1e3, (s1 - s0) / 100.0,
-          (w1 - w0) / 100.0)
+          (w1 - w0) / 100.0, (procCpuJiffies() - c0) / 100.0)
       }
       val d = try {
         val warm = once()._1
@@ -368,7 +391,8 @@ object Bench {
         val last = once()
         val runs = timed :+ last
         Detail(warm, runs.map(_._1), Some(agg.snapshot()),
-          runs.map(_._2), runs.map(_._3), runs.map(_._4))
+          runs.map(_._2), runs.map(_._3), runs.map(_._4),
+          runs.map(_._5))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -458,7 +482,8 @@ object Bench {
       "(-?[0-9.]+),\"spill_mb\":(-?[0-9.]+)," +
       "\"peak_task_mem_mb\":(-?[0-9.]+))?" +
       "(?:,\"gc_sec\":\\[([0-9.,]*)\\],\"steal_sec\":\\[([0-9.,]*)\\]" +
-      "(?:,\"iowait_sec\":\\[([0-9.,]*)\\])?)?").r
+      "(?:,\"iowait_sec\":\\[([0-9.,]*)\\]" +
+      "(?:,\"cpu_sec\":\\[([0-9.,]*)\\])?)?)?").r
     def nums(s: String): Seq[Double] =
       s.split(",").filter(_.nonEmpty).map(_.toDouble).toSeq
     lines.reverseIterator
@@ -468,7 +493,8 @@ object Bench {
           m.group(4).toDouble, m.group(5).toDouble, m.group(6).toDouble)),
         Option(m.group(7)).fold(Seq.empty[Double])(nums),
         Option(m.group(8)).fold(Seq.empty[Double])(nums),
-        Option(m.group(9)).fold(Seq.empty[Double])(nums))))
+        Option(m.group(9)).fold(Seq.empty[Double])(nums),
+        Option(m.group(10)).fold(Seq.empty[Double])(nums))))
       .nextOption()
   }
 }

@@ -45,13 +45,17 @@ class BenchSpec extends AnyFunSuite {
       List(emit("q6_revenue_deltaX", d))).isEmpty)
   }
 
-  test("round-trips gc/steal/iowait attribution arrays with metrics") {
+  test("round-trips gc/steal/iowait/cpu attribution arrays with metrics") {
     val d = Bench.Detail(5.2, Seq(1.5, 1.2, 1.1),
       Some(Bench.RunMetrics(10.0, 5.0, 0.0, 8.0)),
       gcSec = Seq(0.12, 0.034, 0.02), stealSec = Seq(0.0, 0.5, 0.0),
-      iowaitSec = Seq(0.0, 12.35, 0.1))
+      iowaitSec = Seq(0.0, 12.35, 0.1), cpuSec = Seq(30.1, 28.0, 27.5))
     assert(Bench.parseDetailLine("ts21_ngram_novelty",
       List(emit("ts21_ngram_novelty", d))).contains(d))
+    // gc/steal/iowait without cpu (the r11 intermediate form) parses
+    val noCpu = d.copy(cpuSec = Nil)
+    assert(Bench.parseDetailLine("ts21_ngram_novelty",
+      List(emit("ts21_ngram_novelty", noCpu))).contains(noCpu))
     // pre-r11 lines (no attribution group) still parse: empty arrays
     val legacy = Bench.Detail(5.2, Seq(1.5), Some(
       Bench.RunMetrics(10.0, 5.0, 0.0, 8.0)))
