@@ -32,8 +32,18 @@ import scala.jdk.CollectionConverters._
   * launching forks once the budget is spent and records the unmeasured
   * queries in a `skipped` list, and each child gets the remaining budget
   * as a hard timeout (a hung child is killed, its completed queries
-  * already parsed from the captured stdout). A partial-but-parseable
-  * artifact beats a complete run the harness never sees.
+  * already parsed from the captured stdout; its unattempted queries land
+  * in a `killed` list, distinct from the -1 sentinel that marks a query
+  * the child ran and which failed). A partial-but-parseable artifact
+  * beats a complete run the harness never sees.
+  *
+  * Two hygiene rules keep single measurements honest: the shared cache
+  * manager is purged between RUNS, not just between queries (a query that
+  * persists internally must never have run 2/3 ride run 1's cache —
+  * round 11's dd26 grew 8.7→78 s exactly that way), and a reported min
+  * whose run carried > 5 s of host CPU-steal is re-measured once at sweep
+  * end, keeping the cleaner of the two measurements (`rerun` list in the
+  * protocol).
   *
   * The JSON carries the measurement protocol alongside the headline
   * numbers: a `protocol` object (runs per query, warmup runs, isolation
@@ -143,35 +153,61 @@ object Bench {
       .map(_.getCollectionTime).filter(_ > 0).sum
 
   /** Cumulative host (steal, iowait) jiffies from /proc/stat's aggregate
-    * `cpu` line (fields 8 and 5); (0,0) where the proc file is absent or
-    * short (non-Linux, containers without the accounting). Both are
-    * host-wide sums over all CPUs — what matters for attribution is the
-    * DELTA during one run vs the runs around it, not the absolute value.
+    * `cpu` line (fields 8 and 5); None where the proc file is absent or
+    * short (non-Linux, containers without the accounting) — the arrays
+    * are then OMITTED from the detail line rather than emitted as zeros,
+    * so "all-zero attribution" can never be confused with a quiet host.
+    * Jiffies are converted at USER_HZ=100 (the Linux userland ABI
+    * constant /proc/stat is specified against). Both are host-wide sums
+    * over all CPUs — what matters for attribution is the DELTA during
+    * one run vs the runs around it, not the absolute value.
     */
-  private def hostJiffies(): (Long, Long) =
+  private def hostJiffies(): Option[(Long, Long)] =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
         val t = src.getLines().next().split("\\s+")
-        def f(i: Int) = t.lift(i).flatMap(_.toLongOption).getOrElse(0L)
-        (f(8), f(5))
+        def f(i: Int) = t.lift(i).flatMap(_.toLongOption)
+        for (s <- f(8); w <- f(5)) yield (s, w)
       } finally src.close()
-    } catch { case _: Exception => (0L, 0L) }
+    } catch { case _: Exception => None }
 
   /** Cumulative THIS-process user+sys jiffies (/proc/self/stat utime +
     * stime — fields 14/15, read after the `(comm)` field so an exotic
-    * process name can't shift them); 0 off-Linux.
+    * process name can't shift them); None off-Linux (array omitted).
     */
-  private def procCpuJiffies(): Long =
+  private def procCpuJiffies(): Option[Long] =
     try {
       val src = scala.io.Source.fromFile("/proc/self/stat")
       try {
         val line = src.getLines().next()
         val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
-        def f(i: Int) = rest.lift(i).flatMap(_.toLongOption).getOrElse(0L)
-        f(11) + f(12) // utime, stime (0-indexed from the state field)
+        def f(i: Int) = rest.lift(i).flatMap(_.toLongOption)
+        // utime, stime (0-indexed from the state field)
+        for (u <- f(11); s <- f(12)) yield u + s
       } finally src.close()
-    } catch { case _: Exception => 0L }
+    } catch { case _: Exception => None }
+
+  /** Whether this platform exposes the /proc counters the attribution
+    * arrays are computed from — checked once; when false the arrays are
+    * omitted entirely (Detail.attributionJson drops empty arrays).
+    */
+  private lazy val procAttrOk: Boolean =
+    hostJiffies().isDefined && procCpuJiffies().isDefined
+
+  /** JSON string-escape for protocol values sourced from the environment
+    * (SPARK_GRAFT_EXTRA_CONF): backslash, quote, and all control chars —
+    * a stray backslash must not make the artifact unparseable.
+    */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   /** The bench headline set — also the scope of [[PlanAudit]]. */
   val headlineQueries: Seq[String] = Seq(
@@ -245,42 +281,84 @@ object Bench {
     extraConf.foreach(c =>
       System.err.println(s"[bench] EXTRA_CONF overrides active: $c"))
 
-    val (results, skipped) =
-      if (inProcess) (runInProcess(selected, sfDir, cpus), Nil)
+    val (firstPass, skipped, killed) =
+      if (inProcess) (runInProcess(selected, sfDir, cpus), Nil, Nil)
       else {
         val done = Seq.newBuilder[(String, Detail)]
         val skip = Seq.newBuilder[String]
+        val kill = Seq.newBuilder[String]
         selected.grouped(groupSize).foreach { g =>
           val remaining = budgetSec - elapsedSec
           // under ~30 s left a fork can't even finish session startup —
           // skip rather than launch a doomed child
           if (remaining <= 30) skip ++= g
-          else done ++= forkGroup(g, sfDir, remaining)
+          else {
+            val (res, k) = forkGroup(g, sfDir, remaining)
+            done ++= res; kill ++= k
+          }
         }
-        (done.result(), skip.result())
+        (done.result(), skip.result(), kill.result())
       }
+
+    // steal-gated outlier re-run: a reported min whose run carried > ~5 s
+    // of host CPU-steal is a contaminated measurement, not the query's
+    // number (r11: q3 reported off a 21 s-steal run on 5.8 s of compute).
+    // Re-fork those queries once at sweep end — the burst has usually
+    // passed — and keep whichever measurement's min run is cleaner.
+    val stealGateSec = 5.0
+    def minRunSteal(d: Detail): Double =
+      if (d.times.isEmpty || d.stealSec.size != d.times.size) 0.0
+      else d.stealSec(d.times.indexOf(d.times.min))
+    val rerunNames =
+      if (inProcess) Nil
+      else firstPass.collect {
+        case (n, d) if d.value >= 0 && minRunSteal(d) > stealGateSec => n
+      }
+    val reruns: Map[String, Detail] =
+      rerunNames.grouped(groupSize).flatMap { g =>
+        val remaining = budgetSec - elapsedSec
+        if (remaining <= 30) Nil else forkGroup(g, sfDir, remaining)._1
+      }.toMap
+    val results = firstPass.map { case (n, d) =>
+      n -> reruns.get(n).filter { d2 =>
+        d2.value >= 0 && (minRunSteal(d2) < minRunSteal(d) ||
+          (minRunSteal(d2) == minRunSteal(d) && d2.value < d.value))
+      }.getOrElse(d)
+    }
 
     val isolation =
       if (inProcess) "fresh-session-per-query"
       else if (groupSize == 1) "fork-per-query"
       else s"fork-per-group"
-    // failed/killed queries report -1 — they must not subtract from total
+    // failed queries report -1 — they must not subtract from total
     val total = results.map(_._2.value).filter(_ >= 0).sum
-    // Protocol annotations: full skipped-name list only in the detail
-    // file (it could blow the compact line's length cap); the compact
-    // stdout line carries just the count.
+    // Protocol annotations: full skipped/killed/rerun name lists only in
+    // the detail file (they could blow the compact line's length cap);
+    // the compact stdout line carries just the counts. `killed` = queries
+    // whose child JVM hit the wall budget before attempting them (distinct
+    // from a -1, which means the child ran the query and it failed);
+    // `rerun` = steal-gated outliers re-measured at sweep end.
+    def names(key: String, ns: Seq[String]): String =
+      if (ns.isEmpty) ""
+      else ns.map("\"" + _ + "\"").mkString(s""","$key":[""", ",", "]")
+    def count(key: String, ns: Seq[String]): String =
+      if (ns.isEmpty) "" else s""","n_$key":${ns.size}"""
     val protoBase = {
       val group = if (inProcess) "" else s""","fork_group":$groupSize"""
+      val purge = s""","cache_purge":"per-run""""
       val conf = extraConf.fold("")(c =>
-        s""","extra_conf":"${c.replace("\"", "'")}"""")
-      group + conf
+        s""","extra_conf":"${jsonEscape(c)}"""")
+      group + purge + conf
     }
-    val protoExtra = protoBase + (
-      if (skipped.isEmpty) ""
-      else skipped.map("\"" + _ + "\"")
-        .mkString(""","skipped":[""", ",", "]"))
-    val protoCompact = protoBase + (
-      if (skipped.isEmpty) "" else s""","n_skipped":${skipped.size}""")
+    val protoExtra = protoBase +
+      names("skipped", skipped) + names("killed", killed) +
+      names("rerun", rerunNames) +
+      (if (procAttrOk) s""","attribution":"per-run gc/steal/iowait/cpu """ +
+        s"""(/proc deltas, USER_HZ=100; omitted where /proc unreadable)""""
+       else "")
+    val protoCompact = protoBase +
+      count("skipped", skipped) + count("killed", killed) +
+      count("rerun", rerunNames)
 
     // The harness that snapshots this run keeps only a SHORT TAIL of the
     // combined output (~2000 chars) and parses the headline JSON out of
@@ -365,6 +443,16 @@ object Bench {
     // cluster would see; min damps this host's up-to-5× CPU-steal spikes).
     val results = selected.map { name =>
       val spark = freshSession()
+      // per-RUN cache hygiene (round 11: dd26's runs grew 8.7→78.4 s
+      // riding relations its own earlier runs left persisted): purge the
+      // shared cache manager + GC after EVERY run, warmup included, so
+      // run 2/3 never measure accumulated cache state — each timed run is
+      // a full honest execution. Runs outside the timed window.
+      def purge(): Unit = {
+        try spark.sharedState.cacheManager.clearCache()
+        catch { case _: IllegalStateException => }
+        System.gc()
+      }
       val agg = new MetricsAgg
       spark.sparkContext.addSparkListener(agg)
       // (wall, gc, steal, iowait) per run: GC from the whole-JVM MXBean
@@ -374,25 +462,31 @@ object Bench {
       // the box). iowait catches page-cache-evicted corpus re-reads —
       // the third spike source GC and steal alone leave unexplained.
       def once(): (Double, Double, Double, Double, Double) = {
-        val g0 = gcMillis(); val (s0, w0) = hostJiffies()
-        val c0 = procCpuJiffies()
+        val g0 = gcMillis()
+        val (s0, w0) = hostJiffies().getOrElse((0L, 0L))
+        val c0 = procCpuJiffies().getOrElse(0L)
         val t0 = System.nanoTime()
         all(name)(spark, sfDir).write.format("noop")
           .mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        val (s1, w1) = hostJiffies()
+        val (s1, w1) = hostJiffies().getOrElse((0L, 0L))
+        val c1 = procCpuJiffies().getOrElse(0L)
         (wall, (gcMillis() - g0) / 1e3, (s1 - s0) / 100.0,
-          (w1 - w0) / 100.0, (procCpuJiffies() - c0) / 100.0)
+          (w1 - w0) / 100.0, (c1 - c0) / 100.0)
       }
       val d = try {
         val warm = once()._1
-        val timed = Seq.fill(nRuns - 1)(once())
+        purge()
+        val timed = Seq.fill(nRuns - 1) { val r = once(); purge(); r }
         agg.reset() // profile the final timed run only
         val last = once()
         val runs = timed :+ last
-        Detail(warm, runs.map(_._1), Some(agg.snapshot()),
-          runs.map(_._2), runs.map(_._3), runs.map(_._4),
-          runs.map(_._5))
+        if (procAttrOk)
+          Detail(warm, runs.map(_._1), Some(agg.snapshot()),
+            runs.map(_._2), runs.map(_._3), runs.map(_._4),
+            runs.map(_._5))
+        else // no /proc: omit attribution rather than emit zeros
+          Detail(warm, runs.map(_._1), Some(agg.snapshot()))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -408,9 +502,7 @@ object Bench {
       // mid-query (e.g. executor-thread OOM stops it in local mode), the
       // failure Detail above is already printed — don't let cleanup's
       // IllegalStateException erase it by crashing the child
-      try spark.sharedState.cacheManager.clearCache()
-      catch { case _: IllegalStateException => }
-      System.gc()
+      purge()
       name -> d
     }
     try freshSession().stop()
@@ -426,7 +518,7 @@ object Bench {
     * buffer, so queries that completed before a kill still report.
     */
   private[graft] def forkGroup(names: Seq[String], sfDir: String,
-      timeoutSec: Long): Seq[(String, Detail)] = {
+      timeoutSec: Long): (Seq[(String, Detail)], Seq[String]) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
       .asScala.toSeq
@@ -454,10 +546,21 @@ object Bench {
     }
     reader.join(2000)
     val out = buf.asScala.toList
-    names.map(n => n -> parseDetailLine(n, out).getOrElse {
-      System.err.println(s"[bench] $n: no result from child JVM")
-      Detail(-1.0, Nil)
-    })
+    val parsed = names.map(n => n -> parseDetailLine(n, out))
+    // no detail line + child exited on its own = the child attempted the
+    // query and died before printing (a genuine failure, -1); no line +
+    // child killed on the wall budget = a budget casualty the child never
+    // reached — report it as `killed`, NOT as a failure sentinel, so the
+    // artifact distinguishes broken queries from an exhausted budget.
+    val results = parsed.collect {
+      case (n, Some(d)) => n -> d
+      case (n, None) if done =>
+        System.err.println(s"[bench] $n: no result from child JVM")
+        n -> Detail(-1.0, Nil)
+    }
+    val budgetKilled = if (done) Nil
+      else parsed.collect { case (n, None) => n }
+    (results, budgetKilled)
   }
 
   /** Single-query fork (ScaleBench's entry point): a one-element group
@@ -465,7 +568,8 @@ object Bench {
     * their own budget.
     */
   private[graft] def forkOne(name: String, sfDir: String): Detail =
-    forkGroup(Seq(name), sfDir, timeoutSec = 86400L).head._2
+    forkGroup(Seq(name), sfDir, timeoutSec = 86400L)._1
+      .headOption.map(_._2).getOrElse(Detail(-1.0, Nil))
 
   /** Parse a child JVM's per-query detail line back into a [[Detail]] —
     * the inverse of `Detail.json` as printed by [[runInProcess]]. The

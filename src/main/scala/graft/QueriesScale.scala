@@ -332,8 +332,9 @@ object QueriesScale {
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 9000000L).as("doc_id"), col("text")))
-      // prefixFilteredPairs returns an eagerly checkpointed relation, so
-      // both consumers below read materialized blocks — no extra persist
+      // prefixFilteredPairs returns a scratch-parquet-materialized
+      // relation (zero cache entries), so both consumers below re-scan
+      // the small pair file, never the join — no extra persist
       val pairs = Dedup.prefixFilteredPairs(corpus, "doc_id", "text", 0.6)
       val th = Seq(0.6, 0.7, 0.8, 0.9, 1.0).toDF("t")
       val nPairs = pairs.join(broadcast(th), col("jaccard") >= col("t"))

@@ -643,10 +643,22 @@ object Dedup {
     // materialize the (small, post-threshold) pair relation while
     // sets/prefix are still cached, then drop both — repeated invocations
     // (bench rounds, the full verify sweep) must not accumulate cached
-    // blocks. persist+count, NOT an eager localCheckpoint: the RDD
-    // checkpoint path materializes every lineage partition outside the
-    // adaptive replanning that turns this self-join's skewed tok buckets
-    // into a broadcast — measured 17x slower at sf0.1 (28 s vs 1.6 s).
+    // blocks. Materialization is a scratch-parquet round trip, for two
+    // reasons. NOT an eager localCheckpoint: the RDD checkpoint path
+    // materializes every lineage partition outside the adaptive
+    // replanning that turns this self-join's skewed tok buckets into a
+    // broadcast — measured 17x slower at sf0.1 (28 s vs 1.6 s); a parquet
+    // write executes the normal AQE-planned query. And NOT persist+count
+    // (the pre-round-12 form): a persisted return has no safe unpersist
+    // point — callers hand the relation on as their result, so the entry
+    // stayed registered in the shared cache manager, and repeated
+    // invocations in one JVM (a bench's warmup+3 runs) accumulated
+    // entries whose textually identical plans can cross-alias, letting
+    // one run's unpersist drop blocks a sibling's lineage still rides
+    // (recompute without the persist = the expensive join re-runs per
+    // downstream consumer). The read-back has clean file-scan lineage and
+    // ZERO cache registrations; at cluster scale the same pattern targets
+    // the job's shared scratch space.
     val out = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta"),
         col("m").as("ma")), "doc_a")
@@ -659,11 +671,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
         .as("jaccard"))
-      .persist(spill)
-    out.count(): Unit
+    val scratch = graft.Scratch.dir("ppjoin_pairs")
+    out.write.mode("overwrite").parquet(scratch)
     sets.unpersist()
     prefix.unpersist()
-    out
+    df.sparkSession.read.parquet(scratch)
   }
 
   /** Edit-distance pair matching (record linkage / fuzzy title dedup) via
