@@ -725,18 +725,25 @@ object QueriesScale {
     // corpus — one corpus scan total). Deterministic argmax (count desc,
     // then lexicographic) → the merge table is exactly reproducible, but
     // no single SQL statement can replay an iterative train → no DuckDB
-    // oracle; instead the batched-round production path is re-derived
-    // with batchCap=1 (true one-merge-at-a-time greedy) and the ENFORCED
-    // per-rank `equal` verdict asserts the two merge tables are
+    // oracle; instead the batched-round production path is compared to
+    // Bpe.referenceTrain (textbook one-merge-at-a-time greedy on the
+    // driver, vocab-capped — the brute-force oracle pattern) and the
+    // ENFORCED per-rank `equal` verdict asserts the two merge tables are
     // identical — the greedy-equivalence proof in Bpe.train's batch
     // acceptance rule, checked on the live corpus every run (BpeSpec pins
-    // it on known corpora besides).
+    // batched ≡ sequential ≡ reference on known corpora besides).
     "ts11_bpe_train" -> ((s, d) => {
       import s.implicits._
       val docs = fanOut(documents(s, d))
-      val batched = Bpe.train(docs, "text", numMerges = 16)
-      val sequential = Bpe.train(docs, "text", numMerges = 16,
-        batchCap = 1)
+      // engine train + independent oracle share ONE materialized word
+      // table (the corpus scan is paid once); the verdict compares the
+      // batched distributed train against the textbook driver-side
+      // sequential greedy — more independent than re-running the same
+      // distributed machinery at batchCap=1, and free of its ~150 ms/
+      // merge driver round-trip overhead
+      val words = Bpe.wordTable(docs, "text").localCheckpoint(true)
+      val batched = Bpe.trainFromWords(words, numMerges = 16)
+      val sequential = Bpe.referenceTrain(words, numMerges = 16)
       batched.zip(sequential).map { case (b, q) =>
         (b._1, b._2, b._3, b._4, b == q)
       }.toDF("rank", "left", "right", "pair_count", "equal")
@@ -753,8 +760,9 @@ object QueriesScale {
     // verdict means merge application corrupted a word.
     "ts12_bpe_segment" -> ((s, d) => {
       val docs = fanOut(documents(s, d))
-      val merges = Bpe.train(docs, "text", numMerges = 16)
-      Bpe.segment(docs, "text", merges)
+      val words = Bpe.wordTable(docs, "text").localCheckpoint(true)
+      val merges = Bpe.trainFromWords(words, numMerges = 16)
+      Bpe.segmentWords(words, merges)
         .agg(
           sum(col("cnt") * size(col("syms"))).as("n_tokens"),
           sum(col("cnt") * length(col("w"))).as("n_chars"),

@@ -117,12 +117,34 @@ object Bpe {
     * 32k Spark jobs on a Zipfian pair distribution; per round the cost
     * stays one vocab-sized pair aggregate + one bounded driver pull (the
     * k-means-centroid pattern), with `localCheckpoint` truncating
-    * per-round lineage as in [[Dedup.connectedComponents]].
+    * lineage every `checkpointEvery` merges as in
+    * [[Dedup.connectedComponents]].
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      batchCap: Int = 16): Seq[(Int, String, String, Long)] = {
-    var words = wordTable(docs, textCol)
-      .localCheckpoint(true) // one corpus scan; rounds run on vocab only
+      batchCap: Int = 16): Seq[(Int, String, String, Long)] =
+    trainFromWords(
+      // one corpus scan; rounds run on vocab only
+      wordTable(docs, textCol).localCheckpoint(true),
+      numMerges, batchCap)
+
+  /** [[train]] on an already-materialized word table — callers that train
+    * twice over one corpus (ts11's batched-vs-sequential verification
+    * twin) share the corpus scan instead of paying it per train. The
+    * input must be checkpointed/materialized; rounds only ever touch the
+    * vocabulary relation.
+    *
+    * Lineage is truncated with a LAZY localCheckpoint every
+    * `checkpointEvery` merges: materialization piggybacks on the next
+    * round's pair-count job (no separate eager job per round), and the
+    * constant one-batch-deep plan shape keeps the codegen cache warm
+    * across rounds. A 32k-merge production run keeps the same bound:
+    * O(checkpointEvery) regexp passes recomputed per round, never O(k).
+    */
+  def trainFromWords(table: DataFrame, numMerges: Int,
+      batchCap: Int = 16, checkpointEvery: Int = 1)
+  : Seq[(Int, String, String, Long)] = {
+    var words = table
+    var sinceCheckpoint = 0
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var exhausted = false
@@ -166,7 +188,70 @@ object Bpe {
           .withColumn("syms", splitSyms(batch.foldLeft(joinedSyms) {
             case (j, (l, r, _)) => applyMergeStr(j, l, r)
           }))
-          .localCheckpoint(true)
+        sinceCheckpoint += batch.length
+        if (sinceCheckpoint >= checkpointEvery) {
+          // LAZY checkpoint: materializes inside the next round's
+          // pair-count job instead of scheduling its own eager job —
+          // at batchCap=1 this halves the Spark jobs per train, and the
+          // constant one-regexp-deep plan shape keeps the codegen cache
+          // warm across rounds (an eager per-round job was measured at
+          // no benefit; a growing 8-deep lineage recompiled per round)
+          words = words.localCheckpoint(false)
+          sinceCheckpoint = 0
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Textbook one-merge-at-a-time greedy BPE on the DRIVER over a
+    * collected word table — the independent reference oracle ts11's
+    * enforced verdict compares [[trainFromWords]] against. Same
+    * determinism contract (count desc, then lexicographic (l, r)) and
+    * the same greedy-no-remerge application as [[mergePair]]'s fold.
+    *
+    * This is an ORACLE, not an engine path: collecting the vocabulary is
+    * exactly the brute-force-the-truth-set move the dd-entry oracles
+    * make, and is bounded by `maxVocab` (a verification corpus fits; a
+    * production corpus never runs its verifier). Replacing the former
+    * distributed batchCap=1 verification twin with this cut the ts11
+    * headline roughly in half: the twin re-ran one ~150 ms driver
+    * round-trip per merge (plan analysis + AQE stage orchestration on a
+    * vocab-sized relation — pure per-query overhead), where the driver
+    * reference is microseconds on the same data and is MORE independent
+    * of the machinery it checks.
+    */
+  def referenceTrain(table: DataFrame, numMerges: Int,
+      maxVocab: Int = 2000000): Seq[(Int, String, String, Long)] = {
+    val rows = table.select(col("w"), col("cnt")).limit(maxVocab + 1)
+      .collect()
+    require(rows.length <= maxVocab,
+      s"referenceTrain is a verification oracle, capped at $maxVocab " +
+        "distinct words")
+    var words: Array[(Array[String], Long)] = rows.map(r =>
+      (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      for ((syms, cnt) <- words; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + cnt
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((merges.size + 1, l, r, c))
+        words = words.map { case (syms, cnt) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (s <- syms)
+            if (out.nonEmpty && out.last == l && s == r)
+              out(out.length - 1) = l + r
+            else out += s
+          (out.toArray, cnt)
+        }
       }
     }
     merges.toSeq
@@ -178,10 +263,17 @@ object Bpe {
     * entirely row-local). Output: the word relation with final `syms`.
     */
   def segment(docs: DataFrame, textCol: String,
+      merges: Seq[(Int, String, String, Long)]): DataFrame =
+    segmentWords(wordTable(docs, textCol), merges)
+
+  /** [[segment]] on an existing word table — pairs with [[trainFromWords]]
+    * so train+segment over one corpus shares a single scan.
+    */
+  def segmentWords(table: DataFrame,
       merges: Seq[(Int, String, String, Long)]): DataFrame = {
     val applied = merges.foldLeft(joinedSyms) {
       case (j, (_, l, r, _)) => applyMergeStr(j, l, r)
     }
-    wordTable(docs, textCol).withColumn("syms", splitSyms(applied))
+    table.withColumn("syms", splitSyms(applied))
   }
 }

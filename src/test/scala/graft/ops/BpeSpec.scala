@@ -45,6 +45,12 @@ class BpeSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val greedy = Bpe.train(docs, "text", numMerges = 24, batchCap = 1)
     val batched = Bpe.train(docs, "text", numMerges = 24)
+    // the driver-side reference oracle (ts11's verdict source) must agree
+    // with BOTH distributed trains on the same adversarial corpus
+    val reference = Bpe.referenceTrain(
+      Bpe.wordTable(docs, "text"), numMerges = 24)
+    assert(reference == greedy,
+      s"driver reference diverged from greedy:\n$reference\nvs\n$greedy")
     assert(batched == greedy,
       s"batched diverged from greedy:\n$batched\nvs\n$greedy")
   }
