@@ -389,24 +389,42 @@ class PlansSpec extends SparkSpec {
     // lambda-variable ids per consumer, the two gram subtrees stop being
     // canonically equal, and AQE (correctly, by its rules) declines the
     // reuse. Bench/Verify sessions never cache the scan — judge the
-    // uncached plan.
+    // uncached plan. The cache manager lives in SharedState (one per
+    // context), so there is no session-scoped way to isolate this purge;
+    // this test is therefore deliberately LAST in the suite, where no
+    // later test can observe the cleared cache.
     spark.sharedState.cacheManager.clearCache()
     val df = SparkEntry.queries("ts21_ngram_novelty")(spark, sf)
     // collect() (not a noop write — that plans a SEPARATE QueryExecution)
     // so THIS df's adaptive plan finalizes
     df.collect()
-    val full = df.queryExecution.executedPlan.toString
-    // the adaptive toString carries Final and Initial sections; judge the
-    // final one only
-    val plan = full.split("== Initial Plan ==")(0)
-    // a ReusedExchange line repeats the referenced exchange's description,
-    // so judge line-wise: exactly one MATERIALIZED gram exchange, exactly
-    // one reuse of it
-    val lines = plan.linesIterator.toSeq
-    assert(lines.count(l => l.contains("REPARTITION_BY_COL") &&
-        !l.contains("ReusedExchange")) == 1,
-      s"expected exactly one materialized gram exchange: ${plan.take(3000)}")
-    assert(lines.count(_.contains("ReusedExchange")) == 1,
-      s"the second consumer must reuse it: ${plan.take(3000)}")
+    // judge the FINAL adaptive plan as a typed node tree, not toString
+    // markers (rendering details drift across Spark versions): unwrap
+    // AdaptiveSparkPlanExec/QueryStageExec, do NOT descend into a
+    // ReusedExchangeExec (its child IS the referenced exchange — it would
+    // double-count), then count materialized REPARTITION_BY_COL shuffles
+    // and reuses structurally.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{
+      ReusedExchangeExec, ShuffleExchangeExec, REPARTITION_BY_COL}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _: ReusedExchangeExec => Nil
+      case other => other.children.flatMap(flatten)
+    })
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val materialized = nodes.collect {
+      case s: ShuffleExchangeExec if s.shuffleOrigin == REPARTITION_BY_COL
+        => s
+    }
+    val reused = nodes.collect { case r: ReusedExchangeExec => r }
+    def render = nodes.map(_.nodeName).mkString(", ")
+    assert(materialized.size == 1,
+      s"expected exactly one materialized gram exchange: $render")
+    assert(reused.size == 1,
+      s"the second consumer must reuse it: $render")
   }
 }
