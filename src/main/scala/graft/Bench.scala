@@ -252,7 +252,8 @@ object Bench {
     "dd28_kcore", "dd29_containment", "tp23_quantile_calibration",
     "tp24_top_p_selection",
     "tp25_source_cap", "ev10_gapfill_resample", "a18_countmin",
-    "dd30_corpus_overlap", "st14_stream_sketch", "j13_session_overlap")
+    "dd30_corpus_overlap", "st14_stream_sketch", "j13_session_overlap",
+    "dd18_fuzzy_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -46,11 +46,14 @@ object ScaleBench {
     "dd27_label_propagation", "lm2_kneser_ney", "tc6_semantic_decontam",
     "tc7_semantic_screen", "sim17_srp_lsh", "dd28_kcore",
     "dd29_containment", "ev10_gapfill_resample", "a18_countmin",
-    "dd30_corpus_overlap")
+    "dd30_corpus_overlap", "dd26_threshold_curve", "dd18_fuzzy_pairs")
 
   private def ensureCorpus(src: String, factor: Int): String = {
     val out = s"target/scale_sf$factor"
-    if (!Files.exists(Paths.get(s"$out/events.parquet"))) {
+    // ScaleUp is per-table idempotent: a corpus from before a table was
+    // added to the rehearsal set is upgraded in place
+    val tables = Seq("documents", "embeddings", "events", "part")
+    if (tables.exists(t => !Files.exists(Paths.get(s"$out/$t.parquet")))) {
       System.err.println(s"[scalebench] synthesizing ${factor}x corpus at $out")
       ScaleUp.main(Array(src, out, factor.toString))
     }

@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Scale-rehearsal corpus generator: synthesize an N× `documents` +
-  * `embeddings` pair from an existing sf directory, for measuring how the
-  * dedup/ANN headliners scale (BENCH_SCALE.json).
+/** Scale-rehearsal corpus generator: synthesize N× `documents`,
+  * `embeddings`, `events`, and `part` tables from an existing sf
+  * directory, for measuring how the dedup/ANN headliners scale
+  * (BENCH_SCALE.json).
   *
   * The replication is structure-preserving, which is what makes the
   * scaling exponent meaningful:
@@ -48,6 +49,15 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-table idempotence: a corpus generated before a new table was
+    // added to the rehearsal set is UPGRADED in place (only the missing
+    // table is synthesized) instead of regenerated wholesale — a 100×
+    // corpus write is minutes of IO.
+    def missing(table: String): Boolean =
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/$table.parquet"))
+
+    if (missing("documents")) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docCopies = (0 until factor).map { i =>
       if (i == 0) docs
@@ -64,7 +74,9 @@ object ScaleUp {
     docCopies.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
+    if (missing("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embCopies = (0 until factor).map { i =>
       if (i == 0) emb
@@ -86,7 +98,9 @@ object ScaleUp {
     embCopies.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
+    if (missing("events")) {
     // events: replicas re-key event_id AND user_id (the grid/sketch/
     // sessionization dimensions grow linearly — user count scales with
     // the log, matching a real fleet), keep the ts distribution so
@@ -103,12 +117,38 @@ object ScaleUp {
     evCopies.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+
+    if (missing("part")) {
+    // part (dd18's fuzzy-linkage input): replicas re-key p_partkey with
+    // an offset that is a multiple of 50, so the query's `id % 50` typo
+    // injection selects the same rows in every replica, and append a
+    // per-replica 9-char suffix "-ii-ii-ii" to p_name. Appending a
+    // COMMON suffix preserves every intra-replica levenshtein exactly
+    // (common-affix trimming is an exact property of edit distance),
+    // while any two DISTINCT replica suffixes are ≥ 3 edits apart: the
+    // three 2-digit blocks each differ under the identity alignment,
+    // and any shifted alignment pays at least its own indels — above
+    // dd18's maxDist = 2, so no cross-replica fuzzy pair is fabricated
+    // and the N× corpus carries exactly N× the true pairs.
+    val pt = spark.read.parquet(s"$src/part.parquet")
+    val ptCopies = (0 until factor).map { i =>
+      if (i == 0) pt
+      else pt
+        .withColumn("p_partkey", col("p_partkey") + lit(i * 10000000L))
+        .withColumn("p_name", concat(col("p_name"), lit(f"-$i%02d" * 3)))
+    }
+    ptCopies.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    }
 
     val nd = spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
     val nv = spark.read.parquet(s"$out/events.parquet").count()
+    val np = spark.read.parquet(s"$out/part.parquet").count()
     println(s"[scaleup] wrote $out: documents=$nd embeddings=$ne " +
-      s"events=$nv (${factor}x of $src)")
+      s"events=$nv part=$np (${factor}x of $src)")
     spark.stop()
   }
 }

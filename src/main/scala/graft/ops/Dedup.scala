@@ -679,52 +679,98 @@ object Dedup {
   }
 
   /** Edit-distance pair matching (record linkage / fuzzy title dedup) via
-    * q-gram filtering: candidate pairs come from a capped char-2-gram
-    * inverted index, and the exact `levenshtein` runs ONLY on candidates —
-    * never all pairs. Completeness is the classic q-gram bound: strings
-    * within edit distance k share ≥ max(m,n) − 1 − q·k 2-grams, so with
-    * the `length ≥ 2·maxDist + 2` floor (applied to both sides — shorter
-    * strings are out of scope, symmetrically with the oracle) every true
-    * pair shares at least one distinct gram and is generated. Pair ids are
-    * deduped before the strings join back BY ID (strings never ride
-    * through the gram buckets), then the distance filter runs once per
-    * candidate pair. `maxBucket` bounds degenerate gram buckets like every
-    * bucket op here — far above any real 2-gram frequency at this scale,
-    * a documented completeness trade past it.
+    * Ed-Join-style PREFIX-FILTERED q-gram candidates (Xiao, Wang & Lin,
+    * "Ed-Join", VLDB'08): each string emits only its q·k+1 globally
+    * RAREST 2-grams (df-ascending order, ties on the gram), candidates
+    * come from a self-join of those prefixes, and the exact `levenshtein`
+    * runs ONLY on candidates — never all pairs.
     *
-    * At corpus scale run EXACT dedup ([[exactDedup]]/canonicalized) first:
-    * a string duplicated n times contributes O(n²) distance-0 pairs from
-    * every shared gram bucket, and those pairs carry no linkage signal the
-    * exact pass didn't already have. This op is the fuzzy RESIDUAL matcher
-    * over distinct strings.
+    * Completeness is the classic q-gram count bound: k edits destroy at
+    * most q·k gram occurrences, so strings within distance k share
+    * ≥ (m−1) − q·k gram occurrences (m = length), and by the prefix-filter
+    * theorem their (q·k+1)-prefixes under ONE global order must share a
+    * gram. The `length ≥ 2·maxDist + 2` floor (applied to both sides —
+    * shorter strings are out of scope, symmetrically with the oracle)
+    * keeps the bound meaningful. A |len_a − len_b| ≤ k length filter
+    * prunes inside the join (edit distance ≥ length difference).
+    *
+    * The operator COMPOSES exact dedup with the fuzzy matcher instead of
+    * leaving that to the caller: ids are first grouped by their exact
+    * string, the prefix-filtered gram machinery and every levenshtein run
+    * over the DISTINCT-string relation only, and id pairs are expanded
+    * back at the end (same-string groups emit their distance-0 pairs
+    * directly; cross-string matches fan out group_a × group_b). On
+    * low-entropy data this is the difference between feasible and not:
+    * TPC-H part names at sf0.1 are 20,400 rows over 64 distinct strings —
+    * the duplicate-blind round-12 draft ground 4.7×10⁷ candidate pairs
+    * (200 CPU-s, 6.6 GB spill; the pre-prefix-filter inverted index was
+    * 19+ min) where the distinct-string core is 2,016 string pairs, and
+    * the remaining cost is the output itself (~3×10⁶ id pairs, which no
+    * scheme can shrink — it is the answer). On high-entropy data the
+    * groupBy collapses nothing and costs one hash aggregate. The prefix
+    * filter then bounds the distinct-side join: hot grams sort to the END
+    * of the df order and never enter a prefix unless a string has nothing
+    * rarer.
+    *
+    * The returned plan is LAZY with zero cache registrations: the
+    * (id, string) projection is consumed by four subtrees, each of which
+    * re-reads it — a plain scan+filter, which a columnar source serves
+    * cheaply in parallel (and the distinct-string subtrees are
+    * vocabulary-sized). A caller whose input is itself an expensive
+    * computed relation should materialize THAT before calling, exactly as
+    * it would for any multi-consumer plan.
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 2, maxBucket: Int = 100000): DataFrame = {
+      maxDist: Int = 2): DataFrame = {
+    val q = 2
+    val pfxLen = q * maxDist + 1
     val eligible = df
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(length(col("s")) >= 2 * maxDist + 2)
-    val grams = eligible.select(col("id"),
-      explode(array_distinct(expr(
-        "transform(sequence(1, length(s) - 1), i -> substr(s, i, 2))")))
+    val strings = eligible.select(col("s")).distinct()
+      .withColumn("len", length(col("s")))
+    // BAG grams (no distinct): the q-gram count bound and the prefix
+    // theorem are stated on gram occurrences
+    val grams = strings.select(col("s"), col("len"),
+      explode(expr(
+        "transform(sequence(1, length(s) - 1), i -> substr(s, i, 2))"))
         .as("gram"))
-    val pairs = grams
-      .groupBy(col("gram"))
-      .agg(graft.functions.BoundedCollect(col("id"), maxBucket).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(expr(
-        "filter(flatten(transform(ids, a -> transform(ids, " +
-          "b -> struct(a AS id_a, b AS id_b)))), " +
-          "p -> p.id_a < p.id_b)")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("df"), col("gram"))
+    val prefix = grams.join(freq, "gram")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pfxLen)
+      .select(col("s"), col("len"), col("gram"))
+    // near-pairs over DISTINCT strings (dist ≥ 1; s_a < s_b dedupes the
+    // unordered pair), levenshtein only on prefix-sharing candidates
+    val nearStrings = prefix.as("a").join(prefix.as("b"),
+        col("a.gram") === col("b.gram") &&
+          col("a.s") < col("b.s") &&
+          // length filter: edit distance ≥ |len_a − len_b|
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.s").as("s_a"), col("b.s").as("s_b"))
       .distinct()
-    pairs
-      .join(eligible.select(col("id").as("id_a"), col("s").as("s_a")),
-        "id_a")
-      .join(eligible.select(col("id").as("id_b"), col("s").as("s_b")),
-        "id_b")
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
       .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+    // expansion: same-string groups are the distance-0 pairs; each
+    // near-string pair fans out to all id combinations of its two groups.
+    // Plain joins, deliberately: an in-task variant (collect_list the ids
+    // per string, nested-transform the combinations, explode) was tried
+    // and measured SLOWER — it materializes a groupA×groupB struct array
+    // per row before exploding, where the join streams its output out of
+    // codegen row by row.
+    val zero = eligible.as("a").join(eligible.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(0L).as("dist"))
+    val cross = nearStrings
+      .join(eligible.select(col("s").as("s_a"), col("id").as("ia")), "s_a")
+      .join(eligible.select(col("s").as("s_b"), col("id").as("ib")), "s_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        col("dist").cast("long").as("dist"))
+    zero.unionByName(cross)
   }
 
   /** Jaro-Winkler record linkage over char-2-gram blocking: candidate

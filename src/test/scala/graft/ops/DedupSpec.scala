@@ -579,8 +579,11 @@ class DedupSpec extends SparkSpec {
     // xyzzy shares no grams, hi is shorter than the floor
     assert(got.toSeq == Seq((1L, 2L, 1L)), got.toSeq)
     // candidate filtering must not lose a pair the q-gram bound admits:
-    // exhaustive check on a small random-ish set vs a driver-side oracle
-    val rows = (0L until 30L).map(i =>
+    // exhaustive check on a small random-ish set vs a driver-side oracle.
+    // 40 ids over a period-35 template → 5 strings appear twice, pinning
+    // the internal exact-group expansion (distance-0 pairs + cross-group
+    // id fan-out) against the duplicate-blind brute force
+    val rows = (0L until 40L).map(i =>
       (i, s"prefix${i % 7}suffix${(i * 13) % 5}"))
     val big = rows.toDF("id", "name")
     val exp = (for {
