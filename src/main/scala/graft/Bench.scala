@@ -209,6 +209,18 @@ object Bench {
     case c => c.toString
   }
 
+  /** Entries whose steady-state SEMANTICS are build-once/serve-many:
+    * their timed runs legitimately ride the relations the warmup built
+    * (the warmup column carries the true build cost), so the per-run
+    * cache purge would measure a workload the operator never runs —
+    * an index rebuilt per query. Everything else gets the honest
+    * full-recompute measurement: round 12's purge change revealed that
+    * ordinary pipeline entries' run-2/3 numbers had been riding
+    * cache-manager plan substitution of their own run-1 relations
+    * (dd12 at 30× measured 5 s cached vs 36 s honest).
+    */
+  private val cacheRiders: Set[String] = Set("sim9_persisted_ann")
+
   /** The bench headline set — also the scope of [[PlanAudit]]. */
   val headlineQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
@@ -352,6 +364,7 @@ object Bench {
       group + purge + conf
     }
     val protoExtra = protoBase +
+      names("cache_riders", cacheRiders.toSeq.sorted) +
       names("skipped", skipped) + names("killed", killed) +
       names("rerun", rerunNames) +
       (if (procAttrOk) s""","attribution":"per-run gc/steal/iowait/cpu """ +
@@ -477,8 +490,11 @@ object Bench {
       }
       val d = try {
         val warm = once()._1
-        purge()
-        val timed = Seq.fill(nRuns - 1) { val r = once(); purge(); r }
+        // build-once/serve-many entries keep the warmup's cache — that IS
+        // their steady state; everything else is purged per run
+        def runPurge(): Unit = if (!cacheRiders(name)) purge()
+        runPurge()
+        val timed = Seq.fill(nRuns - 1) { val r = once(); runPurge(); r }
         agg.reset() // profile the final timed run only
         val last = once()
         val runs = timed :+ last

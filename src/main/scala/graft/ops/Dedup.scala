@@ -760,13 +760,28 @@ object Dedup {
     // and measured SLOWER — it materializes a groupA×groupB struct array
     // per row before exploding, where the join streams its output out of
     // codegen row by row.
-    val zero = eligible.as("a").join(eligible.as("b"),
+    //
+    // The explicit keyed repartition is load-bearing: these joins EXPLODE
+    // (a few-MB id/string input emits tens of millions of pair rows), and
+    // AQE's partition coalescing sizes stages on their shuffle INPUT — it
+    // folded the self-join to ~1 partition and ran the entire explosion
+    // single-threaded (77 s vs 5.5 s for the same relation under a
+    // count(), which never materializes writer rows; dd18 at 10× caught
+    // it). A user-specified partition count is exempt from AQE
+    // coalescing, and the one exchange serves the self-join's both sides
+    // and the two fan-out probes (ReusedExchange — the ts21 lesson).
+    // Useful parallelism is inherently bounded by the distinct-string
+    // count for groupwise pair emission; salting a single group's
+    // quadratic emission is the (undone, documented) next dial past that.
+    val byS = eligible.repartition(
+      df.sparkSession.sparkContext.defaultParallelism, col("s"))
+    val zero = byS.as("a").join(byS.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         lit(0L).as("dist"))
-    val cross = nearStrings
-      .join(eligible.select(col("s").as("s_a"), col("id").as("ia")), "s_a")
-      .join(eligible.select(col("s").as("s_b"), col("id").as("ib")), "s_b")
+    val cross = broadcast(nearStrings)
+      .join(byS.select(col("s").as("s_a"), col("id").as("ia")), "s_a")
+      .join(byS.select(col("s").as("s_b"), col("id").as("ib")), "s_b")
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
         col("dist").cast("long").as("dist"))
