@@ -724,9 +724,18 @@ object Dedup {
       maxDist: Int = 2): DataFrame = {
     val q = 2
     val pfxLen = q * maxDist + 1
+    // null ids are dropped HERE, not left to the joins: the same-string
+    // self-join pushes isnotnull(id) into its exchange subtree anyway
+    // (id < id), and if the fan-out probes' subtrees lack that filter the
+    // two plans stop being canonically equal — the pinned expansion
+    // exchange then materializes TWICE (one per consumer family, double
+    // shuffle write) instead of once + ReusedExchange. One explicit
+    // filter makes all four consumers share one canonical subtree
+    // (PlansSpec locks this); a null-id row means nothing in a pair
+    // relation either way.
     val eligible = df
       .select(col(idCol).as("id"), col(strCol).as("s"))
-      .filter(length(col("s")) >= 2 * maxDist + 2)
+      .filter(length(col("s")) >= 2 * maxDist + 2 && col("id").isNotNull)
     val strings = eligible.select(col("s")).distinct()
       .withColumn("len", length(col("s")))
     // BAG grams (no distinct): the q-gram count bound and the prefix

@@ -376,6 +376,47 @@ class PlansSpec extends SparkSpec {
       plan.contains("InMemoryRelation"), plan.take(3000))
   }
 
+  test("dd18: one pinned expansion exchange, reused, at the user count") {
+    // the dd18 10x rehearsal bug: the expansion joins EXPLODE (a few-MB
+    // id/string input emits tens of millions of pair rows), and AQE's
+    // partition coalescing sizes stages on shuffle INPUT bytes — it
+    // folded the same-string self-join to ~1 partition and ran the whole
+    // emission single-threaded. The fix pins `repartition(parallelism,
+    // col(s))`, whose REPARTITION_BY_NUM origin is exempt from AQE
+    // coalescing, and lets the ONE exchange serve the self-join's both
+    // sides and the two fan-out probes. Lock all three properties in the
+    // FINAL adaptive plan: a regression to repartition(col) (coalescable
+    // REPARTITION_BY_COL) or to per-consumer exchanges fails here, not in
+    // a 10x rehearsal.
+    val df = SparkEntry.queries("dd18_fuzzy_pairs")(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{
+      ReusedExchangeExec, ShuffleExchangeExec, REPARTITION_BY_NUM}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _: ReusedExchangeExec => Nil
+      case other => other.children.flatMap(flatten)
+    })
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val pinned = nodes.collect {
+      case s: ShuffleExchangeExec if s.shuffleOrigin == REPARTITION_BY_NUM
+        => s
+    }
+    def render = nodes.map(_.nodeName).mkString(", ")
+    assert(pinned.size == 1,
+      s"expected exactly one materialized pinned expansion exchange: " +
+        render)
+    assert(pinned.head.outputPartitioning.numPartitions ==
+      spark.sparkContext.defaultParallelism,
+      s"user partition count must survive AQE: ${pinned.head}")
+    assert(nodes.exists(_.isInstanceOf[ReusedExchangeExec]),
+      s"the expansion consumers must reuse the one exchange: $render")
+  }
+
   test("ts21: one gram exchange serves both consumers (ReusedExchange)") {
     // scale bug 7: with the gram relation feeding two consumers
     // (min-aggregate + join probe), AQE's re-planner forwent the static
