@@ -265,7 +265,7 @@ object Bench {
     "tp24_top_p_selection",
     "tp25_source_cap", "ev10_gapfill_resample", "a18_countmin",
     "dd30_corpus_overlap", "st14_stream_sketch", "j13_session_overlap",
-    "dd18_fuzzy_pairs")
+    "dd18_fuzzy_pairs", "dd18b_skew_pairs", "sim16b_ann_contrastive")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -358,7 +358,10 @@ object Bench {
       if (ns.isEmpty) "" else s""","n_$key":${ns.size}"""
     val protoBase = {
       val group = if (inProcess) "" else s""","fork_group":$groupSize"""
-      val purge = s""","cache_purge":"per-run""""
+      val purge =
+        if (sys.env.get("SPARK_GRAFT_PURGE").contains("query"))
+          s""","cache_purge":"per-query (A/B override)""""
+        else s""","cache_purge":"per-run""""
       val conf = extraConf.fold("")(c =>
         s""","extra_conf":"${jsonEscape(c)}"""")
       group + purge + conf
@@ -462,6 +465,10 @@ object Bench {
       // shared cache manager + GC after EVERY run, warmup included, so
       // run 2/3 never measure accumulated cache state — each timed run is
       // a full honest execution. Runs outside the timed window.
+      // SPARK_GRAFT_PURGE=query is an A/B-ONLY dial (stamped into the
+      // protocol object like EXTRA_CONF): it reverts to the pre-r12
+      // per-QUERY purge so a protocol-attributed delta (e.g. dd24's r12
+      // 3.37→5.21 s) can be isolated against the same binary.
       def purge(): Unit = {
         try spark.sharedState.cacheManager.clearCache()
         catch { case _: IllegalStateException => }
@@ -492,7 +499,9 @@ object Bench {
         val warm = once()._1
         // build-once/serve-many entries keep the warmup's cache — that IS
         // their steady state; everything else is purged per run
-        def runPurge(): Unit = if (!cacheRiders(name)) purge()
+        def runPurge(): Unit =
+          if (!cacheRiders(name) &&
+            !sys.env.get("SPARK_GRAFT_PURGE").contains("query")) purge()
         runPurge()
         val timed = Seq.fill(nRuns - 1) { val r = once(); runPurge(); r }
         agg.reset() // profile the final timed run only

@@ -736,10 +736,12 @@ object QueriesCore {
     // landing zone (the streaming-ingest pathology — every micro-batch a
     // sliver) is rewritten into size-targeted files: file count computed
     // FROM BYTES (ceil(total/8 MiB)), not guessed, so the same code
-    // compacts a 100 TB partition to its right width. The report carries
-    // an ENFORCED verdict: zero row drift across the rewrite and a
-    // strictly smaller file count (no fixed-SQL oracle — file layout
-    // isn't a relation).
+    // compacts a 100 TB partition to its right width. The entry returns
+    // the COMPACTED relation itself, so the rewrite gets the full DuckDB
+    // rows+schema+hash oracle (the content half of compaction IS plain
+    // SQL); the layout half — a strictly smaller file count and zero row
+    // drift — is enforced in-query (a violated layout contract throws,
+    // which the verify driver records as an err, never a silent green).
     "s10_compaction" -> ((s, d) => {
       val tmp = Scratch.dir("compact")
       documents(s, d).repartition(64)
@@ -756,10 +758,14 @@ object QueriesCore {
       val nAfter = parts(s"$tmp/compacted").length.toLong
       val rowsBefore = s.read.parquet(s"$tmp/small").count()
       val rowsAfter = s.read.parquet(s"$tmp/compacted").count()
-      s.range(1).select(
-        lit(nBefore).as("files_before"), lit(nAfter).as("files_after"),
-        lit(rowsBefore).as("rows_before"), lit(rowsAfter).as("rows_after"),
-        lit(rowsBefore == rowsAfter && nAfter < nBefore).as("equal"))
+      require(nAfter < nBefore,
+        s"compaction must shrink the file count ($nBefore -> $nAfter)")
+      require(rowsBefore == rowsAfter,
+        s"compaction dropped rows ($rowsBefore -> $rowsAfter)")
+      s.read.parquet(s"$tmp/compacted")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
     }),
 
     // J9 — join-driven dynamic partition pruning over the lake layout:
@@ -2047,6 +2053,13 @@ object QueriesCore {
         |       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
         |       CAST(SUM(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // content half of the compaction contract: the rewritten relation is
+    // exactly the source table (the layout half — fewer files, zero row
+    // drift — is enforced in-query and cannot be expressed as SQL)
+    "s10_compaction" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "s8_schema_evolution" ->
       """SELECT CAST(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)

@@ -1467,6 +1467,35 @@ object QueriesScale {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // dd18 on a PATHOLOGICALLY skewed corpus: every even partkey's name
+    // is overwritten with ONE shared hot title (per ScaleUp replica — the
+    // "-ii-ii-ii" tag construction keeps distinct replicas' hot titles
+    // ≥ 3 edits apart, so hot groups stay per-replica and the N× corpus
+    // carries exactly N× the hot pairs), making HALF the corpus one
+    // duplicate group (sf0.1: 10,200 ids → 52M id pairs from a single
+    // string). This is the skew case the salted expansion exists for: an
+    // unsalted self-join keys that entire quadratic emission to one hash
+    // slot / one task. The result is folded to a checksum row because the
+    // pair relation itself is the (deliberately huge) workload, not the
+    // answer; the mod-sum checksums pin its exact content against the
+    // brute-force oracle without sorting 10⁸⁺ rows per decade.
+    "dd18b_skew_pairs" -> ((s, d) => {
+      val p = part(s, d).select(col("p_partkey").cast("long").as("id"),
+        col("p_name").as("name"))
+      val rep = lpad(((col("id") / 10000000L).cast("long")).cast("string"),
+        2, "0")
+      val skewed = p.withColumn("name",
+        when(col("id") % 2 === 0,
+          concat(lit("zqx hot duplicated part title-"),
+            rep, lit("-"), rep, lit("-"), rep))
+          .otherwise(col("name")))
+      Dedup.editDistancePairs(skewed, "id", "name", maxDist = 2)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_exact"),
+          sum(pmod(col("id_a"), lit(1000003L))).as("ck_a"),
+          sum(pmod(col("id_b"), lit(1000003L))).as("ck_b"))
+    }),
+
     // Jaro-Winkler record linkage: every 40th part name gets a re-keyed
     // copy with its last two chars transposed — the transposition typo
     // Jaro-Winkler is built for (levenshtein distance 2, so dd18's ≤2
@@ -1679,6 +1708,62 @@ object QueriesScale {
           col("neg_id"), col("neg_sim"),
           round(col("pos_sim") - col("neg_sim"), 4).as("margin"))
         .orderBy(col("query_id"))
+    }),
+
+    // ANN-backed contrastive mining — sim16's scale path: the anchor
+    // sweep rides ivfTopK's cluster-pruned probe (a seeded k-means
+    // coarse quantizer, nprobe 3 of nlist 10) instead of a full
+    // brute-force scan, so each anchor scores ~3 clusters and the
+    // anchor set is FIXED (base-replica ids only) — the serving shape
+    // where a bounded query batch mines hard negatives from a growing
+    // corpus. ANN shortlists are probe-sensitive → no fixed SQL oracle;
+    // the ENFORCED verdict replays a fixed 25-anchor probe set against
+    // brute force and requires recall@5 ≥ 0.5 on every returned row.
+    // The floor is calibrated to this corpus's geometry: the synthetic
+    // embeddings are near-isotropic (no organic cluster structure), so
+    // probing 30% of a trained quantizer's lists measures recall@5
+    // 0.58-0.70 across the 1×-100× decades (label-IVF gets 0.46 —
+    // labels are not geometric — and blind 30% probing would floor at
+    // ~0.3); 0.5 enforces "the quantizer routes meaningfully better
+    // than its probed fraction" without betting on structure the data
+    // does not have. Production embeddings cluster; the same machinery
+    // at the same nprobe fraction sits far higher there (the sim15
+    // curve on its seed-centered query set reaches 0.92+).
+    "sim16b_ann_contrastive" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val anchors = emb.filter(col("vec_id") % 20 === 0 &&
+        col("vec_id") < 20000)
+      val clusters = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        k = 10, iters = 2)
+      // the shortlist feeds three consumers (positive pick, negative
+      // pick, probe-set recall) — scratch-materialize it once
+      val ann = Scratch.materialize(
+        Similarity.ivfTopK(emb.join(clusters, "vec_id"), anchors,
+          "vec_id", "embedding", "cluster", k = 50, nprobe = 3),
+        "sim16b_ann")
+      val pos = ann.filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("pos_id"),
+          col("sim").as("pos_sim"))
+      val neg = ann.filter(col("rank") === 50)
+        .select(col("query_id"), col("neighbor_id").as("neg_id"),
+          col("sim").as("neg_sim"))
+      val pairs = pos.join(neg, "query_id")
+        .select(col("query_id"), col("pos_id"), col("pos_sim"),
+          col("neg_id"), col("neg_sim"),
+          round(col("pos_sim") - col("neg_sim"), 4).as("margin"))
+      val probeIds = emb.filter(col("vec_id") % 20 === 0 &&
+        col("vec_id") < 500)
+      val bf = Similarity.bruteForceTopK(emb, probeIds, "vec_id",
+        "embedding", 5)
+      val hits = bf.select(col("query_id"), col("neighbor_id"))
+        .join(ann.filter(col("rank") <= 5)
+            .select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      val verdict = bf.agg(count(lit(1)).as("n_bf"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(round(col("n_hit") / col("n_bf"), 4).as("recall5"),
+          (col("n_hit") / col("n_bf") >= 0.5).as("recall_ok"))
+      pairs.crossJoin(verdict).orderBy(col("query_id"))
     }),
 
     // all pairs above threshold: LSH-bucketed candidates + exact cosine
@@ -3822,6 +3907,33 @@ object QueriesScale {
         | AND abs(length(a.name) - length(b.name)) <= 2
         | AND levenshtein(a.name, b.name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd18b_skew_pairs" ->
+      """WITH tagged AS (
+        |  SELECT p_partkey AS id, p_name,
+        |         lpad(CAST(p_partkey // 10000000 AS VARCHAR), 2, '0') AS r
+        |  FROM part),
+        |base AS (
+        |  SELECT id,
+        |         CASE WHEN id % 2 = 0
+        |              THEN 'zqx hot duplicated part title-' || r || '-'
+        |                   || r || '-' || r
+        |              ELSE p_name END AS name
+        |  FROM tagged),
+        |e AS (SELECT id, name FROM base WHERE length(name) >= 6),
+        |pr AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |         levenshtein(a.name, b.name) AS dist
+        |  FROM e a JOIN e b
+        |    ON a.id < b.id
+        |   AND abs(length(a.name) - length(b.name)) <= 2
+        |   AND levenshtein(a.name, b.name) <= 2)
+        |SELECT COUNT(*) AS n_pairs,
+        |       CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_exact,
+        |       CAST(SUM(id_a % 1000003) AS BIGINT) AS ck_a,
+        |       CAST(SUM(id_b % 1000003) AS BIGINT) AS ck_b
+        |FROM pr""".stripMargin,
 
     "dd22_degree_profile" ->
       """WITH toks AS (

@@ -46,7 +46,8 @@ object ScaleBench {
     "dd27_label_propagation", "lm2_kneser_ney", "tc6_semantic_decontam",
     "tc7_semantic_screen", "sim17_srp_lsh", "dd28_kcore",
     "dd29_containment", "ev10_gapfill_resample", "a18_countmin",
-    "dd30_corpus_overlap", "dd26_threshold_curve", "dd18_fuzzy_pairs")
+    "dd30_corpus_overlap", "dd26_threshold_curve", "dd18_fuzzy_pairs",
+    "dd18b_skew_pairs", "sim16b_ann_contrastive")
 
   private def ensureCorpus(src: String, factor: Int): String = {
     val out = s"target/scale_sf$factor"

@@ -22,6 +22,33 @@ object Scratch {
   def dir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(root, prefix + "_").toString
 
+  /** Materialize a multi-consumer relation through a scratch-parquet
+    * round trip — the dd26 lesson as infrastructure. Three properties no
+    * alternative delivers together (measured, round 12, on dd26's
+    * prefix-filtered pair relation):
+    *  - the write executes the normal AQE-planned query, so adaptive
+    *    replanning (skew splits, runtime broadcasts) still applies — an
+    *    eager `localCheckpoint` materializes every lineage partition
+    *    OUTSIDE that replanning and measured 17× slower;
+    *  - the read-back has clean file-scan lineage and ZERO cache
+    *    registrations — a `persist`+count return has no safe unpersist
+    *    point (callers hand the relation on as their result), so repeated
+    *    invocations in one JVM accumulate cache entries whose textually
+    *    identical plans can cross-alias, letting one run's unpersist drop
+    *    blocks a sibling's lineage still rides;
+    *  - each downstream consumer re-reads a columnar file instead of
+    *    re-running the producing query per consumer.
+    * At cluster scale the same pattern targets the job's shared scratch
+    * space. Callers holding persisted INPUTS should unpersist them after
+    * this returns (the write above has materialized everything it needs).
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame, prefix: String)
+  : org.apache.spark.sql.DataFrame = {
+    val path = dir(prefix)
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   private def delete(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {

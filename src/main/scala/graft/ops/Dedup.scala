@@ -643,22 +643,10 @@ object Dedup {
     // materialize the (small, post-threshold) pair relation while
     // sets/prefix are still cached, then drop both — repeated invocations
     // (bench rounds, the full verify sweep) must not accumulate cached
-    // blocks. Materialization is a scratch-parquet round trip, for two
-    // reasons. NOT an eager localCheckpoint: the RDD checkpoint path
-    // materializes every lineage partition outside the adaptive
-    // replanning that turns this self-join's skewed tok buckets into a
-    // broadcast — measured 17x slower at sf0.1 (28 s vs 1.6 s); a parquet
-    // write executes the normal AQE-planned query. And NOT persist+count
-    // (the pre-round-12 form): a persisted return has no safe unpersist
-    // point — callers hand the relation on as their result, so the entry
-    // stayed registered in the shared cache manager, and repeated
-    // invocations in one JVM (a bench's warmup+3 runs) accumulated
-    // entries whose textually identical plans can cross-alias, letting
-    // one run's unpersist drop blocks a sibling's lineage still rides
-    // (recompute without the persist = the expensive join re-runs per
-    // downstream consumer). The read-back has clean file-scan lineage and
-    // ZERO cache registrations; at cluster scale the same pattern targets
-    // the job's shared scratch space.
+    // blocks. [[graft.Scratch.materialize]] carries the full rationale
+    // (AQE-planned write vs eager localCheckpoint's 17x penalty, zero
+    // cache registrations vs persist+count's unpersistable return) —
+    // this site is where that lesson was measured, round 12.
     val out = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta"),
         col("m").as("ma")), "doc_a")
@@ -671,11 +659,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
         .as("jaccard"))
-    val scratch = graft.Scratch.dir("ppjoin_pairs")
-    out.write.mode("overwrite").parquet(scratch)
+    val mat = graft.Scratch.materialize(out, "ppjoin_pairs")
     sets.unpersist()
     prefix.unpersist()
-    df.sparkSession.read.parquet(scratch)
+    mat
   }
 
   /** Edit-distance pair matching (record linkage / fuzzy title dedup) via
@@ -712,10 +699,19 @@ object Dedup {
     * of the df order and never enter a prefix unless a string has nothing
     * rarer.
     *
+    * The same-string expansion is SALTED (round 13): group sizes ride a
+    * window over the pinned byS exchange, groups past √T ≈ 10³ ids split
+    * into B = ⌈n/10³⌉ ≤ 64 id-hash blocks, and the distance-0 self-join
+    * keys on (s, lo, hi) block pairs — one hot duplicate string (10⁵ ids
+    * on skewed real data) spreads its n²/2-pair emission over B(B+1)/2
+    * hash slots instead of serializing onto one task (dd18b_skew_pairs
+    * measures exactly this corpus). Balanced data degenerates to B = 1 —
+    * the old single-slot join.
+    *
     * The returned plan is LAZY with zero cache registrations: the
-    * (id, string) projection is consumed by four subtrees, each of which
-    * re-reads it — a plain scan+filter, which a columnar source serves
-    * cheaply in parallel (and the distinct-string subtrees are
+    * (id, string) projection is consumed by several subtrees, each of
+    * which re-reads it — a plain scan+filter, which a columnar source
+    * serves cheaply in parallel (and the distinct-string subtrees are
     * vocabulary-sized). A caller whose input is itself an expensive
     * computed relation should materialize THAT before calling, exactly as
     * it would for any multi-consumer plan.
@@ -777,16 +773,52 @@ object Dedup {
     // single-threaded (77 s vs 5.5 s for the same relation under a
     // count(), which never materializes writer rows; dd18 at 10× caught
     // it). A user-specified partition count is exempt from AQE
-    // coalescing, and the one exchange serves the self-join's both sides
-    // and the two fan-out probes (ReusedExchange — the ts21 lesson).
-    // Useful parallelism is inherently bounded by the distinct-string
-    // count for groupwise pair emission; salting a single group's
-    // quadratic emission is the (undone, documented) next dial past that.
+    // coalescing, and the one exchange serves the group-count window and
+    // the two fan-out probes (ReusedExchange — the ts21 lesson).
     val byS = eligible.repartition(
       df.sparkSession.sparkContext.defaultParallelism, col("s"))
-    val zero = byS.as("a").join(byS.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+    // SALTED same-string expansion: a plain self-join on s keys a
+    // group's entire quadratic id-pair emission to ONE hash slot, so one
+    // hot duplicate string (10⁵ ids on skewed real data) serializes its
+    // n²/2 pairs onto a single task no matter how many partitions the
+    // exchange pins. Split each group into B ≈ ⌈n/√T⌉ id-hash blocks
+    // (T ≈ 10⁶ target pairs per block-pair, B capped at 64) and join
+    // block×block instead: the left side replicates each row to block
+    // pairs (blk, hi ≥ blk), the right side to (lo ≤ blk, blk), and the
+    // join key (s, lo, hi) spreads a single group over B(B+1)/2
+    // independent hash slots. A pair with blocks (bx ≤ by) meets exactly
+    // once at key (s, bx, by) — on the bx = by diagonal the id order
+    // dedupes — and for the common n ≤ √T group B = 1 degenerates to the
+    // old single-slot join at one replica per side. The sides are built
+    // as two disjoint explodes with their own pinned exchanges (a shared
+    // side-TAGGED relation was tried first: the side filters push below
+    // the shared repartition and split it anyway, with the tag riding
+    // every row for nothing); total shuffled volume is identical, and
+    // the group-count window rides the byS exchange — already clustered
+    // by s, no extra shuffle — which all four subtrees still share.
+    val nOver = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("s")))
+    val blocked = byS
+      .withColumn("nb", greatest(lit(1),
+        least(lit(64), ceil(nOver / lit(1000.0)).cast("int"))))
+      .withColumn("blk", pmod(hash(col("id")), col("nb")))
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val leftBlocks = blocked.select(col("s"), col("id"), col("blk"),
+      explode(sequence(col("blk"), col("nb") - 1)).as("hi"))
+      .select(col("s"), col("id"), col("blk").as("lo"), col("hi"))
+      .repartition(parallelism, col("s"), col("lo"), col("hi"))
+    val rightBlocks = blocked.select(col("s"), col("id"), col("blk"),
+      explode(sequence(lit(0), col("blk"))).as("lo"))
+      .select(col("s"), col("id"), col("lo"), col("blk").as("hi"))
+      .repartition(parallelism, col("s"), col("lo"), col("hi"))
+    val zero = leftBlocks.as("a").join(rightBlocks.as("b"),
+        col("a.s") === col("b.s") && col("a.lo") === col("b.lo") &&
+          col("a.hi") === col("b.hi") &&
+          // off-diagonal block pairs (lo < hi) pair every a×b id combo;
+          // the lo = hi diagonal orders ids so each pair emits once
+          (col("a.lo") < col("a.hi") || col("a.id") < col("b.id")))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
         lit(0L).as("dist"))
     val cross = broadcast(nearStrings)
       .join(byS.select(col("s").as("s_a"), col("id").as("ia")), "s_a")

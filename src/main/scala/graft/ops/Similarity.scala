@@ -882,12 +882,65 @@ object Similarity {
         Window.partitionBy(col("band_idx"), col("band_val"))
           .orderBy(col("id"))))
       .filter(col("rn") <= maxBucket).drop("rn")
-    val cand = banded.as("a").join(banded.as("b"),
+    // ONE stats job over the cached signatures feeds three sizing
+    // decisions below: the candidate-distinct width, the packed-key
+    // eligibility gate, and the vector-broadcast gate.
+    val st = sig.agg(count(lit(1)).as("n"),
+      min(col("id")).cast("long").as("lo"),
+      max(col("id")).cast("long").as("hi")).head()
+    val n = st.getLong(0)
+    // capped-slot upper bound for the bucket self-join's emission:
+    // bands × buckets × min(⌈n/buckets⌉, cap)²/2 — an overestimate on
+    // uneven bucket distributions, which only buys dedup headroom
+    val nBands = nBits / bandBits
+    val nBuckets = 1L << bandBits
+    val mCap = math.min((n + nBuckets - 1) / math.max(nBuckets, 1L),
+      maxBucket.toLong)
+    val slotsEst = nBands.toLong * nBuckets * mCap * mCap / 2
+    // the candidate dedup is a hash aggregate whose per-partition state
+    // must FIT: at the harness's pinned 32 shuffle partitions the deep
+    // rehearsal decades put ~17M slots (~400 MB) through each task's
+    // partial map, whose sort-based overflow fallback spilled 83 GB at
+    // 100× — pure disk churn, since cross-band duplicates of a pair
+    // hash to DIFFERENT (band, bucket) partitions and the map-side pass
+    // deduplicated almost nothing. Width-scale the dedup exchange
+    // instead (≈32 MB of slots per partition, REPARTITION_BY_NUM so AQE
+    // cannot coalesce it back) — the aggregate state then fits in every
+    // decade and spill_mb stays 0; a cluster gets the same effect from
+    // thousands of shuffle partitions.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val dedupParts = math.max(parallelism.toLong,
+      math.min(2048L, slotsEst * 24 / (32L << 20))).toInt
+    // pack the (id_a, id_b) key into ONE long where ids permit (non-
+    // negative, < 2³¹, integral type): a 1-long key row is 16 bytes in
+    // the exchange against 24 for the 2-long row — a third less shuffle
+    // for the dominant relation — and the aggregate hash map keys on a
+    // single word. Ids outside the gate keep the 2-column key.
+    val packable = n > 0 && !st.isNullAt(1) && !st.isNullAt(2) &&
+      st.getLong(1) >= 0L && st.getLong(2) < (1L << 31) &&
+      (sig.schema("id").dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => true
+        case _ => false
+      })
+    val rawPairs = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val idT = sig.schema("id").dataType
+    val cand =
+      if (packable) rawPairs
+        .select(shiftleft(col("a.id").cast("long"), 32)
+          .bitwiseOR(col("b.id").cast("long")).as("pk"))
+        .repartition(dedupParts, col("pk"))
+        .distinct()
+        .select(shiftright(col("pk"), 32).cast(idT).as("id_a"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast(idT).as("id_b"))
+      else rawPairs
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .repartition(dedupParts, col("id_a"), col("id_b"))
+        .distinct()
     // the verify stage fetches BOTH vectors per candidate pair; left to
     // the planner, a vector relation past the 10 MB auto-broadcast
     // threshold sort-merge-joins the (huge, narrow) candidate set twice
@@ -898,7 +951,7 @@ object Similarity {
     // the threshold filter in one stage; past it (true 100 TB corpora)
     // the shuffled join is the only correct shape anyway.
     val vecs = sig.select(col("id"), col("v"))
-    val vecBytes = sig.count() * (4L * dim + 24L)
+    val vecBytes = n * (4L * dim + 24L)
     val gate: DataFrame => DataFrame =
       if (vecBytes <= (256L << 20)) broadcast else identity
     val out = cand
@@ -907,15 +960,15 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
-      // persist+count, NOT an eager localCheckpoint — the RDD checkpoint
-      // path materializes the bucket self-join outside AQE's replanning
-      // (the dd25 lesson: measured 17x slower there); the count
-      // materializes the small post-threshold relation through the
-      // adaptive plan, after which the wide signature cache can drop
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count(): Unit
+    // scratch-parquet materialization of the small post-threshold
+    // relation through the adaptive plan ([[graft.Scratch.materialize]]
+    // carries the rationale: AQE-planned write, zero cache
+    // registrations — the previous persist+count return had no safe
+    // unpersist point and accumulated cache entries across a bench
+    // fork's warmup+3 runs), after which the wide signature cache drops
+    val mat = graft.Scratch.materialize(out, "srp_pairs")
     sig.unpersist()
-    out
+    mat
   }
 
   /** SEMANTIC decontamination — the embedding-space complement of the

@@ -602,6 +602,28 @@ class DedupSpec extends SparkSpec {
     assert(gotBig == exp, s"missing=${exp -- gotBig} extra=${gotBig -- exp}")
   }
 
+  test("editDistancePairs: a hot duplicate group emits each pair exactly once") {
+    import spark.implicits._
+    // 1500 ids on ONE string forces the salted expansion past B = 1
+    // (B = ⌈1500/1000⌉ = 2): every id pair must meet exactly once across
+    // the block-pair slots — a double-count (pair meets in two slots) or
+    // a drop (blocks bx > by never meeting) is the classic salting bug.
+    // Two ids on a 1-edit neighbour pin the cross fan-out alongside.
+    val hot = (0L until 1500L).map(i => (i, "identical hot title"))
+    val near = Seq((9001L, "identical hot titlX"),
+      (9002L, "identical hot titlX"))
+    val got = Dedup.editDistancePairs((hot ++ near).toDF("id", "name"),
+      "id", "name", maxDist = 2)
+    val n = got.count()
+    val expZero = 1500L * 1499 / 2 + 1    // within-group pairs
+    val expCross = 1500L * 2              // hot × near at distance 1
+    assert(n == expZero + expCross, s"got $n pairs")
+    assert(got.dropDuplicates("id_a", "id_b").count() == n,
+      "a pair met in more than one block-pair slot")
+    assert(got.filter(col("id_a") >= col("id_b")).count() == 0)
+    assert(got.filter(col("dist") === 0).count() == expZero)
+  }
+
   test("prefix-filtered pairs are COMPLETE vs brute force at the threshold") {
     val t = 0.5
     // brute-force truth: exact Jaccard over distinct word 3-grams

@@ -224,6 +224,9 @@ class PlansSpec extends SparkSpec {
     "sim15_nprobe_curve",
     // corpus × broadcast anchor sample (the documented brute-force side)
     "sim16_contrastive_pairs",
+    // 1-row broadcast recall-verdict scalars attached per mined pair +
+    // the fixed-25-anchor brute-force probe (corpus × broadcast probes)
+    "sim16b_ann_contrastive",
     // train corpus × broadcast eval suite — eval benchmarks are bounded
     // (~10k rows) so the scan is linear in train with a constant factor
     "tc6_semantic_decontam",
@@ -376,18 +379,21 @@ class PlansSpec extends SparkSpec {
       plan.contains("InMemoryRelation"), plan.take(3000))
   }
 
-  test("dd18: one pinned expansion exchange, reused, at the user count") {
+  test("dd18: three pinned expansion exchanges, reused, at the user count") {
     // the dd18 10x rehearsal bug: the expansion joins EXPLODE (a few-MB
     // id/string input emits tens of millions of pair rows), and AQE's
     // partition coalescing sizes stages on shuffle INPUT bytes — it
     // folded the same-string self-join to ~1 partition and ran the whole
     // emission single-threaded. The fix pins `repartition(parallelism,
-    // col(s))`, whose REPARTITION_BY_NUM origin is exempt from AQE
-    // coalescing, and lets the ONE exchange serve the self-join's both
-    // sides and the two fan-out probes. Lock all three properties in the
-    // FINAL adaptive plan: a regression to repartition(col) (coalescable
-    // REPARTITION_BY_COL) or to per-consumer exchanges fails here, not in
-    // a 10x rehearsal.
+    // ...)` exchanges, whose REPARTITION_BY_NUM origin is exempt from
+    // AQE coalescing. Lock the exchange count, the surviving user
+    // partition width, and the consumer-side reuse in the FINAL adaptive
+    // plan: a regression to repartition(col) (coalescable
+    // REPARTITION_BY_COL) or to Round
+    // 13's salted expansion: THREE pinned exchanges (byS on s feeding
+    // the group-count window twice and the two fan-out probes, plus one
+    // per salted-join side on (s, lo, hi) — disjoint row sets, so no
+    // duplicated shuffle volume), byS reused by its other consumers.
     val df = SparkEntry.queries("dd18_fuzzy_pairs")(spark, sf)
     df.collect()
     import org.apache.spark.sql.execution.SparkPlan
@@ -407,14 +413,16 @@ class PlansSpec extends SparkSpec {
         => s
     }
     def render = nodes.map(_.nodeName).mkString(", ")
-    assert(pinned.size == 1,
-      s"expected exactly one materialized pinned expansion exchange: " +
-        render)
-    assert(pinned.head.outputPartitioning.numPartitions ==
-      spark.sparkContext.defaultParallelism,
-      s"user partition count must survive AQE: ${pinned.head}")
-    assert(nodes.exists(_.isInstanceOf[ReusedExchangeExec]),
-      s"the expansion consumers must reuse the one exchange: $render")
+    assert(pinned.size == 3,
+      s"expected exactly three materialized pinned expansion exchanges " +
+        s"(byS + the two salted-join sides): $render")
+    pinned.foreach(p =>
+      assert(p.outputPartitioning.numPartitions ==
+        spark.sparkContext.defaultParallelism,
+        s"user partition count must survive AQE: $p"))
+    assert(nodes.count(_.isInstanceOf[ReusedExchangeExec]) >= 2,
+      s"both salted-join sides and the fan-out probes must reuse the " +
+        s"pinned exchanges: $render")
   }
 
   test("ts21: one gram exchange serves both consumers (ReusedExchange)") {
