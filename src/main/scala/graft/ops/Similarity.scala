@@ -866,25 +866,9 @@ object Similarity {
       .withColumn("bits", bits)
       .select((col("id") +: col("v") +: bands): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the bucket join carries ONLY ids — the wide vectors never ride the
-    // band shuffle; multi-band collisions of the same pair collapse in
-    // the narrow distinct, so exact cosine runs ONCE per candidate pair,
-    // fetched by two id-keyed joins against the cached signatures (the PQ
-    // shortlist-rerank shape)
-    val banded = sig.select(col("id"),
-      posexplode(array((0 until nBits / bandBits).map(k => col(s"band_$k")): _*))
-        .as(Seq("band_idx", "band_val")))
-      // degenerate-bucket cap: keep each bucket's maxBucket smallest ids.
-      // The window shuffles by the SAME (band, bucket) key the self-join
-      // hashes on, so the exchange is reused, and the cap is a total-order
-      // rule the DuckDB oracle replays verbatim (ROW_NUMBER ... ORDER BY id)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("band_idx"), col("band_val"))
-          .orderBy(col("id"))))
-      .filter(col("rn") <= maxBucket).drop("rn")
-    // ONE stats job over the cached signatures feeds three sizing
-    // decisions below: the candidate-distinct width, the packed-key
-    // eligibility gate, and the vector-broadcast gate.
+    // ONE stats job over the cached signatures feeds four sizing
+    // decisions below: the band-exchange and candidate-distinct widths,
+    // the packed-key eligibility gate, and the vector-broadcast gate.
     val st = sig.agg(count(lit(1)).as("n"),
       min(col("id")).cast("long").as("lo"),
       max(col("id")).cast("long").as("hi")).head()
@@ -897,20 +881,44 @@ object Similarity {
     val mCap = math.min((n + nBuckets - 1) / math.max(nBuckets, 1L),
       maxBucket.toLong)
     val slotsEst = nBands.toLong * nBuckets * mCap * mCap / 2
-    // the candidate dedup is a hash aggregate whose per-partition state
-    // must FIT: at the harness's pinned 32 shuffle partitions the deep
-    // rehearsal decades put ~17M slots (~400 MB) through each task's
-    // partial map, whose sort-based overflow fallback spilled 83 GB at
-    // 100× — pure disk churn, since cross-band duplicates of a pair
-    // hash to DIFFERENT (band, bucket) partitions and the map-side pass
-    // deduplicated almost nothing. Width-scale the dedup exchange
-    // instead (≈32 MB of slots per partition, REPARTITION_BY_NUM so AQE
-    // cannot coalesce it back) — the aggregate state then fits in every
-    // decade and spill_mb stays 0; a cluster gets the same effect from
-    // thousands of shuffle partitions.
+    // the candidate dedup is a hash aggregate whose per-task state must
+    // FIT, and so must the slot exchange's per-task WRITE buffer: at the
+    // harness's pinned 32 shuffle partitions the deep rehearsal decades
+    // put ~17M slots (~400 MB) through each task's partial map, whose
+    // sort-based overflow fallback spilled 83 GB at 100× — pure disk
+    // churn, since cross-band duplicates of a pair hash to DIFFERENT
+    // (band, bucket) partitions and the map-side pass deduplicated
+    // almost nothing — and even with the aggregate moved above an
+    // explicit exchange, 32 map tasks each sorting ~330 MB of slot rows
+    // through the shuffle writer still spilled ~12 GB at 100×.
+    // Width-scale BOTH stages from the slot estimate (≈32 MB of slots
+    // per task, REPARTITION_BY_NUM so AQE cannot coalesce it back): the
+    // band exchange gets `parts` map tasks, so each writer's slot
+    // buffer fits, and the dedup exchange gets `parts` reduce tasks, so
+    // the aggregate state fits — spill_mb 0 in every decade; a cluster
+    // gets the same effect from thousands of shuffle partitions.
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val dedupParts = math.max(parallelism.toLong,
+    val parts = math.max(parallelism.toLong,
       math.min(2048L, slotsEst * 24 / (32L << 20))).toInt
+    // the bucket join carries ONLY ids — the wide vectors never ride the
+    // band shuffle; multi-band collisions of the same pair collapse in
+    // the narrow distinct, so exact cosine runs ONCE per candidate pair,
+    // fetched by two id-keyed joins against the cached signatures (the PQ
+    // shortlist-rerank shape)
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until nBits / bandBits).map(k => col(s"band_$k")): _*))
+        .as(Seq("band_idx", "band_val")))
+      // ONE pinned width-scaled exchange on the (band, bucket) key
+      // serves the cap window and the self-join's both sides
+      // (ReusedExchange), and sets the slot-writing stage's map width
+      .repartition(parts, col("band_idx"), col("band_val"))
+      // degenerate-bucket cap: keep each bucket's maxBucket smallest
+      // ids — a total-order rule the DuckDB oracle replays verbatim
+      // (ROW_NUMBER ... ORDER BY id)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band_idx"), col("band_val"))
+          .orderBy(col("id"))))
+      .filter(col("rn") <= maxBucket).drop("rn")
     // pack the (id_a, id_b) key into ONE long where ids permit (non-
     // negative, < 2³¹, integral type): a 1-long key row is 16 bytes in
     // the exchange against 24 for the 2-long row — a third less shuffle
@@ -933,13 +941,13 @@ object Similarity {
       if (packable) rawPairs
         .select(shiftleft(col("a.id").cast("long"), 32)
           .bitwiseOR(col("b.id").cast("long")).as("pk"))
-        .repartition(dedupParts, col("pk"))
+        .repartition(parts, col("pk"))
         .distinct()
         .select(shiftright(col("pk"), 32).cast(idT).as("id_a"),
           col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast(idT).as("id_b"))
       else rawPairs
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .repartition(dedupParts, col("id_a"), col("id_b"))
+        .repartition(parts, col("id_a"), col("id_b"))
         .distinct()
     // the verify stage fetches BOTH vectors per candidate pair; left to
     // the planner, a vector relation past the 10 MB auto-broadcast
