@@ -1462,9 +1462,18 @@ object QueriesScale {
       val typos = p.filter(col("id") % 50 === 0)
         .select((col("id") + 1000000L).as("id"),
           concat(lit("x"), substring(col("name"), 2, 100000)).as("name"))
+      // total order via width-pinned range partitioning + in-task sort
+      // (≡ orderBy: contiguous ranges, sorted within): the pair OUTPUT
+      // is the workload (~325M rows at the 100× decade), and a global
+      // sort at the harness's 32 shuffle partitions put ~10M rows
+      // through each sort task (~23 GB spilled); 8× parallelism keeps
+      // every sort in-task at the measured decades, and a cluster runs
+      // thousands of range partitions anyway
       Dedup.editDistancePairs(p.unionByName(typos), "id", "name",
           maxDist = 2)
-        .orderBy(col("id_a"), col("id_b"))
+        .repartitionByRange(8 * s.sparkContext.defaultParallelism,
+          col("id_a"), col("id_b"))
+        .sortWithinPartitions(col("id_a"), col("id_b"))
     }),
 
     // dd18 on a PATHOLOGICALLY skewed corpus: every even partkey's name

@@ -612,16 +612,47 @@ object Dedup {
         sort_array(col("shingles")).as("ts"),
         size(col("shingles")).cast("long").as("m"))
       .persist(spill)
-    val toks = sets.select(col("doc_id"), col("m"),
-      explode(col("ts")).as("tok"))
+    // width-scale every gram-relation exchange from the measured shingle
+    // count (one cheap agg over the already-persisted sets — the sim17
+    // sizing idiom): at the harness's pinned 32 shuffle partitions the
+    // 100× decade put ~3.4M of the ~110M gram rows through each task's
+    // df-join and df-rank-window sorts (~170 MB each) and spilled
+    // ~18 GB; ≈32 MB of gram rows per task fits every stage, and a
+    // pinned REPARTITION_BY_NUM exchange on tok doubles as the ONE
+    // shared exchange for the frequency aggregate and the join probe
+    // (the ts21 lesson — the explode then runs once, not per consumer).
+    val nTok = sets.agg(sum(col("m"))).head().getLong(0)
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val gramParts = math.max(parallelism.toLong,
+      math.min(2048L, nTok * 80 / (32L << 20))).toInt
+    // widening is GATED on the width rule actually wanting more than the
+    // default: below the crossover the gram relation is broadcast-sized
+    // and AQE's adaptive broadcasts beat any forced shuffle (an ungated
+    // draft repartitioned unconditionally and measured dd25/dd26 2.6×
+    // SLOWER at 1×, where the old plan shuffled nothing); past it the
+    // broadcast path is dead anyway and the explicit exchanges both
+    // bound every per-task sort and let the frequency aggregate and the
+    // join probe share one exchange (the ts21 lesson — the explode runs
+    // once, not per consumer).
+    val wide = gramParts > parallelism
+    def byTok(d: DataFrame): DataFrame =
+      if (wide) d.repartition(gramParts, col("tok")) else d
+    def byDoc(d: DataFrame): DataFrame =
+      if (wide) d.repartition(gramParts, col("doc_id")) else d
+    val toks = byTok(sets.select(col("doc_id"), col("m"),
+      explode(col("ts")).as("tok")))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    val prefix = toks.join(freq, "tok")
+    // the window needs doc_id clustering (width-pinned so the per-doc
+    // rank sort fits in-task at every decade), and the surviving
+    // prefixes re-cluster by tok so BOTH self-join sides read the
+    // persisted relation already distributed on the join key
+    val prefix = byTok(byDoc(toks.join(freq, "tok"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <=
         col("m") - ceil(lit(threshold) * col("m")) + 1)
-      .select(col("doc_id"), col("tok"), col("m"), col("rn"))
+      .select(col("doc_id"), col("tok"), col("m"), col("rn")))
       // both sides of the self-join read this relation — persist so the
       // df-rank window runs once, not per side
       .persist(spill)
@@ -639,7 +670,15 @@ object Dedup {
             ceil(lit(threshold / (1 + threshold)) *
               (col("a.m") + col("b.m"))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // the candidate dedup and the verify joins ride the same width rule
+    // (gated like the gram exchanges): at 100× the verify SMJs attach
+    // each candidate's full ~220-shingle array (~5 KB/row) and sort the
+    // widened intermediate — at the pinned 32 partitions those sorts,
+    // not the gram window, carried most of the decade's ~18 GB spill
+    val candW =
+      if (wide) cand.repartition(gramParts, col("doc_a"), col("doc_b"))
+        .distinct()
+      else cand.distinct()
     // materialize the (small, post-threshold) pair relation while
     // sets/prefix are still cached, then drop both — repeated invocations
     // (bench rounds, the full verify sweep) must not accumulate cached
@@ -647,9 +686,12 @@ object Dedup {
     // (AQE-planned write vs eager localCheckpoint's 17x penalty, zero
     // cache registrations vs persist+count's unpersistable return) —
     // this site is where that lesson was measured, round 12.
-    val out = cand
+    val withA =
+      (if (wide) candW.repartition(gramParts, col("doc_a")) else candW)
       .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta"),
         col("m").as("ma")), "doc_a")
+    val out =
+      (if (wide) withA.repartition(gramParts, col("doc_b")) else withA)
       .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb"),
         col("m").as("mb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb")))

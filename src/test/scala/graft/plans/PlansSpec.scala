@@ -413,13 +413,19 @@ class PlansSpec extends SparkSpec {
         => s
     }
     def render = nodes.map(_.nodeName).mkString(", ")
-    assert(pinned.size == 3,
-      s"expected exactly three materialized pinned expansion exchanges " +
-        s"(byS + the two salted-join sides): $render")
-    pinned.foreach(p =>
-      assert(p.outputPartitioning.numPartitions ==
-        spark.sparkContext.defaultParallelism,
-        s"user partition count must survive AQE: $p"))
+    // three hash exchanges (byS + the two salted-join sides) at the
+    // user count, plus the width-pinned output range sort at 8×
+    assert(pinned.size == 4,
+      s"expected exactly four materialized pinned exchanges " +
+        s"(byS + two salted-join sides + output range sort): $render")
+    val par = spark.sparkContext.defaultParallelism
+    assert(pinned.count(_.outputPartitioning.numPartitions == par) == 3,
+      s"three expansion exchanges must survive AQE at the user count: " +
+        pinned.map(_.outputPartitioning.numPartitions).mkString(","))
+    assert(pinned.count(_.outputPartitioning.numPartitions == 8 * par)
+        == 1,
+      s"the output range sort must keep its 8x width: " +
+        pinned.map(_.outputPartitioning.numPartitions).mkString(","))
     assert(nodes.count(_.isInstanceOf[ReusedExchangeExec]) >= 2,
       s"both salted-join sides and the fan-out probes must reuse the " +
         s"pinned exchanges: $render")
