@@ -59,6 +59,12 @@ object Bench {
 
   private val nRuns = 3
 
+  // SPARK_GRAFT_PURGE=query is an A/B-ONLY protocol dial (see runPurge).
+  // Read ONCE at class-init so the protocol can't flip between queries,
+  // and warned about at startup in main (ADVICE r13).
+  private val purgePerQuery =
+    sys.env.get("SPARK_GRAFT_PURGE").contains("query")
+
   /** One query's measurement: warmup seconds + the `nRuns` timed runs,
     * plus the task-metrics profile of the last timed run (shuffle volumes
     * are plan properties — near-constant across runs — so one snapshot
@@ -293,6 +299,14 @@ object Bench {
     val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").filter(_.nonEmpty)
     extraConf.foreach(c =>
       System.err.println(s"[bench] EXTRA_CONF overrides active: $c"))
+    // same treatment for the purge dial (ADVICE r13): it's A/B-only, and
+    // an env var inherited from an earlier A/B shell would silently revert
+    // the per-run hygiene for a headline sweep — warn at startup so the
+    // run log shows it (the object-level val reads the env exactly once).
+    if (purgePerQuery)
+      System.err.println(
+        "[bench] SPARK_GRAFT_PURGE=query active: per-QUERY purge " +
+          "(A/B-only protocol — not valid for headline sweeps)")
 
     val (firstPass, skipped, killed) =
       if (inProcess) (runInProcess(selected, sfDir, cpus), Nil, Nil)
@@ -359,7 +373,7 @@ object Bench {
     val protoBase = {
       val group = if (inProcess) "" else s""","fork_group":$groupSize"""
       val purge =
-        if (sys.env.get("SPARK_GRAFT_PURGE").contains("query"))
+        if (purgePerQuery)
           s""","cache_purge":"per-query (A/B override)""""
         else s""","cache_purge":"per-run""""
       val conf = extraConf.fold("")(c =>
@@ -500,8 +514,7 @@ object Bench {
         // build-once/serve-many entries keep the warmup's cache — that IS
         // their steady state; everything else is purged per run
         def runPurge(): Unit =
-          if (!cacheRiders(name) &&
-            !sys.env.get("SPARK_GRAFT_PURGE").contains("query")) purge()
+          if (!cacheRiders(name) && !purgePerQuery) purge()
         runPurge()
         val timed = Seq.fill(nRuns - 1) { val r = once(); runPurge(); r }
         agg.reset() // profile the final timed run only

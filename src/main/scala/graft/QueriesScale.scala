@@ -407,6 +407,10 @@ object QueriesScale {
     // and the contamination flag. Catches the paraphrase leakage the
     // verbatim gram/span audits (tc1/tc3) structurally miss; eval side
     // broadcast, train side one scan + map-side-combinable agg.
+    // CROSSOVER (r13 grid): tc6 is exact but linear in train × eval (exp
+    // 1.02, 117 s at the 100× decade vs tc7's 0.47 / ~8 s) — past a few
+    // ×10⁶ train×eval dot products per core, switch to tc7's IVF screen
+    // and keep tc6 for the final audit of the screen's survivors.
     "tc6_semantic_decontam" -> ((s, d) => {
       val emb = embeddings(s, d)
       Similarity.semanticContamination(
@@ -1192,8 +1196,10 @@ object QueriesScale {
       Dedup.corpusJaccard(fanOut(documents(s, d)), "doc_id", "text",
         id => pmod(id, lit(2)), k = 3, numHashes = 128)),
 
-    // 2-core of the dup-candidate graph — peel-to-fixpoint (no fixed-SQL
-    // replay → ENFORCED structural verdict instead): per node, the
+    // 2-core of the dup-candidate graph — peel-to-fixpoint. FULL oracle
+    // since round 14: the peel is order-independent (confluent), so a
+    // recursive CTE replays it round by round (see the oracle's comment).
+    // The ENFORCED structural verdict stays on top: per node, the
     // within-core degree is INDEPENDENTLY recomputed from the raw edge
     // relation, and `equal` asserts the defining property both ways —
     // core nodes keep ≥ k core neighbors, peeled nodes would not.
@@ -1466,13 +1472,25 @@ object QueriesScale {
       // (≡ orderBy: contiguous ranges, sorted within): the pair OUTPUT
       // is the workload (~325M rows at the 100× decade), and a global
       // sort at the harness's 32 shuffle partitions put ~10M rows
-      // through each sort task (~23 GB spilled); 8× parallelism keeps
-      // every sort in-task at the measured decades, and a cluster runs
-      // thousands of range partitions anyway
-      Dedup.editDistancePairs(p.unionByName(typos), "id", "name",
-          maxDist = 2)
-        .repartitionByRange(8 * s.sparkContext.defaultParallelism,
-          col("id_a"), col("id_b"))
+      // through each sort task (~23 GB spilled at the 100× decade).
+      // Width-scale the sort from the ESTIMATED pair output (sim17's
+      // slot-estimate recipe): same-string groups dominate the relation
+      // (~3×10⁶ of ~3.25×10⁶ rows at 1×), so one cheap group-count agg
+      // bounds it as Σ n(n−1)/2, sized at ≈32 MB of 24 B pair rows per
+      // sort task — ~230 partitions at 100×, and the rule keeps holding
+      // at 1000× where any static multiplier resumes spilling. The
+      // range sampler prices the same second child pass an orderBy would.
+      val corpus = p.unionByName(typos)
+      val pairEst = corpus.filter(length(col("name")) >= 6)
+        .groupBy(col("name")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
+          .cast("long").as("est"))
+        .head().getLong(0)
+      val par = s.sparkContext.defaultParallelism
+      val sortParts = math.max(par.toLong,
+        math.min(4096L, pairEst * 24 / (32L << 20))).toInt
+      Dedup.editDistancePairs(corpus, "id", "name", maxDist = 2)
+        .repartitionByRange(sortParts, col("id_a"), col("id_b"))
         .sortWithinPartitions(col("id_a"), col("id_b"))
     }),
 
@@ -3748,6 +3766,77 @@ object QueriesScale {
         |         SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
         |           ORDER BY c DESC, label) AS rn FROM c3) WHERE rn = 1)
         |SELECT node AS doc_id, label AS community FROM l3
+        |ORDER BY doc_id""".stripMargin,
+
+    // dd28 graduated from no_oracle in round 14: the parallel peel is a
+    // deterministic, order-independent fixpoint, so a recursive CTE
+    // replays it round by round (the dd10 pattern). With UNION ALL the
+    // recursive term sees only the PREVIOUS round's rows (every row
+    // carries its round number, so that delta IS the full survivor set),
+    // each round keeps nodes with >= 2 neighbors among the round's
+    // survivors, and the count guard stops the recursion at the first
+    // unchanged round (survivors are always a subset, so count equality
+    // is set equality). The one extra peel applied to the final round in
+    // `incore` covers the empty-fixpoint exit, where the guard stops
+    // BEFORE recording the empty set: peel(stable set) = itself, so the
+    // extra round is the identity everywhere else. The Spark entry's
+    // structural `equal` verdict stays enforced on top.
+    "dd28_kcore" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |hot AS (
+        |  SELECT lang, source, gram FROM grams
+        |  GROUP BY lang, source, gram HAVING COUNT(*) > 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM grams a JOIN grams b
+        |    ON a.gram = b.gram AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |    WHERE h.lang = a.lang AND h.source = a.source
+        |      AND h.gram = a.gram)),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |peel AS (
+        |  SELECT 0 AS r, node FROM nodes
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    WITH surv AS (
+        |      SELECT w.r + 1 AS r, e.src AS node
+        |      FROM peel w JOIN edges e ON e.src = w.node
+        |      JOIN peel w2 ON w2.node = e.dst AND w2.r = w.r
+        |      GROUP BY w.r, e.src
+        |      HAVING COUNT(*) >= 2)
+        |    SELECT r, node FROM surv
+        |    WHERE (SELECT COUNT(*) FROM surv) <
+        |          (SELECT COUNT(*) FROM peel))),
+        |lastr AS (SELECT COALESCE(MAX(r), 0) AS mr FROM peel),
+        |cand AS (SELECT node FROM peel, lastr WHERE r = mr),
+        |incore AS (
+        |  SELECT e.src AS node FROM edges e
+        |  JOIN cand a ON a.node = e.src
+        |  JOIN cand b ON b.node = e.dst
+        |  GROUP BY e.src HAVING COUNT(*) >= 2),
+        |cdeg AS (
+        |  SELECT e.src AS node, COUNT(*) AS core_deg
+        |  FROM edges e JOIN incore i ON i.node = e.dst
+        |  GROUP BY e.src)
+        |SELECT n.node AS doc_id,
+        |  COALESCE(d.core_deg, 0) AS core_deg,
+        |  (i.node IS NOT NULL) AS in_core,
+        |  ((i.node IS NOT NULL AND COALESCE(d.core_deg, 0) >= 2) OR
+        |   (i.node IS NULL AND COALESCE(d.core_deg, 0) < 2)) AS equal
+        |FROM nodes n
+        |LEFT JOIN cdeg d ON d.node = n.node
+        |LEFT JOIN incore i ON i.node = n.node
         |ORDER BY doc_id""".stripMargin,
 
     "a11_constraint_audit" ->

@@ -47,7 +47,11 @@ object ScaleBench {
     "tc7_semantic_screen", "sim17_srp_lsh", "dd28_kcore",
     "dd29_containment", "ev10_gapfill_resample", "a18_countmin",
     "dd30_corpus_overlap", "dd26_threshold_curve", "dd18_fuzzy_pairs",
-    "dd18b_skew_pairs", "sim16b_ann_contrastive")
+    "dd18b_skew_pairs", "sim16b_ann_contrastive",
+    // r14: the verbatim-decontamination heavies — their size-GATED
+    // broadcasts (gram blacklist / span relation) had never been measured
+    // past sf0.1, and a mis-set gate threshold only shows at a decade
+    "tc1_decontam_report", "tc3_span_decontam")
 
   private def ensureCorpus(src: String, factor: Int): String = {
     val out = s"target/scale_sf$factor"

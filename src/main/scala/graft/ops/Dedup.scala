@@ -621,7 +621,14 @@ object Dedup {
     // pinned REPARTITION_BY_NUM exchange on tok doubles as the ONE
     // shared exchange for the frequency aggregate and the join probe
     // (the ts21 lesson — the explode then runs once, not per consumer).
-    val nTok = sets.agg(sum(col("m"))).head().getLong(0)
+    // coalesce: SUM/MAX over zero rows are null — an empty input must
+    // size as zero grams (wide=false) and fall through to the empty pair
+    // relation, not NPE in the sizing job (the Similarity.scala stats job
+    // guards the same way via isNullAt)
+    val stRow = sets.agg(coalesce(sum(col("m")), lit(0L)),
+      coalesce(max(col("m")), lit(0L))).head()
+    val nTok = stRow.getLong(0)
+    val maxM = stRow.getLong(1)
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val gramParts = math.max(parallelism.toLong,
       math.min(2048L, nTok * 80 / (32L << 20))).toInt
@@ -648,9 +655,19 @@ object Dedup {
     // rank sort fits in-task at every decade), and the surviving
     // prefixes re-cluster by tok so BOTH self-join sides read the
     // persisted relation already distributed on the join key
+    // the per-doc prefix bound m − ⌈t·m⌉ + 1 is NON-constant, so the rank
+    // filter alone cannot plan as WindowGroupLimit (the rule needs a
+    // literal bound). Conjoin the CONSTANT corpus-wide cap — the bound at
+    // maxM, which dominates every per-doc bound (monotone in m) — so the
+    // optimizer inserts a partial per-doc top-k BELOW the doc exchange:
+    // each map task forwards at most kCap gram rows per doc instead of
+    // all m, cutting both the window exchange's volume and its sort
+    // (the tp5/ts20 idiom); the exact per-doc filter still runs above.
+    val kCap = math.max(1L,
+      maxM - math.ceil(threshold * maxM).toLong + 1L)
     val prefix = byTok(byDoc(toks.join(freq, "tok"))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <=
+      .filter(col("rn") <= lit(kCap) && col("rn") <=
         col("m") - ceil(lit(threshold) * col("m")) + 1)
       .select(col("doc_id"), col("tok"), col("m"), col("rn")))
       // both sides of the self-join read this relation — persist so the

@@ -389,8 +389,9 @@ class PlansSpec extends SparkSpec {
     // AQE coalescing. Lock the exchange count, the surviving user
     // partition width, and the consumer-side reuse in the FINAL adaptive
     // plan: a regression to repartition(col) (coalescable
-    // REPARTITION_BY_COL) or to Round
-    // 13's salted expansion: THREE pinned exchanges (byS on s feeding
+    // REPARTITION_BY_COL) or to per-consumer exchanges fails here, not
+    // in a 10x rehearsal. Round 13's salted expansion brought the count
+    // to THREE pinned exchanges (byS on s feeding
     // the group-count window twice and the two fan-out probes, plus one
     // per salted-join side on (s, lo, hi) — disjoint row sets, so no
     // duplicated shuffle volume), byS reused by its other consumers.
@@ -414,21 +415,168 @@ class PlansSpec extends SparkSpec {
     }
     def render = nodes.map(_.nodeName).mkString(", ")
     // three hash exchanges (byS + the two salted-join sides) at the
-    // user count, plus the width-pinned output range sort at 8×
+    // user count, plus the output range sort at its estimate-scaled
+    // width — which FLOORS at the user count on this tiny sf (the
+    // estimate rule only widens past ~1.4M pairs), so all four sit at
+    // `par` here; the range origin distinguishes the sort exchange
     assert(pinned.size == 4,
       s"expected exactly four materialized pinned exchanges " +
         s"(byS + two salted-join sides + output range sort): $render")
     val par = spark.sparkContext.defaultParallelism
-    assert(pinned.count(_.outputPartitioning.numPartitions == par) == 3,
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val (range, hash) = pinned.partition(
+      _.outputPartitioning.isInstanceOf[RangePartitioning])
+    assert(hash.size == 3 &&
+        hash.forall(_.outputPartitioning.numPartitions == par),
       s"three expansion exchanges must survive AQE at the user count: " +
         pinned.map(_.outputPartitioning.numPartitions).mkString(","))
-    assert(pinned.count(_.outputPartitioning.numPartitions == 8 * par)
-        == 1,
-      s"the output range sort must keep its 8x width: " +
+    assert(range.size == 1 &&
+        range.head.outputPartitioning.numPartitions >= par,
+      s"the output range sort must keep its estimate-scaled width: " +
         pinned.map(_.outputPartitioning.numPartitions).mkString(","))
     assert(nodes.count(_.isInstanceOf[ReusedExchangeExec]) >= 2,
       s"both salted-join sides and the fan-out probes must reuse the " +
         s"pinned exchanges: $render")
+    // the Ed-Join prefix rank (rn <= pfxLen, a CONSTANT bound) must plan
+    // as WindowGroupLimit: with no explicit repartition in that subtree
+    // the partial top-k lands below the EnsureRequirements exchange and
+    // only ~pfxLen gram rows per string ride the rank shuffle
+    assert(nodes.exists(_.nodeName.contains("WindowGroupLimit")),
+      s"the q-gram prefix rank must plan as WindowGroupLimit: $render")
+  }
+
+  test("AQE twin: width-pinned exchanges survive adaptive re-planning " +
+      "(dd25's gate-on gram machinery + sim17's slot machinery)") {
+    // The dd18-at-10x incident: AQE sizes stages on their shuffle INPUT
+    // bytes, so an exploding stage behind a small input gets coalesced to
+    // ~1 partition and runs single-threaded — only REPARTITION_BY_NUM
+    // (user-count) exchanges are exempt. PLANS.md audits the STATIC plan,
+    // which cannot see that rewrite; this is the runtime twin: execute
+    // the two ops whose scale posture depends on pinned widths and assert
+    // on the FINAL adaptive plans that (a) the pinned exchanges are still
+    // there at their computed width and (b) AQE planted no shuffle read
+    // (coalesce or skew rewrite) over any of them. Both ops materialize
+    // through Scratch, so the interesting QueryExecutions happen INSIDE
+    // the call — captured via a QueryExecutionListener rather than read
+    // off the returned (scan-only) plan.
+    import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec,
+      ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{
+      ReusedExchangeExec, ShuffleExchangeExec, REPARTITION_BY_NUM}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // descend into CACHED plans too (unlike the other flattens here):
+    // both ops persist their multi-consumer relations, so the width-
+    // pinned gram/band exchanges live inside InMemoryRelation.cachedPlan,
+    // invisible from the outer write plan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case i: InMemoryTableScanExec => flatten(i.relation.cachedPlan)
+      case _: ReusedExchangeExec => Nil
+      case other => other.children.flatMap(flatten)
+    })
+    // several captured QueryExecutions (sizing agg, cache builds, the
+    // write) and repeated cache scans show the same exchange more than
+    // once — dedup by reference identity before counting
+    def pinnedOf(nodes: Seq[SparkPlan]): Seq[ShuffleExchangeExec] =
+      nodes.collect {
+        case s: ShuffleExchangeExec
+          if s.shuffleOrigin == REPARTITION_BY_NUM => s
+      }.groupBy(System.identityHashCode(_)).values.map(_.head).toSeq
+    def coalescedOverPinned(nodes: Seq[SparkPlan]): Seq[SparkPlan] =
+      nodes.collect {
+        case r: AQEShuffleReadExec if (r.child match {
+          case q: ShuffleQueryStageExec => q.shuffle match {
+            case s: ShuffleExchangeExec =>
+              s.shuffleOrigin == REPARTITION_BY_NUM
+            case _ => false
+          }
+          case _ => false
+        }) => r
+      }
+    val captured = scala.collection.mutable.ArrayBuffer[QueryExecution]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        captured.synchronized { captured += qe; () }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    // listener events arrive async on the (private) listener bus — poll
+    // until the captured plans contain at least `want` pinned exchanges
+    // or a deadline passes (assertions below then report what arrived)
+    def awaitPinned(want: Int): Seq[SparkPlan] = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var nodes = Seq.empty[SparkPlan]
+      while ({
+        nodes = captured.synchronized(captured.toVector)
+          .flatMap(qe => flatten(qe.executedPlan))
+        pinnedOf(nodes).size < want && System.nanoTime() < deadline
+      }) Thread.sleep(50)
+      nodes
+    }
+    val par = spark.sparkContext.defaultParallelism
+    spark.listenerManager.register(listener)
+    try {
+      // --- dd25/dd26's gram machinery, GATE ON. The harness sf never
+      // trips the width gate (the entries run wide=false there), so the
+      // gate-on branch is exercised synthetically: enough shingles that
+      // nTok * 80 B exceeds parallelism x 32 MB, texts duplicated in
+      // PAIRS so the candidate/verify exchanges carry rows too (all-
+      // unique grams would let AQE's empty-relation propagation remove
+      // them — correctly, but then there'd be nothing to lock).
+      val docs = spark.range(21000).selectExpr("id AS doc_id",
+        "array_join(transform(sequence(1, 102), " +
+          "j -> concat('w', id div 2, '_', j)), ' ') AS text")
+      val n = graft.ops.Dedup
+        .prefixFilteredPairs(docs, "doc_id", "text", 0.8).count()
+      assert(n == 10500L, s"each duplicated text pair must match: $n")
+      val ddNodes = awaitPinned(4)
+      val ddPinned = pinnedOf(ddNodes)
+      // gram side (tok, doc, tok) + candidate dedup + the two verify
+      // probes = 6 widened exchanges; ReusedExchange may dedup some
+      assert(ddPinned.size >= 4,
+        s"gate-on run must pin the gram AND candidate exchanges: " +
+          ddNodes.map(_.nodeName).mkString(", "))
+      assert(ddPinned.forall(_.outputPartitioning.numPartitions > par),
+        s"every pinned exchange must carry the WIDENED count (> $par): " +
+          ddPinned.map(_.outputPartitioning.numPartitions).mkString(","))
+      assert(coalescedOverPinned(ddNodes).isEmpty,
+        "AQE planted a shuffle read over a width-pinned exchange")
+      // the r14 kCap conjunct: the per-doc prefix bound is non-constant,
+      // so only the conjoined corpus-wide cap lets the df-rank filter
+      // plan as WindowGroupLimit — pruning the window's input between
+      // the (width-bounded) sort and the window evaluation. The deeper
+      // map-side partial variant is unreachable here BY CHOICE: it needs
+      // the doc exchange to be EnsureRequirements-inserted (between
+      // partial and final), which would put its width back on the static
+      // shuffle-partitions conf — the exact 18 GB sort-spill shape the
+      // pinned width exists to prevent.
+      assert(ddNodes.exists(_.nodeName.contains("WindowGroupLimit")),
+        s"the kCap rank filter must plan as WindowGroupLimit: " +
+          ddNodes.map(_.nodeName).distinct.mkString(", "))
+      // --- sim17's slot machinery at the harness sf: the small corpus
+      // floors the width rule at the user parallelism, which is exactly
+      // the regression surface — a drift to repartition(col)
+      // (REPARTITION_BY_COL) would let AQE coalesce the tiny band/dedup
+      // shuffles to 1 partition here and the 100x slot stage to a
+      // spilling handful in production.
+      captured.synchronized(captured.clear())
+      SparkEntry.queries("sim17_srp_lsh")(spark, sf).count(): Unit
+      val simNodes = awaitPinned(2)
+      val simPinned = pinnedOf(simNodes)
+      assert(simPinned.size >= 2,
+        s"band + candidate-dedup exchanges must stay pinned: " +
+          simNodes.map(_.nodeName).mkString(", "))
+      assert(simPinned.forall(_.outputPartitioning.numPartitions >= par),
+        s"pinned widths must not drop below the user count $par: " +
+          simPinned.map(_.outputPartitioning.numPartitions).mkString(","))
+      assert(coalescedOverPinned(simNodes).isEmpty,
+        "AQE planted a shuffle read over a width-pinned exchange")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("ts21: one gram exchange serves both consumers (ReusedExchange)") {
