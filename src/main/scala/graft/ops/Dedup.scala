@@ -767,7 +767,22 @@ object Dedup {
     * measures exactly this corpus). Balanced data degenerates to B = 1 —
     * the old single-slot join.
     *
-    * The returned plan is LAZY with zero cache registrations: the
+    * The expansion exchanges are WIDTH-SCALED (round 14) from the
+    * estimated pair output Σ n(n−1)/2 (one cheap group-count agg over the
+    * eligible rows — the sim17 sizing idiom; the cross-string term is
+    * negligible next to the same-string quadratic and rides the same
+    * margin): the emission stages run `expParts ≈ pairs · 24 B / 32 MB`
+    * tasks, so whatever consumes the pair relation next — a range-sort
+    * shuffle write, a downstream exchange — buffers ~32 MB per task
+    * instead of output/32. At the pinned defaultParallelism the 100×
+    * rehearsal's final sort spilled 15.7 GB on its MAP side alone: 32
+    * writers × ~350 MB of pair rows sorted by partition id in the
+    * shuffle writer; width-scaling the producer stage is the only place
+    * that spill can be prevented, because the writer inherits the
+    * producer's task count, not the sort's.
+    *
+    * The returned plan carries zero cache registrations and exactly one
+    * driver-side sizing job (the vocabulary-sized group-count agg): the
     * (id, string) projection is consumed by several subtrees, each of
     * which re-reads it — a plain scan+filter, which a columnar source
     * serves cheaply in parallel (and the distinct-string subtrees are
@@ -834,8 +849,19 @@ object Dedup {
     // it). A user-specified partition count is exempt from AQE
     // coalescing, and the one exchange serves the group-count window and
     // the two fan-out probes (ReusedExchange — the ts21 lesson).
-    val byS = eligible.repartition(
-      df.sparkSession.sparkContext.defaultParallelism, col("s"))
+    // width-scale the expansion from the estimated pair output (see
+    // scaladoc): ≈32 MB of 24 B pair rows per emission task, floored at
+    // the user parallelism (balanced corpora stay at the old width),
+    // capped at 4096 (a 5×10⁹-pair skew corpus caps at ~1.4M pairs/task)
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val pairsEst = eligible.groupBy(col("s"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
+        .cast("long"))
+      .head().getLong(0)
+    val expParts = math.max(parallelism.toLong,
+      math.min(4096L, pairsEst * 24 / (32L << 20))).toInt
+    val byS = eligible.repartition(expParts, col("s"))
     // SALTED same-string expansion: a plain self-join on s keys a
     // group's entire quadratic id-pair emission to ONE hash slot, so one
     // hot duplicate string (10⁵ ids on skewed real data) serializes its
@@ -861,15 +887,14 @@ object Dedup {
       .withColumn("nb", greatest(lit(1),
         least(lit(64), ceil(nOver / lit(1000.0)).cast("int"))))
       .withColumn("blk", pmod(hash(col("id")), col("nb")))
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val leftBlocks = blocked.select(col("s"), col("id"), col("blk"),
       explode(sequence(col("blk"), col("nb") - 1)).as("hi"))
       .select(col("s"), col("id"), col("blk").as("lo"), col("hi"))
-      .repartition(parallelism, col("s"), col("lo"), col("hi"))
+      .repartition(expParts, col("s"), col("lo"), col("hi"))
     val rightBlocks = blocked.select(col("s"), col("id"), col("blk"),
       explode(sequence(lit(0), col("blk"))).as("lo"))
       .select(col("s"), col("id"), col("lo"), col("blk").as("hi"))
-      .repartition(parallelism, col("s"), col("lo"), col("hi"))
+      .repartition(expParts, col("s"), col("lo"), col("hi"))
     val zero = leftBlocks.as("a").join(rightBlocks.as("b"),
         col("a.s") === col("b.s") && col("a.lo") === col("b.lo") &&
           col("a.hi") === col("b.hi") &&
