@@ -1475,21 +1475,22 @@ object QueriesScale {
       // through each sort task (~23 GB spilled at the 100× decade).
       // Width-scale the sort from the ESTIMATED pair output (sim17's
       // slot-estimate recipe): same-string groups dominate the relation
-      // (~3×10⁶ of ~3.25×10⁶ rows at 1×), so one cheap group-count agg
-      // bounds it as Σ n(n−1)/2, sized at ≈32 MB of 24 B pair rows per
-      // sort task — ~230 partitions at 100×, and the rule keeps holding
-      // at 1000× where any static multiplier resumes spilling. The
-      // range sampler prices the same second child pass an orderBy would.
+      // (~3×10⁶ of ~3.25×10⁶ rows at 1×), so one group-count agg —
+      // the op's own editDistancePairEstimate, run ONCE here and handed
+      // back in via pairsEst so op and sort share one sizing job and
+      // one eligibility rule — bounds it as Σ n(n−1)/2, sized at ≈32 MB
+      // of 24 B pair rows per sort task: ~230 partitions at 100×, and
+      // the rule keeps holding at 1000× where any static multiplier
+      // resumes spilling. The range sampler prices the same second
+      // child pass an orderBy would.
       val corpus = p.unionByName(typos)
-      val pairEst = corpus.filter(length(col("name")) >= 6)
-        .groupBy(col("name")).agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
-          .cast("long").as("est"))
-        .head().getLong(0)
+      val pairEst = Dedup.editDistancePairEstimate(corpus, "id", "name",
+        maxDist = 2)
       val par = s.sparkContext.defaultParallelism
       val sortParts = math.max(par.toLong,
         math.min(4096L, pairEst * 24 / (32L << 20))).toInt
-      Dedup.editDistancePairs(corpus, "id", "name", maxDist = 2)
+      Dedup.editDistancePairs(corpus, "id", "name", maxDist = 2,
+          pairsEst = Some(pairEst))
         .repartitionByRange(sortParts, col("id_a"), col("id_b"))
         .sortWithinPartitions(col("id_a"), col("id_b"))
     }),

@@ -658,11 +658,16 @@ object Dedup {
     // the per-doc prefix bound m − ⌈t·m⌉ + 1 is NON-constant, so the rank
     // filter alone cannot plan as WindowGroupLimit (the rule needs a
     // literal bound). Conjoin the CONSTANT corpus-wide cap — the bound at
-    // maxM, which dominates every per-doc bound (monotone in m) — so the
-    // optimizer inserts a partial per-doc top-k BELOW the doc exchange:
-    // each map task forwards at most kCap gram rows per doc instead of
-    // all m, cutting both the window exchange's volume and its sort
-    // (the tp5/ts20 idiom); the exact per-doc filter still runs above.
+    // maxM, which dominates every per-doc bound (monotone in m) — so a
+    // WindowGroupLimit plans ABOVE the byDoc exchange, pruning each
+    // group to its top-kCap between the (width-bounded) sort and the
+    // window evaluation. The exchange itself still carries all m gram
+    // rows per doc: the tp5-style map-side PARTIAL below the shuffle is
+    // unreachable here by choice — it needs the doc exchange to be
+    // EnsureRequirements-inserted, which would put its width back on
+    // the static shuffle-partitions conf, the exact sort-spill shape
+    // the pinned byDoc width exists to prevent (PlansSpec's AQE twin
+    // carries the same rationale). The exact per-doc filter runs above.
     val kCap = math.max(1L,
       maxM - math.ceil(threshold * maxM).toLong + 1L)
     val prefix = byTok(byDoc(toks.join(freq, "tok"))
@@ -781,8 +786,11 @@ object Dedup {
     * that spill can be prevented, because the writer inherits the
     * producer's task count, not the sort's.
     *
-    * The returned plan carries zero cache registrations and exactly one
-    * driver-side sizing job (the vocabulary-sized group-count agg): the
+    * The returned plan carries zero cache registrations and at most one
+    * driver-side sizing job — the vocabulary-sized group-count agg of
+    * [[editDistancePairEstimate]], skipped when the caller hands the
+    * estimate in via `pairsEst` (the dd18 entry shares one estimate
+    * between this op and its output-sort width): the
     * (id, string) projection is consumed by several subtrees, each of
     * which re-reads it — a plain scan+filter, which a columnar source
     * serves cheaply in parallel (and the distinct-string subtrees are
@@ -790,8 +798,25 @@ object Dedup {
     * computed relation should materialize THAT before calling, exactly as
     * it would for any multi-consumer plan.
     */
+  /** The same-string pair estimate [[editDistancePairs]] sizes its
+    * expansion from — Σ n(n−1)/2 over exact-string groups of the
+    * ELIGIBLE rows (the op's own length/null filter, derived from
+    * `maxDist`, so the estimate and the expansion always agree on the
+    * row set). Public so a caller that also needs the output size (e.g.
+    * to width a downstream sort) can run the vocabulary-sized job ONCE
+    * and hand the result back via `pairsEst`.
+    */
+  def editDistancePairEstimate(df: DataFrame, idCol: String,
+      strCol: String, maxDist: Int = 2): Long =
+    df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) >= 2 * maxDist + 2 && col("id").isNotNull)
+      .groupBy(col("s")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
+        .cast("long"))
+      .head().getLong(0)
+
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 2): DataFrame = {
+      maxDist: Int = 2, pairsEst: Option[Long] = None): DataFrame = {
     val q = 2
     val pfxLen = q * maxDist + 1
     // null ids are dropped HERE, not left to the joins: the same-string
@@ -854,13 +879,10 @@ object Dedup {
     // the user parallelism (balanced corpora stay at the old width),
     // capped at 4096 (a 5×10⁹-pair skew corpus caps at ~1.4M pairs/task)
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val pairsEst = eligible.groupBy(col("s"))
-      .agg(count(lit(1)).as("n"))
-      .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
-        .cast("long"))
-      .head().getLong(0)
+    val est = pairsEst.getOrElse(
+      editDistancePairEstimate(df, idCol, strCol, maxDist))
     val expParts = math.max(parallelism.toLong,
-      math.min(4096L, pairsEst * 24 / (32L << 20))).toInt
+      math.min(4096L, est * 24 / (32L << 20))).toInt
     val byS = eligible.repartition(expParts, col("s"))
     // SALTED same-string expansion: a plain self-join on s keys a
     // group's entire quadratic id-pair emission to ONE hash slot, so one

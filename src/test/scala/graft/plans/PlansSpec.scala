@@ -507,14 +507,32 @@ class PlansSpec extends SparkSpec {
     }
     // listener events arrive async on the (private) listener bus — poll
     // until the captured plans contain at least `want` pinned exchanges
-    // or a deadline passes (assertions below then report what arrived)
-    def awaitPinned(want: Int): Seq[SparkPlan] = {
+    // MATCHING `mine` or a deadline passes (assertions below then report
+    // what arrived). `mine` scopes each half of the test to its own op's
+    // exchanges BY PARTITIONING COLUMNS: clearing the shared buffer
+    // between halves is not enough, because a dd25 write event still
+    // in flight on the bus can land after the clear and its (pinned,
+    // wide) exchanges would satisfy the sim17 assertions even if sim17
+    // itself regressed to a coalescable repartition(col).
+    def keyCols(s: ShuffleExchangeExec): Set[String] = {
+      import org.apache.spark.sql.catalyst.plans.physical.{
+        HashPartitioning, RangePartitioning}
+      s.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.flatMap(_.references.map(_.name)).toSet
+        case r: RangePartitioning =>
+          r.ordering.flatMap(_.references.map(_.name)).toSet
+        case _ => Set.empty
+      }
+    }
+    def awaitPinned(want: Int,
+        mine: ShuffleExchangeExec => Boolean): Seq[SparkPlan] = {
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
       var nodes = Seq.empty[SparkPlan]
       while ({
         nodes = captured.synchronized(captured.toVector)
           .flatMap(qe => flatten(qe.executedPlan))
-        pinnedOf(nodes).size < want && System.nanoTime() < deadline
+        pinnedOf(nodes).count(mine) < want && System.nanoTime() < deadline
       }) Thread.sleep(50)
       nodes
     }
@@ -534,8 +552,10 @@ class PlansSpec extends SparkSpec {
       val n = graft.ops.Dedup
         .prefixFilteredPairs(docs, "doc_id", "text", 0.8).count()
       assert(n == 10500L, s"each duplicated text pair must match: $n")
-      val ddNodes = awaitPinned(4)
-      val ddPinned = pinnedOf(ddNodes)
+      val ddCols = Set("tok", "doc_id", "doc_a", "doc_b")
+      def isDd(s: ShuffleExchangeExec) = keyCols(s).subsetOf(ddCols)
+      val ddNodes = awaitPinned(4, isDd)
+      val ddPinned = pinnedOf(ddNodes).filter(isDd)
       // gram side (tok, doc, tok) + candidate dedup + the two verify
       // probes = 6 widened exchanges; ReusedExchange may dedup some
       assert(ddPinned.size >= 4,
@@ -566,8 +586,14 @@ class PlansSpec extends SparkSpec {
       // spilling handful in production.
       captured.synchronized(captured.clear())
       SparkEntry.queries("sim17_srp_lsh")(spark, sf).count(): Unit
-      val simNodes = awaitPinned(2)
-      val simPinned = pinnedOf(simNodes)
+      // scope to sim17's OWN keys (band/packed-pair/id columns): a late
+      // dd25 event landing after the clear must not satisfy these
+      val simCols =
+        Set("band_idx", "band_val", "pk", "id_a", "id_b", "id")
+      def isSim(s: ShuffleExchangeExec) =
+        keyCols(s).nonEmpty && keyCols(s).subsetOf(simCols)
+      val simNodes = awaitPinned(2, isSim)
+      val simPinned = pinnedOf(simNodes).filter(isSim)
       assert(simPinned.size >= 2,
         s"band + candidate-dedup exchanges must stay pinned: " +
           simNodes.map(_.nodeName).mkString(", "))
