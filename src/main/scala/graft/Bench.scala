@@ -327,31 +327,51 @@ object Bench {
         (done.result(), skip.result(), kill.result())
       }
 
-    // steal-gated outlier re-run: a reported min whose run carried > ~5 s
+    // steal-gated outlier re-runs: a reported min whose run carried > ~2 s
     // of host CPU-steal is a contaminated measurement, not the query's
-    // number (r11: q3 reported off a 21 s-steal run on 5.8 s of compute).
-    // Re-fork those queries once at sweep end — the burst has usually
-    // passed — and keep whichever measurement's min run is cleaner.
-    val stealGateSec = 5.0
+    // number (r11: q3 reported off a 21 s-steal run on 5.8 s of compute;
+    // r13/r14 both needed hand adjudication of steal-noisy minima). The
+    // rerun is a LOOP, not a single pass (VERDICT r14): a burst can land
+    // on the rerun too, so contaminated minima go around again — each
+    // pass keeps whichever measurement's min run is cleaner — until every
+    // reported min is clean, the wall budget runs out, or a pass cap
+    // breaks a permanently-noisy host. The protocol records every pass's
+    // names, so "this min is clean by construction OR the host never
+    // went quiet" is readable from the artifact.
+    val stealGateSec = 2.0
+    val maxRerunPasses = 4
     def minRunSteal(d: Detail): Double =
       if (d.times.isEmpty || d.stealSec.size != d.times.size) 0.0
       else d.stealSec(d.times.indexOf(d.times.min))
-    val rerunNames =
-      if (inProcess) Nil
-      else firstPass.collect {
+    def contaminated(rs: Seq[(String, Detail)]): Seq[String] =
+      rs.collect {
         case (n, d) if d.value >= 0 && minRunSteal(d) > stealGateSec => n
       }
-    val reruns: Map[String, Detail] =
-      rerunNames.grouped(groupSize).flatMap { g =>
-        val remaining = budgetSec - elapsedSec
-        if (remaining <= 30) Nil else forkGroup(g, sfDir, remaining)._1
-      }.toMap
-    val results = firstPass.map { case (n, d) =>
-      n -> reruns.get(n).filter { d2 =>
-        d2.value >= 0 && (minRunSteal(d2) < minRunSteal(d) ||
-          (minRunSteal(d2) == minRunSteal(d) && d2.value < d.value))
-      }.getOrElse(d)
+    var results = firstPass
+    val rerunLog = Seq.newBuilder[String]
+    var pass = 0
+    var pending = if (inProcess) Nil else contaminated(results)
+    while (pass < maxRerunPasses && pending.nonEmpty &&
+        budgetSec - elapsedSec > 30) {
+      rerunLog ++= pending
+      val reruns: Map[String, Detail] =
+        pending.grouped(groupSize).flatMap { g =>
+          val remaining = budgetSec - elapsedSec
+          if (remaining <= 30) Nil else forkGroup(g, sfDir, remaining)._1
+        }.toMap
+      results = results.map { case (n, d) =>
+        n -> reruns.get(n).filter { d2 =>
+          d2.value >= 0 && (minRunSteal(d2) < minRunSteal(d) ||
+            (minRunSteal(d2) == minRunSteal(d) && d2.value < d.value))
+        }.getOrElse(d)
+      }
+      pass += 1
+      pending = contaminated(results)
     }
+    if (pending.nonEmpty)
+      System.err.println(s"[bench] still steal-contaminated after $pass " +
+        s"rerun passes (host never quiet): ${pending.mkString(",")}")
+    val rerunNames = rerunLog.result()
 
     val isolation =
       if (inProcess) "fresh-session-per-query"
@@ -383,13 +403,13 @@ object Bench {
     val protoExtra = protoBase +
       names("cache_riders", cacheRiders.toSeq.sorted) +
       names("skipped", skipped) + names("killed", killed) +
-      names("rerun", rerunNames) +
+      names("rerun", rerunNames) + names("steal_dirty", pending) +
       (if (procAttrOk) s""","attribution":"per-run gc/steal/iowait/cpu """ +
         s"""(/proc deltas, USER_HZ=100; omitted where /proc unreadable)""""
        else "")
     val protoCompact = protoBase +
       count("skipped", skipped) + count("killed", killed) +
-      count("rerun", rerunNames)
+      count("rerun", rerunNames) + count("steal_dirty", pending)
 
     // The harness that snapshots this run keeps only a SHORT TAIL of the
     // combined output (~2000 chars) and parses the headline JSON out of
@@ -407,12 +427,18 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":""" +
         s"""{"n_runs":$nRuns,"warmup_runs":1,"report":"min",""" +
         s""""isolation":"$isolation"$protoExtra},"runs":$runs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
-    }
+    // two copies: BENCH_DETAIL.json is the gitignored working artifact
+    // (tooling reads it in place); BENCH_DETAIL_LAST.json is TRACKED, so
+    // the round-end commit snapshots each round's full per-run detail —
+    // steal attribution must live in history for a later round to
+    // adjudicate a regression without re-running (VERDICT r14 item 7)
+    for (p <- Seq("BENCH_DETAIL.json", "BENCH_DETAIL_LAST.json"))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p),
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $p write failed: ${e.getMessage}")
+      }
     System.err.println(detail)
     System.err.flush()
     Thread.sleep(300)

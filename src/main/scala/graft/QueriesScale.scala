@@ -28,13 +28,16 @@ object QueriesScale {
         .select(col("rep_id"), col("n_dupes"))
         .orderBy(col("rep_id"))),
 
-    // minhash signatures (first 4 of 64 slots shown; hash-seeded → no SQL
-    // oracle, so the entry carries an ENFORCED structural verdict instead:
+    // minhash signatures (first 4 of 64 slots shown). The entry carries
+    // BOTH verification layers: an ENFORCED structural verdict —
     // re-keyed exact copies of every 10th doc are injected, and `equal`
     // demands (a) every exact-text group share ONE identical 64-slot
     // signature (MinHash is a pure function of the shingle set) and (b)
     // each signature be all-slots-present or all-null (nothing partially
-    // hashed). Verify.enforceSelfCheck withholds the dump on any false row.
+    // hashed); Verify.enforceSelfCheck withholds the dump on any false
+    // row — AND a full DuckDB oracle (r15): the hash chain is xxHash64
+    // end to end, and tools/gen_dd2_oracle.py derandomizes it into SQL
+    // that replays h0..h3, the fold, and the verdict bit-exact.
     "dd2_minhash_sig" -> ((s, d) => {
       val docs = fanOut(documents(s, d)).select(col("doc_id"), col("text"))
       val corpus = docs.unionByName(
@@ -407,13 +410,17 @@ object QueriesScale {
     // and the contamination flag. Catches the paraphrase leakage the
     // verbatim gram/span audits (tc1/tc3) structurally miss; eval side
     // broadcast, train side one scan + map-side-combinable agg.
-    // CROSSOVER (r13 grid): tc6 is exact but linear in train × eval (exp
-    // 1.02, 117 s at the 100× decade vs tc7's 0.47 / ~8 s) — past a few
-    // ×10⁶ train×eval dot products per core, switch to tc7's IVF screen
-    // and keep tc6 for the final audit of the screen's survivors.
+    // The r13 grid's crossover (brute is exact but linear in
+    // train × eval: exp 1.02, 117 s at the 100× decade vs the screen's
+    // 0.47 / ~8 s) is now an AUTO-DISPATCH GATE, not a doc note
+    // (VERDICT r14): semanticContaminationAuto brutes below ~4·10⁶ dot
+    // products per core — every harness SF and the 10× decade, so the
+    // oracle replays the exact audit — and IVF-screens past it (the
+    // 30×/100× decades), where screen stats are the documented
+    // sound-but-probe-restricted trade.
     "tc6_semantic_decontam" -> ((s, d) => {
       val emb = embeddings(s, d)
-      Similarity.semanticContamination(
+      Similarity.semanticContaminationAuto(
           emb.filter(col("label") =!= 0), emb.filter(col("label") === 0),
           "vec_id", "embedding", threshold = 0.4)
         .orderBy(col("vec_id"))
@@ -2839,8 +2846,12 @@ object QueriesScale {
     // streaming ingest dedup: the landing zone is written TWICE (each
     // sextile file duplicated back-to-back — an at-least-once feed where
     // every event is redelivered in the adjacent micro-batch);
-    // dropDuplicatesWithinWatermark must reduce it to exactly-once, i.e.
-    // the batch-distinct counts. Self-checking rows-only entry.
+    // dropDuplicatesWithinWatermark must reduce it to exactly-once —
+    // checked as full per-ROW set equality against the batch relation
+    // (the st10 exceptAll pattern; duplicates are bit-identical rows, so
+    // whichever arrival survives, the deduped multiset must equal the
+    // source exactly — aggregate counts alone could hide a dropped event
+    // masked by a double-admitted one). Self-checking rows-only entry.
     "st6_stream_dedup" -> ((s, d) => {
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val tmp = Scratch.dir("dedup_feed")
@@ -2857,13 +2868,20 @@ object QueriesScale {
       val deduped = StreamingOps.streamDedup(s, tmp, "event_id",
         s"st6_$tag")
       val ev = events(s, d)
-      deduped.agg(count(lit(1)).as("n_stream"),
-          sum(col("value")).as("v_stream"))
-        .crossJoin(ev.agg(count(lit(1)).as("n_batch"),
-          sum(col("value")).as("v_batch")))
-        .select(col("n_stream"), col("n_batch"),
-          (col("n_stream") === col("n_batch") &&
-            abs(col("v_stream") - col("v_batch")) < 1e-6).as("equal"))
+      def shape(df: DataFrame) = df.select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+      val sStream = shape(deduped)
+      val sBatch = shape(ev)
+      sStream.exceptAll(sBatch).agg(count(lit(1)).as("only_stream"))
+        .crossJoin(sBatch.exceptAll(sStream)
+          .agg(count(lit(1)).as("only_batch")))
+        .crossJoin(sBatch.agg(count(lit(1)).as("n_batch")))
+        .crossJoin(sStream.agg(count(lit(1)).as("n_stream")))
+        .select(col("n_stream"), col("n_batch"), col("only_stream"),
+          col("only_batch"),
+          (col("only_stream") === 0 && col("only_batch") === 0 &&
+            col("n_batch") > 0).as("equal"))
     }),
 
     // per-source ingestion quota on the NEW arbitrary-state API
@@ -2871,7 +2889,10 @@ object QueriesScale {
     // source admitted across all micro-batches. Which docs survive
     // depends on arrival order (inherently so), but the per-source
     // admitted COUNT is exact: least(batch_count, quota) — checked for
-    // every source in one self-checking row.
+    // every source — and the admitted rows themselves must be a
+    // MULTISET subset of the batch relation (exceptAll, the st10
+    // pattern): a fabricated (source, doc_id) or a doc admitted twice
+    // leaves a phantom row that the count checks alone could mask.
     "st7_per_source_quota" -> ((s, d) => {
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val tmp = Scratch.dir("docs_feed")
@@ -2891,13 +2912,17 @@ object QueriesScale {
       val want = docs.groupBy(col("source"))
         .agg(least(count(lit(1)), lit(15L)).as("n_expected"))
       val joined = want.join(got, Seq("source"), "left")
+      val phantom = admitted.select(col("source"), col("doc_id"))
+        .exceptAll(docs.select(col("source"), col("doc_id")))
       joined.agg(count(lit(1)).as("n_sources"),
           sum(when(col("n_admitted").isNull ||
             col("n_admitted") =!= col("n_expected"), 1L).otherwise(0L))
             .as("n_bad"))
         .crossJoin(admitted.agg(count(lit(1)).as("n_admitted_total")))
+        .crossJoin(phantom.agg(count(lit(1)).as("n_phantom")))
         .select(col("n_sources"), col("n_admitted_total"), col("n_bad"),
-          (col("n_bad") === 0).as("equal"))
+          col("n_phantom"),
+          (col("n_bad") === 0 && col("n_phantom") === 0).as("equal"))
     }),
 
     // S6 driver-visible proof: chunked incremental load — stream the
@@ -2941,10 +2966,33 @@ object QueriesScale {
         .orderBy(col("user_id")))
   )
 
+  /** Oracle SQL shipped as a classpath resource — for generated oracles
+    * whose size is past the JVM's 64 KB string-constant cap (dd2's
+    * bit-exact xxHash64 replay is ~55 KB of machine-written SQL).
+    */
+  private def resourceSql(path: String): String = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing oracle resource $path")
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   val oracles: Map[String, String] = Map(
     "dd1_exact_dedup" ->
       """SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_dupes
         |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin,
+
+    // GENERATED (tools/gen_dd2_oracle.py — regenerate, don't hand-edit):
+    // the sim17 derandomization pattern taken to its limit. The minhash
+    // chain is xxHash64 end to end, so the oracle embeds the same five
+    // primes and seed and replays every step — string hash (4-lane
+    // stripes + tails), hashLong, the 64 hashInt slots, and the
+    // signature fold for the window key — in 64-bit modular arithmetic
+    // over HUGEINT, bit-exact. The entry KEEPS its enforced structural
+    // self-check (`equal` column, Verify.enforceSelfCheck); this adds
+    // the full rows+schema+hash replay on top.
+    "dd2_minhash_sig" -> resourceSql("/graft/dd2_oracle.sql"),
 
     "st3_user_totals" ->
       """SELECT user_id, COUNT(*) AS n_events,

@@ -625,10 +625,31 @@ object Dedup {
     // size as zero grams (wide=false) and fall through to the empty pair
     // relation, not NPE in the sizing job (the Similarity.scala stats job
     // guards the same way via isNullAt)
+    // the same ONE stats job also fetches the id bounds that gate the
+    // packed-key candidate dedup below (sim17's sizing idiom: never a
+    // second pass over the data for a plan decision)
+    val idT = sets.schema("doc_id").dataType
+    val idIntegral = idT match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    val idBound: Column =
+      if (idIntegral) col("doc_id").cast("long") else lit(null)
     val stRow = sets.agg(coalesce(sum(col("m")), lit(0L)),
-      coalesce(max(col("m")), lit(0L))).head()
+      coalesce(max(col("m")), lit(0L)),
+      min(idBound), max(idBound)).head()
     val nTok = stRow.getLong(0)
     val maxM = stRow.getLong(1)
+    // pack the (doc_a, doc_b) candidate key into ONE long where ids
+    // permit (integral, non-negative, < 2³¹): a 1-long key row is 16
+    // bytes in the dedup exchange against 24 for the 2-long row — a
+    // third less shuffle on the dominant candidate relation — and the
+    // distinct's hash map keys on a single word (the sim17 packed-key
+    // trick). Ids outside the gate keep the 2-column key.
+    val packable = idIntegral && !stRow.isNullAt(2) && !stRow.isNullAt(3) &&
+      stRow.getLong(2) >= 0L && stRow.getLong(3) < (1L << 31)
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val gramParts = math.max(parallelism.toLong,
       math.min(2048L, nTok * 80 / (32L << 20))).toInt
@@ -698,7 +719,24 @@ object Dedup {
     // widened intermediate — at the pinned 32 partitions those sorts,
     // not the gram window, carried most of the decade's ~18 GB spill
     val candW =
-      if (wide) cand.repartition(gramParts, col("doc_a"), col("doc_b"))
+      if (wide && packable) {
+        // doc_a < doc_b by the join condition, both in [0, 2³¹) by the
+        // gate — the pack is a bijection and unpacks losslessly. The
+        // column is named cpk (not sim17's pk) so the PlansSpec AQE twin
+        // can keep scoping each op's exchanges by key columns alone.
+        // WIDE-ONLY, like the exchanges it narrows: the win is 16 B vs
+        // 24 B candidate rows through the width-pinned dedup exchange —
+        // dominant at the deep decades; below the gate the relation is
+        // broadcast-sized and the extra pack/unpack projections around
+        // AQE's plan measured dd25 3.2→5.9 s at sf0.1 for nothing saved.
+        cand.select(shiftleft(col("doc_a").cast("long"), 32)
+            .bitwiseOR(col("doc_b").cast("long")).as("cpk"))
+          .repartition(gramParts, col("cpk"))
+          .distinct()
+          .select(shiftright(col("cpk"), 32).cast(idT).as("doc_a"),
+            col("cpk").bitwiseAND(lit(0xFFFFFFFFL)).cast(idT).as("doc_b"))
+      }
+      else if (wide) cand.repartition(gramParts, col("doc_a"), col("doc_b"))
         .distinct()
       else cand.distinct()
     // materialize the (small, post-threshold) pair relation while
@@ -811,7 +849,10 @@ object Dedup {
     df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(length(col("s")) >= 2 * maxDist + 2 && col("id").isNotNull)
       .groupBy(col("s")).agg(count(lit(1)).as("n"))
-      .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
+      // integral DIV, not `/` (Divide plans as double arithmetic and
+      // loses exactness past 2^53 pairs — ADVICE r14): n·(n−1) is even,
+      // so the long division is exact at any group size
+      .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L))
         .cast("long"))
       .head().getLong(0)
 

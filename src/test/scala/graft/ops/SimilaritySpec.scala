@@ -505,6 +505,39 @@ class SimilaritySpec extends SparkSpec {
       s"screen recall $nHit/$nBf below the fixture floor")
   }
 
+  test("semanticContaminationAuto dispatches on estimated dots per core") {
+    val eval = many.filter(col("vec_id") < 10)
+    val train = many.filter(col("vec_id") >= 10)
+    // an unreachable gate keeps the exact brute path: bit-identical to
+    // semanticContamination, and the plan carries no probe explode
+    val autoBrute = Similarity.semanticContaminationAuto(train, eval,
+      "vec_id", "embedding", threshold = 0.3,
+      maxDotsPerCore = Long.MaxValue)
+    val bf = Similarity.semanticContamination(train, eval,
+      "vec_id", "embedding", threshold = 0.3)
+    assert(autoBrute.orderBy("vec_id").collect().toSeq ==
+      bf.orderBy("vec_id").collect().toSeq)
+    assert(!autoBrute.queryExecution.optimizedPlan.toString
+      .contains("Generate"), "brute dispatch must not build the probe")
+    // gate 0 forces the screen: the plan probes (explode over the
+    // centroid fold) and the result is bit-identical to calling the
+    // screen directly with auto's own k/nprobe derivation (k =
+    // min(nEval, max(16, ceil(sqrt(nEval)))) = 10 singleton-ish
+    // clusters here)
+    val autoScreen = Similarity.semanticContaminationAuto(train, eval,
+      "vec_id", "embedding", threshold = 0.3, maxDotsPerCore = 0L)
+    assert(autoScreen.queryExecution.optimizedPlan.toString
+      .contains("Generate"), "screen dispatch must build the probe")
+    val ev = eval.select(col("vec_id"), col("embedding"))
+    val members = ev.join(
+      Similarity.kmeansAssign(ev, "vec_id", "embedding", 10, 2),
+      Seq("vec_id"))
+    val screen = Similarity.semanticContaminationScreen(train, members,
+      "vec_id", "embedding", "cluster", threshold = 0.3, nprobe = 2)
+    assert(autoScreen.orderBy("vec_id").collect().toSeq ==
+      screen.orderBy("vec_id").collect().toSeq)
+  }
+
   test("semanticContaminationScreen single-literal path equals default") {
     import spark.implicits._
     // literalBudget=0 forces the one-typedlit probe table (the large-k

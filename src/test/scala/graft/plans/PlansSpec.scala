@@ -546,13 +546,32 @@ class PlansSpec extends SparkSpec {
       // PAIRS so the candidate/verify exchanges carry rows too (all-
       // unique grams would let AQE's empty-relation propagation remove
       // them — correctly, but then there'd be nothing to lock).
-      val docs = spark.range(21000).selectExpr("id AS doc_id",
-        "array_join(transform(sequence(1, 102), " +
+      // corpus sized for a COMFORTABLE gate margin (ADVICE r14): 202
+      // words → 200 distinct 3-shingles per doc → nTok = 4.2M, putting
+      // the computed gramParts ~2.5× past local[4]'s crossover instead
+      // of the old one-partition squeak (21000×100 shingles → 5 vs 4).
+      // The assert below replays the sizing rule up front so any drift
+      // in the 80 B/row constant, the corpus shape, or the test master
+      // fails HERE with the cause, not downstream in the plan asserts.
+      val nDocs = 21000L
+      val shinglesPerDoc = 200L
+      val docs = spark.range(nDocs).selectExpr("id AS doc_id",
+        s"array_join(transform(sequence(1, ${shinglesPerDoc + 2}), " +
           "j -> concat('w', id div 2, '_', j)), ' ') AS text")
+      val nTok = nDocs * shinglesPerDoc
+      val gramParts = math.max(par.toLong,
+        math.min(2048L, nTok * 80 / (32L << 20)))
+      assert(gramParts >= 2L * par,
+        s"synthetic corpus no longer trips the width gate with margin: " +
+          s"computed gramParts $gramParts vs parallelism $par — re-size " +
+          s"the corpus against Dedup.prefixFilteredPairs' sizing rule " +
+          s"(nTok × 80 B / 32 MB, floored at parallelism)")
       val n = graft.ops.Dedup
         .prefixFilteredPairs(docs, "doc_id", "text", 0.8).count()
       assert(n == 10500L, s"each duplicated text pair must match: $n")
-      val ddCols = Set("tok", "doc_id", "doc_a", "doc_b")
+      // cpk = the packed (doc_a, doc_b) candidate key — dd25's own name
+      // for it, distinct from sim17's pk so the two halves stay scoped
+      val ddCols = Set("tok", "doc_id", "doc_a", "doc_b", "cpk")
       def isDd(s: ShuffleExchangeExec) = keyCols(s).subsetOf(ddCols)
       val ddNodes = awaitPinned(4, isDd)
       val ddPinned = pinnedOf(ddNodes).filter(isDd)
