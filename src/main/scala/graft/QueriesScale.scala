@@ -88,11 +88,13 @@ object QueriesScale {
             col("n_near_dupes") >= col("n_injected"))
     }),
 
-    // simhash fingerprints (hash-seeded → no SQL oracle; ENFORCED
-    // structural verdict instead, dd2's pattern): injected re-keyed exact
-    // copies must land on the SAME 64-bit fingerprint (SimHash is a pure
-    // function of the token multiset) — `equal` fails any group whose
-    // fingerprints diverge, and Verify withholds the dump.
+    // simhash fingerprints. Like dd2, BOTH verification layers: the
+    // ENFORCED structural verdict — injected re-keyed exact copies must
+    // land on the SAME 64-bit fingerprint (SimHash is a pure function of
+    // the token multiset), `equal` fails any group whose fingerprints
+    // diverge, and Verify withholds the dump — AND a full DuckDB oracle
+    // (r15, tools/gen_dd4_oracle.py): the chain is xxHash64 + bit votes
+    // end to end, so the SQL replays the fingerprint bit-exact.
     "dd4_simhash" -> ((s, d) => {
       val docs = fanOut(documents(s, d)).select(col("doc_id"), col("text"))
       val corpus = docs.unionByName(
@@ -2993,6 +2995,11 @@ object QueriesScale {
     // self-check (`equal` column, Verify.enforceSelfCheck); this adds
     // the full rows+schema+hash replay on top.
     "dd2_minhash_sig" -> resourceSql("/graft/dd2_oracle.sql"),
+
+    // GENERATED (tools/gen_dd4_oracle.py): same derandomization as dd2 —
+    // per-token xxHash64 replayed step-for-step, SimHash bit votes as
+    // relational arithmetic, sim_key via the hashLong chain.
+    "dd4_simhash" -> resourceSql("/graft/dd4_oracle.sql"),
 
     "st3_user_totals" ->
       """SELECT user_id, COUNT(*) AS n_events,
