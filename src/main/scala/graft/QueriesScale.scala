@@ -272,9 +272,13 @@ object QueriesScale {
       // signatures are the expensive stage (shingle + 64 hashes per doc)
       // and feed THREE consumers — the band build and both sides of the
       // estimate join — so they materialize once (~24 B × 64 per doc,
-      // far smaller than the corpus), not three times
-      val sig = Dedup.barrier(
-        Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 64), "doc_id")
+      // far smaller than the corpus), not three times. persist alone is
+      // the compute-once mechanism here; the r14 barrier() on top of it
+      // was redundant (its 65-column first()-sort-agg + exchange ran
+      // BEFORE the cache, costing ~0.6 s per run at sf0.1 for nothing —
+      // barrier is for plan-level reuse in ops that must stay cache-free,
+      // e.g. dd2/dd5's returned plans)
+      val sig = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 64)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = Dedup.lshBands(sig, "doc_id", 16, 4)
       val edges = Dedup.estimateJaccard(
@@ -301,9 +305,13 @@ object QueriesScale {
       groups
         .agg(count(lit(1)).as("n_exact_groups"),
           sum(when(col("nc") === 1, 1L).otherwise(0L)).as("n_merged"))
-        .crossJoin(withComp.agg(count(lit(1)).as("n_docs")))
-        .crossJoin(withComp.filter(col("doc_id") =!= col("component"))
-          .agg(count(lit(1)).as("n_dropped")))
+        // one fused census pass (r15): n_docs and n_dropped come from the
+        // SAME scan of withComp — the r14 form ran a second filtered agg
+        // + a second crossJoin for n_dropped (one more cache pass + AQE
+        // stage round-trip per run, same rows out)
+        .crossJoin(withComp.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("component"), 1L).otherwise(0L))
+            .as("n_dropped")))
         .select(col("n_docs"), col("n_dropped"), col("n_exact_groups"),
           col("n_merged"),
           (col("n_exact_groups") === col("n_merged") &&

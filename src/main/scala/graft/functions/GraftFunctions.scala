@@ -32,6 +32,11 @@ object GraftFunctions {
         exprs(1).eval(null).asInstanceOf[Number].intValue()),
       "built-in")
     registry.createOrReplaceTempFunction(
+      "gram_hashes",
+      exprs => GramHashes(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
+    registry.createOrReplaceTempFunction(
       "heavy_hitters",
       exprs => HeavyHitters(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue())
@@ -75,6 +80,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSigs(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GramHashes(exprs.head,
           exprs(1).eval(null).asInstanceOf[Number].intValue())))
     ext.injectFunction((
       FunctionIdentifier("heavy_hitters"),

@@ -63,6 +63,24 @@ object Dedup {
     * first() would fall back to sort past its ~128-key threshold anyway
     * on unique keys). PlanAudit classifies these as `barrier:` rows.
     */
+  /** Width for an iteratively re-joined LOOP relation, derived from its
+    * measured row count (the sim17 sizing idiom, pointed the other way):
+    * ~32 MB of ~`rowBytes` rows per task, clamped to [1, 4096]. The pair
+    * generators upstream shuffle at ≥ defaultParallelism partitions, so a
+    * KB-scale graph would otherwise pay 64+ map tasks per round, every
+    * round — per-round fixed cost (task launch, AQE stage scheduling)
+    * dominates far below one task-chunk of data. Deliberately FLOORED AT
+    * 1, not at parallelism: a loop body over less than one chunk is
+    * overhead-bound, not compute-bound, and the width re-crosses
+    * parallelism on its own once the relation carries ≥ 32 MB × cores
+    * (at 32 cores, ~1 GB of edges — far below any scale where the loop's
+    * per-round compute could use the extra cores). Applied with
+    * `coalesce` (narrow, never a shuffle) over the already-persisted
+    * relation, so rounds read the cache through a handful of tasks.
+    */
+  private[ops] def loopParts(nRows: Long, rowBytes: Long): Int =
+    math.max(1L, math.min(4096L, nRows * rowBytes / (32L << 20))).toInt
+
   def barrier(df: DataFrame, keyCol: String): DataFrame = {
     val others = df.columns.filter(_ != keyCol)
     if (others.isEmpty) df.distinct()  // degenerate: key-only relation
@@ -126,16 +144,20 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame = {
-    // single-pass native expression: all numHashes running minima carried
-    // through one traversal of the base-hash array, vs numHashes
-    // intermediate arrays + traversals for the builtin chain (kept below
-    // as [[minhashSignaturesChain]], bit-identical, DedupSpec-asserted).
+    // two fused native expressions end to end (r15): GramHashes does the
+    // gram building + string hashing in one compiled loop (the builtin
+    // slice/zip_with/array_distinct/transform chain is CodegenFallback —
+    // interpreted per element, measured 2-4 ms/doc ≈ 13-25 CPU-s per
+    // 5,500-doc evaluation), MinHashSigs carries all numHashes running
+    // minima through one traversal. GramHashes skips array_distinct
+    // (min over a multiset = min over its support — DedupSpec asserts
+    // bit parity against the builtin chain, which keeps the distinct).
     // The sig array lands in its own projection (non-cheap,
     // multi-referenced → CollapseProject keeps it apart), the h_i columns
     // are cheap element_at extractions.
-    val sh = shingleArray(df, idCol, textCol, k)
+    val sh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .withColumn("sig", graft.functions.MinHashSigs(
-        transform(col("shingles"), s => xxhash64(s)), numHashes))
+        graft.functions.GramHashes(col("toks"), k), numHashes))
     // NOTE: intentionally barrier-free (zero shuffles, embarrassingly
     // parallel). Compositions that reference the signatures more than once
     // (LSH band self-joins + estimate joins) should wrap the result in
@@ -234,9 +256,12 @@ object Dedup {
     * [[simhash64Chain]], kept as the equivalence reference).
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // GramHashes at k=1 IS transform(toks, t => xxhash64(t)) — the token
+    // hashing runs in one compiled loop instead of the interpreted
+    // CodegenFallback transform (r15; DedupSpec asserts the chain parity)
     df.select(col(idCol),
       graft.functions.SimHash64(
-        transform(tokens(col(textCol)), t => xxhash64(t))).as("simhash"))
+        graft.functions.GramHashes(tokens(col(textCol)), 1)).as("simhash"))
 
   /** The portable builtin-only formulation of [[simhash64]] (64 aggregate
     * folds OR-ed together). Bit-identical on non-null input — DedupSpec
@@ -550,11 +575,16 @@ object Dedup {
     val withDeg = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = deg.count()
+    // LOOP-WIDTH the per-round edge side (r15, the connectedComponents
+    // rationale): deg.count() above already materialized the edge cache,
+    // so this count is a cheap cached scan; coalesce narrows the five
+    // rank-join rounds from inherited-width task fan-out to ~32 MB/task.
+    val withDegLoop = withDeg.coalesce(loopParts(edges.count(), 40))
     var ranks = deg.select(col("src").as("node"),
       lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
-      ranks = withDeg
-        .join(ranks, withDeg("src") === ranks("node"))
+      ranks = withDegLoop
+        .join(ranks, withDegLoop("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("deg")).as("m"))
         .select(col("dst").as("node"),
@@ -1263,11 +1293,21 @@ object Dedup {
     val edges0 = fwd.union(fwd.select(col("dst").as("src"),
       col("src").as("dst")))
     // edges are re-joined every round → materialize once (spillable)
-    val edges = edges0
+    val cached = edges0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = cached.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // LOOP-WIDTH the cached edge relation (r15): the labels-init job above
+    // already materialized the cache, so the count is a cheap cached scan,
+    // and coalesce (never a shuffle) narrows the per-round edge side to
+    // ~32 MB/task. The pair generators upstream shuffle at ≥32 partitions,
+    // so a KB-scale graph otherwise pays 64+ map tasks per round × rounds
+    // of pure task/stage overhead — measured 1.35 s/round vs 0.28 s/round
+    // compacted on dd15's 1.6k-edge graph (5.6 s → 1.3 s for its 2-round
+    // CC). Scale-adaptive by construction: width grows linearly with the
+    // edge count, so a 100× corpus loops 100× wider.
+    val edges = cached.coalesce(loopParts(cached.count(), 32))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -1300,7 +1340,7 @@ object Dedup {
       converged = nChanged == 0
       iters += 1
     }
-    edges.unpersist()
+    cached.unpersist()
     labels.select(col("id"), col("label").as("component"))
   }
 
@@ -1559,13 +1599,19 @@ object Dedup {
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+    val cached = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one full-degree aggregate — the only all-edges shuffle in the op
-    var deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var deg = cached.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
       .localCheckpoint(true)
+    // LOOP-WIDTH the cached edge relation (r15, the connectedComponents
+    // rationale): the degree job above materialized the cache, the count
+    // is a cached scan, and the peel rounds re-join edges up to maxIters
+    // times — at inherited width that is 64+ map tasks per round of pure
+    // overhead on a KB-scale graph.
+    val edges = cached.coalesce(loopParts(cached.count(), 32))
     var iters = 0
     var done = false
     while (!done && iters < maxIters) {
@@ -1588,7 +1634,7 @@ object Dedup {
     }
     // maxIters truncation can leave sub-k rows; fixpoint exit cannot
     val out = deg.filter(col("deg") >= k).localCheckpoint(true)
-    edges.unpersist()
+    cached.unpersist()
     out
   }
 
@@ -1618,12 +1664,16 @@ object Dedup {
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+    val cached = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
+    var labels = cached.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // LOOP-WIDTH the cached edge relation (r15, the connectedComponents
+    // rationale): labels-init materialized the cache; coalesce narrows
+    // the fixed-round label joins to ~32 MB/task.
+    val edges = cached.coalesce(loopParts(cached.count(), 32))
     for (_ <- 1 to rounds) {
       labels = edges
         .join(labels, edges("src") === labels("node"))
@@ -1654,7 +1704,7 @@ object Dedup {
     // every node in the edge relation has degree ≥ 1, so each round
     // relabels every node — no left-join backfill needed
     val out = labels.localCheckpoint(true)
-    edges.unpersist()
+    cached.unpersist()
     out
   }
 

@@ -162,6 +162,34 @@ class DedupSpec extends SparkSpec {
     assert(native == chain)
   }
 
+  test("GramHashes equals the builtin gram+xxhash64 chain, incl. edges") {
+    // the r15 fused expression must replay transform(wordGrams(toks,k),
+    // xxhash64) bit-exact — up to the deliberately-skipped array_distinct
+    // (min-insensitive; compared here as SETS) — on every edge the
+    // builtin path can produce: short docs (< k tokens), single-token,
+    // empty text ("" splits to [""]), multi-space runs, and null text
+    val df = Seq(
+      (1L, "alpha bravo charlie delta alpha bravo charlie"),
+      (2L, "one two"), (3L, "single"), (4L, ""),
+      (5L, "a  b   c"), (6L, null.asInstanceOf[String]),
+      (7L, "dup dup dup dup")).toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3)) {
+      val toks = Dedup.tokens(col("text"))
+      val fused = df.select(col("doc_id"),
+        graft.functions.GramHashes(toks, k).as("h"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Long](1).toSet)).toMap
+      val chainCol =
+        if (k == 1) transform(toks, t => xxhash64(t))
+        else transform(array_distinct(Dedup.wordGrams(toks, k)),
+          g => xxhash64(g))
+      val chain = df.select(col("doc_id"), chainCol.as("h"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Long](1).toSet)).toMap
+      assert(fused == chain, s"k=$k")
+    }
+  }
+
   test("barrier is a semantic identity (incl. key-only relations)") {
     val df = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "s", "v")
     val b = Dedup.barrier(df, "id")
