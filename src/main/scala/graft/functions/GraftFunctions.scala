@@ -34,7 +34,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "gram_hashes",
       exprs => GramHashes(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+        org.apache.spark.sql.catalyst.expressions.Literal(42L),
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        distinct = false),
       "built-in")
     registry.createOrReplaceTempFunction(
       "heavy_hitters",
@@ -86,7 +88,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GramHashes(exprs.head,
-          exprs(1).eval(null).asInstanceOf[Number].intValue())))
+          org.apache.spark.sql.catalyst.expressions.Literal(42L),
+          exprs(1).eval(null).asInstanceOf[Number].intValue(),
+          distinct = false)))
     ext.injectFunction((
       FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),

@@ -317,9 +317,9 @@ object Dedup {
       df.select(
           (col(idCol) +: blockCols.map(col) :+
             tokens(col(textCol)).as("toks")): _*)
-        .withColumn("grams", array_distinct(
-          transform(wordGrams(col("toks"), n),
-            g => xxhash64((blockCols.map(col) :+ g): _*))))
+        .withColumn("grams", graft.functions.GramHashes(col("toks"), n,
+          if (blockCols.isEmpty) lit(42L)
+          else xxhash64(blockCols.map(col): _*), distinct = true))
         .select(col(idCol), col("grams")),
       idCol)
     val sizes = base.select(col(idCol), size(col("grams")).as("sz"))
@@ -373,9 +373,9 @@ object Dedup {
       df.select(
           (col(idCol) +: blockCols.map(col) :+
             tokens(col(textCol)).as("toks")): _*)
-        .withColumn("grams", array_distinct(
-          transform(wordGrams(col("toks"), n),
-            g => xxhash64((blockCols.map(col) :+ g): _*))))
+        .withColumn("grams", graft.functions.GramHashes(col("toks"), n,
+          if (blockCols.isEmpty) lit(42L)
+          else xxhash64(blockCols.map(col): _*), distinct = true))
         .select(col(idCol), col("grams")),
       idCol)
     val sizes = base.select(col(idCol), size(col("grams")).as("sz"))
@@ -431,12 +431,20 @@ object Dedup {
     * identical.
     */
   private def blockedGramKeys(df: DataFrame, idCol: String,
-      textCol: String, blockCols: Seq[String], n: Int): DataFrame =
+      textCol: String, blockCols: Seq[String], n: Int): DataFrame = {
+    // fused gram hashing (r15): xxhash64 chains children left to right,
+    // so seeding the per-gram hash with xxhash64(blockCols...) is
+    // bit-identical to the old array_distinct(transform(wordGrams(toks),
+    // g => xxhash64(blockCols..., g))) — which ran INTERPRETED per
+    // element (every HOF is CodegenFallback; see GramHashes). distinct
+    // = true replays the array_distinct over the hash values.
+    val seed =
+      if (blockCols.isEmpty) lit(42L) else xxhash64(blockCols.map(col): _*)
     df.select((col(idCol) +: blockCols.map(col) :+
         tokens(col(textCol)).as("toks")): _*)
-      .select(col(idCol), explode(array_distinct(
-        transform(wordGrams(col("toks"), n),
-          g => xxhash64((blockCols.map(col) :+ g): _*)))).as("bk"))
+      .select(col(idCol), explode(graft.functions.GramHashes(
+        col("toks"), n, seed, distinct = true)).as("bk"))
+  }
 
   /** Candidate doc pairs sharing at least one non-hot gram — the
     * inverted-index bucket pairs of [[ngramJaccardPairs]] WITHOUT the

@@ -188,6 +188,24 @@ class DedupSpec extends SparkSpec {
           (if (r.isNullAt(1)) null else r.getSeq[Long](1).toSet)).toMap
       assert(fused == chain, s"k=$k")
     }
+    // the seeded + distinct form (blockedGramKeys' shape) must replay
+    // array_distinct(transform(wordGrams, g => xxhash64(block..., g)))
+    // ELEMENT-EXACT (order + values): seeding with xxhash64(blocks) is
+    // the same left-to-right child chaining
+    val blocked = df.withColumn("lang", lit("en"))
+      .withColumn("source", lit("web"))
+    val toks = Dedup.tokens(col("text"))
+    val fusedB = blocked.select(col("doc_id"),
+        graft.functions.GramHashes(toks, 3,
+          xxhash64(col("lang"), col("source")), distinct = true).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1).toList)).toMap
+    val chainB = blocked.select(col("doc_id"),
+        array_distinct(transform(Dedup.wordGrams(toks, 3),
+          g => xxhash64(col("lang"), col("source"), g))).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1).toList)).toMap
+    assert(fusedB == chainB)
   }
 
   test("barrier is a semantic identity (incl. key-only relations)") {
